@@ -1,0 +1,58 @@
+"""Fixture-table catalog.
+
+Loads the driver-generated parquet tables (TESTDATA.md) and registers
+them as temp views so operators can be written in either DataFrame or
+SQL form. Reads are plain ``spark.read.parquet`` — Catalyst handles
+column pruning and predicate pushdown into the scan, which is the
+whole point at 100 TB: an operator never reads more than it projects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at EVERY scale factor (region is 5
+# rows, nation 25 at all sf; supplier/part grow with sf but stay dim-sized
+# relative to the fact tables).
+BROADCAST_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view named after the table.
+
+    Returns the name -> DataFrame mapping for DataFrame-style callers.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
