@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -39,7 +40,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one fixture table; normalizes nanosecond parquet timestamps.
+
+    events.ts is TIMESTAMP(NANOS) in parquet, which Spark's scan rejects
+    outright. We flip the legacy read path (runtime-settable, so this
+    also works under a session we didn't build) to surface it as
+    long-nanos, then truncate to a microsecond TimestampType — the same
+    ns->µs truncation DuckDB applies when casting TIMESTAMP_NS down.
+    """
+    try:  # defensive: the round driver hands us ITS session, not ours
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for fld in df.schema.fields:
+        if fld.name == "ts" and fld.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
@@ -52,7 +69,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,245 @@
+"""Scalar function surfaces: string, datetime, math, array/map, JSON
+(SURVEY.md §2.A op_substr_truncate/op_str_replace_prefix/op_array_size
+and §2.B op_scalar_* / op_array_map_fns / op_json_fns).
+
+Everything here is a built-in pyspark.sql.functions expression —
+JVM-side, inside whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+
+@register(
+    "op_scalar_string",
+    tags=("scalar",),
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name)  AS name_upper,
+               LOWER(c_mktsegment) AS segment_lower,
+               LENGTH(c_name) AS name_len,
+               SUBSTRING(c_name, 1, 8) AS name_prefix,
+               CONCAT(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS segment_tag,
+               TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+               REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+               REPLACE(c_mktsegment, 'AUTO', 'CAR') AS segment_replaced
+        FROM customer
+    """,
+)
+def op_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, length, substring, concat, trim,
+    regexp_extract, replace."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias("segment_tag"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_mktsegment"), F.lit("AUTO"), F.lit("CAR")).alias("segment_replaced"),
+    )
+
+
+@register(
+    "op_substr_truncate",
+    tags=("scalar", "reference-parity"),
+    oracle="""
+        SELECT doc_id,
+               SUBSTRING(COALESCE(text, ''), 1, 100) AS text_truncated,
+               LENGTH(SUBSTRING(COALESCE(text, ''), 1, 100)) AS truncated_len
+        FROM documents
+    """,
+)
+def op_substr_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-coalesced truncation — parity with the reference's
+    ``(description or '')[:500]`` (reference etl/pipeline.py:155,173),
+    at width 100 over documents.text."""
+    docs = load_table(spark, sf_dir, "documents")
+    truncated = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100)
+    return docs.select("doc_id", truncated.alias("text_truncated"), F.length(truncated).alias("truncated_len"))
+
+
+@register(
+    "op_str_replace_prefix",
+    tags=("scalar", "reference-parity"),
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               REGEXP_REPLACE(o_orderpriority, '^[0-9]+-', '') AS priority_name
+        FROM orders
+    """,
+)
+def op_str_replace_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum prefix strip — parity with the reference's
+    ``category.replace('EEquippableCategory::','')``
+    (reference etl/pipeline.py:185), as an anchored regexp_replace."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.regexp_replace("o_orderpriority", r"^[0-9]+-", "").alias("priority_name"),
+    )
+
+
+@register(
+    "op_scalar_datetime",
+    tags=("scalar",),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT)  AS order_year,
+               CAST(MONTH(o_orderdate) AS INT) AS order_month,
+               STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str,
+               CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+               CAST(EPOCH(o_orderdate) AS BIGINT) AS order_epoch
+        FROM orders
+    """,
+)
+def op_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface: year/month extraction, date_trunc, formatting,
+    datediff, epoch seconds. Timestamps leave as strings/ints so the
+    comparison is engine-neutral."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+
+
+@register(
+    "op_scalar_math",
+    tags=("scalar",),
+    oracle="""
+        SELECT p_partkey,
+               ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+               ROUND(LN(p_retailprice), 6) AS price_ln,
+               ROUND(POW(p_size, 2), 2) AS size_sq,
+               ABS(p_size - 25) AS size_dev,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+               CAST(p_size % 7 AS INT) AS size_mod
+        FROM part
+    """,
+)
+def op_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: sqrt/ln/pow/abs/ceil/floor/mod."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 2).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "op_array_map_fns",
+    tags=("scalar", "array"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS terms FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(len(terms) AS INT) AS n_terms,
+               list_contains(terms, 'spark') AS has_spark,
+               list_sort(terms)[1] AS first_term_sorted,
+               terms[1] AS first_term,
+               list_transform(terms[1:2], t -> UPPER(t)) AS head_upper,
+               CAST(len(list_filter(terms, t -> LENGTH(t) > 4)) AS INT) AS n_long_terms
+        FROM toks
+    """,
+)
+def op_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function surface: size, contains, sort,
+    index, transform/filter lambdas — all codegen'd, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(terms).alias("n_terms"),
+            F.array_contains(terms, "spark").alias("has_spark"),
+            F.sort_array(terms)[0].alias("first_term_sorted"),
+            terms[0].alias("first_term"),
+            F.transform(F.slice(terms, 1, 2), lambda t: F.upper(t)).alias("head_upper"),
+            F.size(F.filter(terms, lambda t: F.length(t) > 4)).alias("n_long_terms"),
+        )
+    )
+
+
+@register(
+    "op_json_fns",
+    tags=("scalar", "json"),
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k_value,
+               CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+    """,
+)
+def op_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (get_json_object + typed cast),
+    with the extracted value used in filter and projection."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_id", k.alias("k_value"), (k % 10).alias("k_mod"))
+        .filter(F.col("k_value") > 50)
+    )
+
+
+@register(
+    "op_envelope_unwrap",
+    tags=("json", "reference-parity"),
+    oracle="""
+        SELECT event_id, event_type, CAST(json_extract(j, '$.status') AS INT) AS status,
+               CAST(json_extract(j, '$.payload.k') AS INT) AS payload_k
+        FROM (
+            SELECT event_id, event_type,
+                   '{"status": 200, "payload": ' || props || '}' AS j
+            FROM events WHERE event_id < 100
+        )
+        WHERE CAST(json_extract(j, '$.status') AS INT) = 200
+    """,
+)
+def op_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API envelope unwrap — parity with the reference's
+    ``{status, data}`` handling (reference etl/pipeline.py:85-93):
+    from_json with an envelope schema, filter status==200, project the
+    payload. Envelope synthesized from events.props for the fixture."""
+    events = load_table(spark, sf_dir, "events")
+    enveloped = events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        "event_type",
+        F.concat(F.lit('{"status": 200, "payload": '), F.col("props"), F.lit("}")).alias("j"),
+    )
+    parsed = enveloped.select(
+        "event_id",
+        "event_type",
+        F.from_json("j", "status INT, payload STRUCT<k: INT>").alias("env"),
+    )
+    return parsed.filter(F.col("env.status") == 200).select(
+        "event_id",
+        "event_type",
+        F.col("env.status").alias("status"),
+        F.col("env.payload.k").alias("payload_k"),
+    )

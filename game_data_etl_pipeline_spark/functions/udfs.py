@@ -1,0 +1,128 @@
+"""UDF surface (SURVEY.md §2.B op_udf_surface): the sanctioned slow
+paths, each demonstrated on a computation the oracle can also express
+in plain SQL so correctness is checkable.
+
+Ordering of preference at scale:
+1. built-in functions (everything else in this package);
+2. pandas_udf — Arrow-batched, vectorized, ~10-100x over row UDFs;
+3. applyInPandas / mapInPandas — grouped/partition-wise pandas;
+4. row-at-a-time Python UDF — never in a hot path (shown only in
+   tests for completeness).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+
+def _make_charge_udf():
+    """Arrow-batched scalar pandas UDF: discounted, taxed charge.
+
+    Built lazily: pandas_udf with a DDL return type resolves against the
+    active session, which doesn't exist at module import time.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def charge_vectorized(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        return extended * (1.0 - discount) * (1.0 + tax)
+
+    return charge_vectorized
+
+
+@register(
+    "op_udf_pandas_scalar",
+    tags=("udf",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+        FROM lineitem
+        WHERE l_quantity >= 45
+    """,
+)
+def op_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF over lineitem; same value as the
+    built-in expression (which remains the right choice in production —
+    this registers the escape hatch and proves it agrees)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    charge = _make_charge_udf()
+    return (
+        lineitem.filter(F.col("l_quantity") >= 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6).alias("charge"),
+        )
+    )
+
+
+def _segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map UDAF body: weighted average account balance per segment."""
+    total = pdf["c_acctbal"].sum()
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n_customers": [n],
+            "avg_balance": [round(total / n, 4)],
+            "sum_balance": [round(total, 2)],
+        }
+    )
+
+
+@register(
+    "op_udf_grouped_agg",
+    tags=("udf",),
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal) / COUNT(*), 4) AS avg_balance,
+               ROUND(SUM(c_acctbal), 2) AS sum_balance
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def op_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via applyInPandas: one Arrow batch per group in, one
+    aggregate row out. Shuffles on the group key exactly like a
+    built-in aggregation; state is bounded by the largest group."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").applyInPandas(
+        _segment_stats,
+        schema="c_mktsegment string, n_customers long, avg_balance double, sum_balance double",
+    )
+
+
+def _partition_normalizer(batches):
+    """mapInPandas body: per-batch price normalization (batch-local ops only)."""
+    for pdf in batches:
+        out = pdf[["p_partkey", "p_retailprice"]].copy()
+        out["price_offset"] = (out["p_retailprice"] - 900.0).round(6)
+        yield out
+
+
+@register(
+    "op_udf_map_in_pandas",
+    tags=("udf",),
+    oracle="""
+        SELECT p_partkey,
+               ROUND(p_retailprice, 2) AS p_retailprice,
+               ROUND(p_retailprice - 900.0, 6) AS price_offset
+        FROM part
+    """,
+)
+def op_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: streaming iterator of Arrow batches per partition —
+    the shape for custom per-partition operators (decode, tokenize).
+    Never accumulates the whole partition in memory."""
+    part = load_table(spark, sf_dir, "part")
+    out = part.mapInPandas(
+        _partition_normalizer,
+        schema="p_partkey long, p_retailprice double, price_offset double",
+    )
+    return out.select("p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), "price_offset")

@@ -1,0 +1,210 @@
+"""Aggregation operators (SURVEY.md §2.B): hash aggregate, distinct,
+approximate, multi-level (rollup/cube/grouping sets), pivot.
+
+All of these compile to partial (map-side) + final hash aggregation,
+so the shuffle volume is O(groups x partitions), not O(rows) — the
+property that makes them scale-safe. countDistinct is the exception
+(it expands to a two-phase aggregate over distinct values); where an
+approximation suffices at 100 TB, approx_count_distinct (HLL++) keeps
+the state O(1) per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table, register_views
+from game_data_etl_pipeline_spark.registry import register
+
+
+@register(
+    "op_agg_group",
+    tags=("agg",),
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               ROUND(AVG(o_totalprice), 4) AS avg_price,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def op_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation: count/sum/avg/min/max per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "op_agg_distinct",
+    tags=("agg",),
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def op_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT ...) — expands to a two-phase distinct aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "op_agg_collect_set",
+    tags=("agg",),
+    oracle="""
+        SELECT l_linestatus,
+               list_sort(list(DISTINCT l_returnflag)) AS flags
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def op_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with a deterministic sort — set-valued aggregation.
+    Safe only for low-cardinality values (state is O(distinct) per group)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_linestatus").agg(F.sort_array(F.collect_set("l_returnflag")).alias("flags"))
+
+
+@register(
+    "op_agg_approx_distinct",
+    tags=("agg", "approx"),
+    doc="""HLL++ approximate distinct. No value oracle (estimator-specific);
+    rows-only check. Accuracy asserted in tests/test_aggregates.py
+    against exact countDistinct (rsd 5%).""",
+)
+def op_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): O(1) state per group —
+    the 100 TB substitute for exact countDistinct."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "op_agg_percentile",
+    tags=("agg", "approx"),
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def op_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous interpolation, matching
+    quantile_cont). At 100 TB swap percentile() for percentile_approx()
+    — same call shape, bounded state."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "op_rollup",
+    tags=("agg", "multilevel"),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status, priority) -> (status) -> ()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "op_cube",
+    tags=("agg", "multilevel"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "op_grouping_sets",
+    tags=("agg", "multilevel"),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "op_agg_pivot",
+    tags=("agg",),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_open,
+               ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values to columns. Explicit value list so the
+    plan is a single pass (no extra distinct-values job) — mandatory at
+    scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_filled"),
+    )

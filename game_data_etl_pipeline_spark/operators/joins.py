@@ -1,0 +1,195 @@
+"""Join operators: every join shape the engine supports (SURVEY.md §2.B).
+
+Scale notes baked into each plan:
+
+- equi-joins on fact tables shuffle on the join key; AQE re-plans to
+  broadcast when the build side turns out small and splits skewed
+  partitions (skewJoin.enabled in session.py);
+- dimension joins broadcast explicitly (nation/region are <=25 rows at
+  every scale factor);
+- the theta/range join is a broadcast nested-loop against a tiny
+  literal band table — the only safe BNLJ shape at 100 TB (never
+  BNLJ two fact tables; bucketize the range key instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+
+@register(
+    "op_join_inner",
+    tags=("join",),
+    oracle="""
+        SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+               ROUND(o_totalprice, 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+    """,
+)
+def op_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders |><| customer; filter pushed below the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@register(
+    "op_join_left",
+    tags=("join",),
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey,
+               ROUND(o_totalprice, 2) AS total_price
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_totalprice > 30000
+    """,
+)
+def op_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a non-key join condition, preserving
+    customers that have no qualifying order (NULL right side)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (customer.c_custkey == orders.o_custkey) & (orders.o_totalprice > 30000)
+    return customer.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+@register(
+    "op_join_right",
+    tags=("join",),
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'F'
+    """,
+)
+def op_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left; Spark plans it as the same
+    physical join with sides swapped)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (orders.o_custkey == customer.c_custkey) & (orders.o_orderstatus == "F")
+    return orders.join(customer, cond, "right").select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "op_join_full",
+    tags=("join",),
+    oracle="""
+        WITH rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000),
+             big  AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 80000)
+        SELECT c_custkey, c_name, o_orderkey
+        FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+    """,
+)
+def op_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with genuinely unmatched rows on BOTH sides
+    (filtered subsets so neither side's key set covers the other)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 8000).select("c_custkey", "c_name")
+    big = orders.filter(F.col("o_totalprice") > 80000).select("o_custkey", "o_orderkey")
+    return rich.join(big, rich.c_custkey == big.o_custkey, "full").select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "op_join_semi",
+    tags=("join",),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one urgent order.
+    Semi joins never duplicate the left side, so the output stays
+    O(|customer|) no matter how many orders match."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "op_join_anti",
+    tags=("join",),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "op_join_broadcast",
+    tags=("join",),
+    oracle="""
+        SELECT n_name, r_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+)
+def op_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit dimension broadcast: customer |><| broadcast(nation)
+    |><| broadcast(region). No shuffle of the fact side at any scale —
+    the hash tables ship to executors (25 + 5 rows)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "op_join_theta",
+    tags=("join",),
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e18)
+        )
+        SELECT band, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+)
+def op_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join: events banded by value against a tiny literal
+    band table via broadcast nested-loop — the only BNLJ shape that
+    survives scale (build side is O(1)). Fact-to-fact range joins must
+    instead bucketize the range key and equi-join on the bucket."""
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        events.join(F.broadcast(bands), (events.value >= bands.lo) & (events.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

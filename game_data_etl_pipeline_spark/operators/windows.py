@@ -1,0 +1,153 @@
+"""Window functions and top-k (SURVEY.md §2.B).
+
+Window functions shuffle once on partitionBy keys, then sort within
+partitions — no cross-partition state, so they scale with the largest
+single partition. Global top-k uses orderBy().limit(k), which Spark
+plans as TakeOrderedAndProject: per-partition heaps + driver merge,
+never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+
+@register(
+    "op_window_rank",
+    tags=("window",),
+    oracle="""
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   ROUND(o_totalprice, 2) AS total_price,
+                   RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_rank,
+                   DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_dense_rank,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE price_rank <= 5
+    """,
+)
+def op_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number per partition; row_number carries an
+    explicit unique tiebreaker (o_orderkey) so output is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    by_price_tb = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.rank().over(by_price).alias("price_rank"),
+            F.dense_rank().over(by_price).alias("price_dense_rank"),
+            F.row_number().over(by_price_tb).alias("rn"),
+        )
+        .filter(F.col("price_rank") <= 5)
+    )
+
+
+@register(
+    "op_window_agg",
+    tags=("window",),
+    oracle="""
+        SELECT c_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               ROUND(LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+               ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price,
+               ROUND(AVG(o_totalprice)  OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey <= 200
+    """,
+)
+def op_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates: running total, lag/lead, 3-row moving average.
+    Order key includes o_orderkey so frames are deterministic under
+    duplicate order dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        )
+    )
+
+
+@register(
+    "op_topk",
+    tags=("sort",),
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price, o_orderpriority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def op_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit -> TakeOrderedAndProject (per-partition
+    heaps, no global sort). Unique tiebreaker keeps it deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "o_orderpriority")
+    )
+
+
+@register(
+    "op_topk_per_group",
+    tags=("window", "sort"),
+    oracle="""
+        SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS balance
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        ) WHERE rn <= 3
+    """,
+)
+def op_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window — the canonical pattern;
+    one shuffle on the group key, per-partition sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("balance"))
+    )
+
+
+@register(
+    "op_sort",
+    tags=("sort",),
+    oracle="""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS balance
+        FROM customer
+        ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+        LIMIT 50
+    """,
+)
+def op_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort with explicit null ordering + limit."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
+        .limit(50)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("balance"))
+    )

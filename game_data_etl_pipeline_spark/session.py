@@ -47,6 +47,9 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, *, extra_conf: dict | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) is otherwise an illegal type for the scan;
+        # read it as long-nanos and let catalog.load_table rebuild a µs timestamp
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,45 @@
+"""Run the driver-style oracle sweep at an arbitrary scale factor.
+
+Usage: python scripts/check_parity.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from game_data_etl_pipeline_spark import registry
+from game_data_etl_pipeline_spark.session import get_spark
+from tests.conftest import make_duck
+from tests.oracle import compare
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("parity")
+    duck = make_duck(sf_dir)
+    failures = 0
+    for name, spec in sorted(registry.all_specs().items()):
+        try:
+            if spec.oracle is None:
+                n = spec.fn(spark, sf_dir).count()
+                print(f"OK   {name} (rows-only, {n} rows)")
+                continue
+            problems = compare(spec.fn(spark, sf_dir), duck.execute(spec.oracle).df(), name)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"{name}: EXCEPTION {type(e).__name__}: {str(e).splitlines()[0][:200]}"]
+        if problems:
+            failures += 1
+            print(f"FAIL {name}")
+            for p in problems:
+                print(f"     {p[:300]}")
+        else:
+            print(f"OK   {name}")
+    print(f"\nfailures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
