@@ -1,0 +1,75 @@
+"""Streaming runtime helpers.
+
+The fixture 'stream' is the events parquet replayed through the file
+source — the same code path a production deployment points at a
+landing bucket (or swaps for Kafka). Helpers here:
+
+- ``events_stream``: readStream over events with the ns-timestamp
+  normalization (schema must be explicit for file-source streams);
+- ``run_to_memory``: drive a streaming DataFrame to completion with
+  trigger(availableNow) into a memory sink and return the result as a
+  batch DataFrame. Memory sinks are test/driver plumbing — production
+  sinks are parquet/foreachBatch; the queries themselves don't change.
+
+Scale: every streaming query here uses watermarks so state eviction is
+bounded; nothing accumulates unbounded per-key state.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_COUNTER = itertools.count()
+
+
+def events_schema_ddl() -> str:
+    # ts is long-nanos under the nanosAsLong read path (see catalog.load_table)
+    return "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def events_stream(spark: SparkSession, sf_dir: str, *, extra_copies: int = 0) -> DataFrame:
+    """events.parquet as a file-source stream with µs TimestampType ts.
+
+    extra_copies > 0 unions the stream with itself — the fixture for
+    dedup/upsert operators that need duplicate arrivals.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # the file source wants a directory; select just events.parquet from
+    # the fixture dir via glob filter
+    def one() -> DataFrame:
+        return (
+            spark.readStream.schema(events_schema_ddl())
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    stream = one()
+    for _ in range(extra_copies):
+        stream = stream.unionByName(one())
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(result: DataFrame, *, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion; return batch result."""
+    spark = result.sparkSession
+    name = f"stream_result_{next(_MEM_COUNTER)}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -1,0 +1,245 @@
+"""Streaming operators over the events stream (SURVEY.md §2.B op_stream_*).
+
+Every query here executes a GENUINE Structured Streaming job (file
+source -> watermark -> stateful op -> memory sink, availableNow
+trigger) and returns the materialized result, so the driver's oracle
+comparison checks real streaming semantics against batch SQL:
+
+- tumbling/sliding windows == batch time-bucket group-bys;
+- session windows == batch gap-sessionization (lag + running flag sum);
+- append-mode watermark emission == "windows closed at final
+  watermark" (window_end <= max(ts) - delay);
+- streaming dedup of a duplicated stream == batch DISTINCT;
+- foreachBatch upsert across ordered micro-batches == last-write-wins
+  per key.
+
+Scale: all state is watermark-bounded (windows evict on close, dedup
+state within the watermark); swap the file source for Kafka and the
+memory sink for parquet/foreachBatch and the queries run unchanged on
+an unbounded stream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+from game_data_etl_pipeline_spark.streaming.engine import events_stream, run_to_memory
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # == DuckDB strftime '%f' microseconds
+
+
+def _fmt(col, alias: str):
+    return F.date_format(col, _TS_FMT).alias(alias)
+
+
+@register(
+    "op_stream_tumbling",
+    tags=("streaming",),
+    headline=True,
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums per event type (complete mode)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(_fmt("window.start", "window_start"), "event_type", "n_events", "total_value")
+
+
+@register(
+    "op_stream_sliding",
+    tags=("streaming",),
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS window_start, value FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM assigned
+        GROUP BY 1
+    """,
+)
+def op_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): each event lands in two
+    overlapping windows; oracle assigns both starts explicitly."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(_fmt("window.start", "window_start"), "n_events", "total_value")
+
+
+@register(
+    "op_stream_session",
+    tags=("streaming",),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '10 minutes'
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(CAST(MAX(ts) AS TIMESTAMP) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def op_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute inactivity gap). Stateful
+    merging-session aggregation in streaming; oracle is the classic
+    batch gap-sessionization (lag + running flag sum)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        _fmt("session_window.start", "session_start"),
+        _fmt("session_window.end", "session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "op_stream_watermark_late",
+    tags=("streaming",),
+    oracle="""
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(w, '%Y-%m-%d %H:%M:%S.%f') AS window_start, n_events
+        FROM buckets
+        WHERE w + INTERVAL '1 hour' <= (SELECT CAST(MAX(ts) AS TIMESTAMP) - INTERVAL '10 minutes' FROM events)
+    """,
+)
+def op_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics made observable: append mode emits exactly the
+    windows the 10-minute watermark has closed — the still-open tail
+    window is withheld. The oracle states that contract in SQL
+    (window_end <= max(ts) - delay)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(_fmt("window.start", "window_start"), "n_events")
+
+
+@register(
+    "op_stream_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+        SELECT event_id, event_type, ROUND(value, 2) AS value
+        FROM events
+    """,
+)
+def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event arrives twice) deduped on event_id within the watermark —
+    output equals the original batch exactly."""
+    stream = events_stream(spark, sf_dir, extra_copies=1)
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "op_stream_foreachbatch_upsert",
+    tags=("streaming", "upsert"),
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id < 100 THEN ROUND(value + 1000, 2)
+                    ELSE ROUND(value, 2) END AS value,
+               CASE WHEN event_id < 100 THEN 2 ELSE 1 END AS version
+        FROM events
+    """,
+)
+def op_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert via foreachBatch (the reference's declared
+    extension, README.md:151): micro-batch 1 is the full table, batch 2
+    a correction file updating keys < 100; merge-by-key keeps the
+    latest version per event_id. The merge is anti-join + union —
+    MERGE INTO emulated on plain parquet."""
+    work = os.path.join("/tmp", "spark_graft_upsert", sf_dir.strip("/").replace("/", "_"))
+    stage = os.path.join(work, "incoming")
+    target = os.path.join(work, "target")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    events = load_table(spark, sf_dir, "events").select("event_id", F.round("value", 2).alias("value"))
+    base = events.withColumn("version", F.lit(1))
+    update = (
+        events.filter(F.col("event_id") < 100)
+        .withColumn("value", F.round(F.col("value") + 1000, 2))
+        .withColumn("version", F.lit(2))
+    )
+    # two staged files; file-source order follows modification time
+    base.coalesce(1).write.parquet(os.path.join(stage, "batch1"))
+    update.coalesce(1).write.parquet(os.path.join(stage, "batch2"))
+    now = 1_700_000_000
+    for i, d in enumerate(("batch1", "batch2")):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["event_id"])
+        if os.path.isdir(target):
+            current = spark.read.parquet(target)
+            merged = current.join(batch, "event_id", "left_anti").unionByName(batch)
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(target + "_next")
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(target + "_next", target)
+
+    stream = (
+        spark.readStream.schema("event_id long, value double, version int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(target)
