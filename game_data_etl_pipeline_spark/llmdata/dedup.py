@@ -1,0 +1,217 @@
+"""Deduplication operators over the documents/embeddings tables
+(north star: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup).
+
+Scale shapes:
+
+- exact dedup hashes the full text ONCE (md5) and shuffles only
+  (hash, doc_id) — never the text bodies;
+- n-gram Jaccard is the exact pairwise baseline: shingle-explode +
+  self-equi-join on the shingle. The join key is the shingle, so
+  co-occurring docs meet without a cross join; still O(pairs sharing
+  a shingle) — at 100 TB this is the verifier you run AFTER a
+  candidate filter, not the filter;
+- MinHash-LSH IS that filter: fixed-seed signatures, banded join,
+  candidates only (MLlib; rows-only check);
+- SimHash: 16-bit xxhash64 sign-aggregate signature per doc —
+  near-dup candidates share a bucket (rows-only: hash values are
+  engine-specific);
+- embedding cosine near-dup: threshold pairs among a bounded window
+  (the exact variant; the ANN path lives in similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+
+@register(
+    "op_dedup_exact_docs",
+    tags=("llm", "dedup"),
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def op_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep the lowest
+    doc_id per content group (deterministic keeper policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "op_dedup_ngram_jaccard",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 60),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS shingles
+            FROM toks
+        ),
+        exd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.01
+    """,
+)
+def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity pairs (bounded doc window).
+
+    shingle-explode -> distinct -> self-join ON THE SHINGLE (equi-join,
+    no cross product) -> intersection counts -> |A∪B| = |A|+|B|-|A∩B|.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    terms = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(terms) - 3),
+        lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
+    )
+    exd = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+    sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = exd.alias("a")
+    b = exd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jaccard >= 0.01)
+        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "op_dedup_minhash",
+    tags=("llm", "dedup"),
+    doc="""MinHash-LSH near-dup candidates (MLlib, fixed seed): shingle ->
+    HashingTF sparse vectors -> MinHash signatures -> banded
+    approxSimilarityJoin. Rows-only (signature hashes are
+    engine-specific); candidate quality asserted in
+    tests/test_llmdata.py against exact Jaccard.""",
+)
+def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs at Jaccard distance <= 0.95.
+
+    This is the 100 TB-scale dedup filter: signatures are fixed-width
+    per doc, the banded join only materializes hash-bucket collisions.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    terms = F.split(F.col("text"), " ")
+    shingled = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size(terms) - 3),
+            lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 16)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.95, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("approx_jaccard"),
+        )
+    )
+
+
+@register(
+    "op_dedup_simhash",
+    tags=("llm", "dedup"),
+    doc="""16-bit SimHash signatures via xxhash64 term hashes (sign-sum
+    per bit, reassembled). Rows-only: xxhash64 is Spark-specific.
+    Bucket-collision pairs are the near-dup candidates.""",
+)
+def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-term 64-bit hashes vote ±1 on each of 16 signature
+    bits; the signature is the sign vector packed to an int.
+
+    Pure DataFrame ops: explode(term) x posexplode(bit) is 16 rows per
+    term — at 100 TB this becomes a pandas_udf packing bits per
+    partition, same signature contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    hashed = terms.select("doc_id", F.xxhash64("term").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias("vote"),
+    )
+    bit_signs = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    sig = bit_signs.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+        ).alias("simhash16")
+    )
+    return sig.select("doc_id", F.col("simhash16").cast("int").alias("simhash16"))
+
+
+@register(
+    "op_dedup_embedding_cosine",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                     FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+)
+def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, bounded window): all
+    pairs above 0.3 cosine among vec_id < 300. The exact O(n²) check
+    a production pipeline runs per LSH bucket, not globally."""
+    from game_data_etl_pipeline_spark.llmdata.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )

@@ -1,0 +1,153 @@
+"""Multimodal column operators (north star): image/audio/video as
+opaque BinaryType columns with typed metadata, processed by
+Arrow-batched pandas code over mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (clearly marked below); everything around it —
+binary columns, metadata structs, mapInPandas batch iteration, output
+schemas, partition behavior — is the real plumbing a production
+decode plugs into (swap ``_fake_decode`` for PIL/ffmpeg and nothing
+else changes).
+
+Fixture: documents.text UTF-8-encoded as the binary payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+FRAME_BYTES = 256  # fake "frame" stride for the frame-sampling operator
+
+try:  # real decoder would go here; not present in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """DETERMINISTIC FAKE decode: derives (width, height, format) from
+    the byte length alone. Replace with a real codec in production."""
+    n = len(payload)
+    return 64 + n % 512, 64 + (n // 7) % 512, "fakepng"
+
+
+def real_decode(payload: bytes):  # pragma: no cover - no codec in container
+    """The real decode hook. STUB: raises until a codec is installed."""
+    if not _HAVE_PIL:
+        raise NotImplementedError("image codec not available in this environment")
+    raise NotImplementedError("wire PIL decode here when enabling real codecs")
+
+
+@register(
+    "op_multimodal_meta",
+    tags=("llm", "multimodal"),
+    oracle="""
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               md5(text) AS checksum,
+               lang AS modality_hint
+        FROM documents
+    """,
+)
+def op_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata: the carrier format for
+    any opaque modality. Metadata (size, checksum) computed JVM-side;
+    payload bytes never leave the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.encode("text", "UTF-8").alias("payload"),
+            F.md5("text").alias("checksum"),
+            F.col("lang").alias("modality_hint"),
+        )
+        .select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            "checksum",
+            "modality_hint",
+        )
+    )
+
+
+@register(
+    "op_multimodal_decode",
+    tags=("llm", "multimodal"),
+    oracle="""
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+               CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 512 AS INT) AS height,
+               'fakepng' AS format
+        FROM documents
+    """,
+)
+def op_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over mapInPandas: binary payloads stream
+    through Arrow batches into pandas, per-row decode, typed output
+    schema. The decode body is the deterministic fake (oracle mirrors
+    it exactly); the batch plumbing is production-shaped."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "format": [d[2] for d in decoded],
+                }
+            )
+
+    return docs.mapInPandas(
+        decode_batches, schema="doc_id long, n_bytes int, width int, height int, format string"
+    )
+
+
+@register(
+    "op_multimodal_framesample",
+    tags=("llm", "multimodal"),
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(f AS INT) AS frame_idx,
+               CAST(LEAST({FRAME_BYTES}, n_bytes - f * {FRAME_BYTES}) AS INT) AS frame_bytes
+        FROM sized, UNNEST(range(CAST(ceil(n_bytes * 1.0 / {FRAME_BYTES}) AS BIGINT))) AS t(f)
+    """,
+)
+def op_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for a 'video' payload: fixed-stride byte windows
+    exploded to one row per frame (posexplode over a computed frame
+    index sequence — JVM-side; the per-frame decode would be the
+    mapInPandas stage above)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_bytes = F.octet_length(F.encode("text", "UTF-8"))
+    n_frames = F.ceil(n_bytes / F.lit(FRAME_BYTES)).cast("int")
+    framed = docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.least(F.lit(FRAME_BYTES), F.col("n_bytes") - F.col("frame_idx") * FRAME_BYTES)
+        .cast("int")
+        .alias("frame_bytes"),
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over the embeddings table (north star: exact
+cosine top-k baseline + LSH / IVF scale paths).
+
+Exact top-k is the correctness baseline: broadcast the (tiny) query
+set against all candidates, compute cosine with higher-order array
+functions (JVM-side, no UDF), rank per query. O(q x n) — fine for a
+bounded query set, and the yardstick the approximate paths are
+measured against.
+
+The scale paths bound the candidate set instead of scanning it:
+- random-projection LSH (MLlib, fixed seed): candidates = bucket
+  collisions;
+- IVF: coarse-quantize every vector to its nearest centroid, probe
+  only the query's cell. Both shapes keep per-query work sublinear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+
+def _dbl(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product via zip_with + aggregate."""
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(_dbl(a), lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot/(|a||b|), computed in double precision
+    (mirrors DuckDB's list_cosine_similarity over DOUBLE[] casts)."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@register(
+    "op_sim_cosine_topk",
+    tags=("llm", "similarity"),
+    headline=True,
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id, e.label,
+                   list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+            FROM q, embeddings e
+            WHERE vec_id != query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, label, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, label, ROUND(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def op_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for each query vector (vec_id<5):
+    broadcast queries x all candidates, window-rank per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine_expr(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "label", F.round("cos", 4).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "op_sim_ivf",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, label, embedding, cent_id FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        queries AS (SELECT vec_id AS query_id, cent_id AS qcell, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM assigned WHERE vec_id IN (1, 2, 3)),
+        hits AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id, a.label,
+                   list_cosine_similarity(q.qe, CAST(a.embedding AS DOUBLE[])) AS cos
+            FROM queries q JOIN assigned a ON a.cent_id = q.qcell AND a.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, label, ROUND(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM hits
+        ) WHERE rank <= 3
+    """,
+)
+def op_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize every vector to its
+    nearest 'centroid' (deterministic centroid set: vec_id % 50 == 0),
+    then answer queries by scanning ONLY the query's cell.
+
+    The cell assignment is the one full cross-centroid pass (n x k);
+    per-query work drops from O(n) to O(n/k). At 100 TB: centroids
+    from KMeans sampling, cells hash-partitioned so each probe is a
+    partition-pruned scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    sim_to_cent = cosine_expr(F.col("embedding"), F.col("ce"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "label", "embedding", "cent_id", sim_to_cent.alias("cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cent_id")
+    )
+    queries = assigned.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"), F.col("embedding").alias("qe")
+    )
+    hits = (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine_expr(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "label", F.round("cos", 4).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "op_sim_lsh",
+    tags=("llm", "similarity"),
+    doc="""Random-projection LSH ANN (MLlib BucketedRandomProjectionLSH,
+    fixed seed): approxNearestNeighbors per query. Rows-only (bucket
+    boundaries are model-specific); recall vs exact top-k asserted in
+    tests/test_llmdata.py.""",
+)
+def op_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-projection LSH: Euclidean buckets,
+    query probes its own bucket chain only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(_dbl(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="buckets", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    query = emb.filter(F.col("vec_id") == 1).first()
+    neighbors = model.approxNearestNeighbors(emb.filter(F.col("vec_id") != 1), query.features, 5)
+    return neighbors.select(
+        F.lit(1).alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round("distCol", 4).alias("euclidean_dist"),
+    )

@@ -1,0 +1,227 @@
+"""Text-analysis operators over the documents table (north star:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All JVM-side expressions (split / higher-order lambdas / regexp /
+md5) — a 100 TB corpus scan stays inside whole-stage codegen with no
+Python round-trips. Each operator is embarrassingly parallel per
+document: no shuffle except for the explicitly-aggregating ones
+(lang distribution, top terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+# tiny embedded English function-word list for the heuristic language ID
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def _terms():
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "op_text_stats",
+    tags=("llm", "text"),
+    headline=True,
+    oracle="""
+        SELECT doc_id,
+               lang,
+               LENGTH(text) AS n_chars_computed,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               ROUND(LENGTH(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
+        FROM documents
+    """,
+)
+def op_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document size statistics: chars, whitespace tokens, ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_terms())
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "op_text_lang_dist",
+    tags=("llm", "text"),
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def op_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language — the first report run on any
+    crawled corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(_terms())), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "op_text_topterms",
+    tags=("llm", "text"),
+    oracle="""
+        SELECT term, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+        ORDER BY n DESC, term
+        LIMIT 20
+    """,
+)
+def op_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequencies, top 20 (deterministic term tiebreak).
+    explode -> partial map-side count -> final: the shuffle carries
+    (term, count) pairs, not token streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_terms()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "op_text_quality",
+    tags=("llm", "text"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS terms, text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(terms) AS INT) AS n_tokens,
+               ROUND(len(list_filter(terms, x -> LENGTH(x) >= 4)) * 1.0 / len(terms), 4) AS long_token_ratio,
+               ROUND(len(list_filter(terms, x -> list_contains({list(EN_STOPWORDS)!r}, x))) * 1.0 / len(terms), 4) AS stopword_ratio,
+               ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0 / LENGTH(text), 4) AS space_ratio,
+               CAST(len(list_distinct(terms)) AS INT) AS n_unique_terms,
+               ROUND(len(list_distinct(terms)) * 1.0 / len(terms), 4) AS type_token_ratio
+        FROM t
+    """,
+)
+def op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document: token-length profile,
+    stopword density, whitespace ratio, lexical diversity — the
+    standard pre-training filter features."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _terms()
+    n = F.size(terms)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.size(F.filter(terms, lambda x: F.length(x) >= 4)) / n, 4).alias("long_token_ratio"),
+        F.round(F.size(F.filter(terms, lambda x: F.array_contains(stop_arr, x))) / n, 4).alias("stopword_ratio"),
+        F.round((F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) / F.length("text"), 4).alias("space_ratio"),
+        F.size(F.array_distinct(terms)).alias("n_unique_terms"),
+        F.round(F.size(F.array_distinct(terms)) / n, 4).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "op_text_langid",
+    tags=("llm", "text"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS terms FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(terms, x -> list_contains({list(EN_STOPWORDS)!r}, x))) AS INT) AS stopword_hits
+            FROM t
+        )
+        SELECT doc_id, lang AS labeled_lang, stopword_hits,
+               CASE WHEN stopword_hits >= 3 THEN 'en' ELSE 'other' END AS lang_guess
+        FROM scored
+    """,
+)
+def op_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word-hit count against an
+    embedded English stopword list (the n-gram-profile approach scaled
+    down to the fixture's synthetic vocabulary). Emits the guess next
+    to the labeled lang so accuracy is one aggregation away."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.filter(F.array_distinct(_terms()), lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits.alias("stopword_hits"),
+        F.when(hits >= 3, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "op_token_count",
+    tags=("llm", "text"),
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe_ish_tokens,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+        FROM documents
+    """,
+)
+def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap
+    pre-tokenization estimate used for corpus budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("int").alias("n_bpe_ish_tokens"),
+        F.size(_terms()).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "op_doc_fingerprint",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS terms FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, text,
+                   list_transform(range(len(terms) - 4),
+                                  i -> terms[i+1] || ' ' || terms[i+2] || ' ' || terms[i+3] || ' ' || terms[i+4] || ' ' || terms[i+5]) AS shingles
+            FROM t
+        )
+        SELECT doc_id,
+               md5(text) AS doc_md5,
+               list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_md5
+        FROM sh
+    """,
+)
+def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc md5 plus a winnowing-style
+    min-hash over rolling 5-gram shingles — the content-defined
+    signature used for fuzzy re-crawl detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _terms()
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(terms) - 5),
+        lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 5)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("min_shingle_md5"),
+    )
