@@ -85,8 +85,8 @@ def op_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_agg_approx_distinct",
     tags=("agg", "approx"),
     doc="""HLL++ approximate distinct. No value oracle (estimator-specific);
-    rows-only check. Accuracy asserted in tests/test_aggregates.py
-    against exact countDistinct (rsd 5%).""",
+    rows-only check. Accuracy asserted in tests/test_llmdata.py
+    against exact countDistinct (10% = 2x rsd).""",
 )
 def op_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): O(1) state per group —

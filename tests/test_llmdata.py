@@ -1,0 +1,101 @@
+"""Quality assertions for the rows-only LLM-data operators.
+
+The driver can only check that rows-only ops run; these tests pin the
+semantics that make them *useful*: the approximate paths (MinHash-LSH,
+SimHash, random-projection LSH, HLL) must agree with their exact
+counterparts on the fixture corpus. Everything here is deterministic
+(fixed seeds, fixed fixture), so the bounds are tight, not flaky.
+
+Ground truth established by probe (sf0.001): documents 8/12 and 0/50
+are near-duplicates (exact 3-gram Jaccard 0.974 and 0.952); there are
+no exact duplicates (500 distinct md5 over 500 docs).
+"""
+
+from __future__ import annotations
+
+from game_data_etl_pipeline_spark import registry
+
+SPECS = registry.all_specs()
+
+# (doc_a, doc_b) pairs with exact 3-gram Jaccard >= 0.9 at sf0.001,
+# computed independently with DuckDB (see module docstring).
+NEAR_DUP_PAIRS = [(8, 12), (0, 50)]
+
+
+def test_minhash_finds_known_near_dups(spark, sf_dir):
+    """MinHash-LSH candidate set must contain every high-Jaccard pair —
+    recall on true near-dups is the whole point of the filter."""
+    rows = SPECS["op_dedup_minhash"].fn(spark, sf_dir).collect()
+    candidates = {(r.doc_a, r.doc_b) for r in rows}
+    for pair in NEAR_DUP_PAIRS:
+        assert pair in candidates, f"near-dup pair {pair} missed by MinHash-LSH"
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    """Candidates' approx Jaccard must track exact Jaccard: the known
+    near-dup pairs score high, and the candidate list stays small
+    (it's a filter, not a cross join)."""
+    rows = SPECS["op_dedup_minhash"].fn(spark, sf_dir).collect()
+    by_pair = {(r.doc_a, r.doc_b): r.approx_jaccard for r in rows}
+    for pair in NEAR_DUP_PAIRS:
+        assert by_pair[pair] >= 0.8, f"{pair}: approx jaccard {by_pair[pair]} too low"
+    # 200-doc window -> 19900 possible pairs; the filter must prune hard
+    assert len(rows) < 200
+
+
+def test_simhash_near_dups_have_close_signatures(spark, sf_dir):
+    """Near-duplicate docs must land within Hamming distance 3 on the
+    16-bit signature (random pairs average ~4.6 on this corpus; the
+    known near-dups measure 0 and 3)."""
+    sig = {r.doc_id: r.simhash16 for r in SPECS["op_dedup_simhash"].fn(spark, sf_dir).collect()}
+    assert len(sig) == 500  # one signature per doc
+    for a, b in NEAR_DUP_PAIRS:
+        ham = bin(sig[a] ^ sig[b]).count("1")
+        assert ham <= 3, f"simhash({a},{b}) hamming {ham}"
+
+
+def test_lsh_ann_recall_vs_exact(spark, sf_dir, duck):
+    """Random-projection LSH top-5 for query vec_id=1 must recall >= 3
+    of the exact Euclidean top-5 (measured: 5/5 with seed 42)."""
+    approx = [r.neighbor_id for r in SPECS["op_sim_lsh"].fn(spark, sf_dir).collect()]
+    exact = [
+        r[0]
+        for r in duck.execute(
+            """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id = 1)
+            SELECT vec_id FROM embeddings, q WHERE vec_id != 1
+            ORDER BY list_distance(CAST(embedding AS DOUBLE[]), qe) LIMIT 5
+            """
+        ).fetchall()
+    ]
+    assert len(set(approx) & set(exact)) >= 3
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
+    """HLL approx_count_distinct must be within 10% of the exact count
+    per group (2x the configured rsd=0.05 — rsd is a standard
+    deviation, not a hard bound)."""
+    rows = SPECS["op_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        true = exact[r.l_returnflag]
+        assert abs(r.approx_orders - true) <= 0.10 * true, (
+            f"{r.l_returnflag}: approx {r.approx_orders} vs exact {true}"
+        )
+
+
+def test_ivf_matches_exact_topk_on_probed_cell(spark, sf_dir):
+    """IVF results must be a subset of the full exact ranking ordered
+    consistently: every returned neighbor's cosine must be <= the
+    previous rank's (correct per-cell ordering)."""
+    rows = SPECS["op_sim_ivf"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    assert set(by_q) == {1, 2, 3}
+    for q, cosines in by_q.items():
+        assert cosines == sorted(cosines, reverse=True), f"query {q} ordering broken"
