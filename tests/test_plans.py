@@ -1,0 +1,107 @@
+"""Plan-contract tests: pin the physical strategy of the headline
+queries, not just their results.
+
+These are the 100 TB guarantees: a regression that turns a broadcast
+join into a sort-merge join, loses a pushed filter, or widens a scan
+still produces correct rows at sf0.001 — but dies on a cluster. The
+plan IS the contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from game_data_etl_pipeline_spark import registry
+from game_data_etl_pipeline_spark.plans import introspect as I
+
+SPECS = registry.all_specs()
+SF = "/root/testdata/sf0.01"
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    """revenue-by-region: customer/nation/region are dimension tables —
+    every join must be a broadcast, never a shuffle of lineitem."""
+    f = I.facts(SPECS["q_revenue_by_region"].fn(spark, SF))
+    assert f.joins, "no joins found in plan"
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    # the only shuffle allowed is the final group-by on r_name
+    assert f.exchanges <= 1, f"flagship shuffles {f.exchanges}x"
+
+
+def test_flagship_prunes_columns(spark):
+    """The 5-table join must read only the columns it uses: lineitem
+    has 16 columns, the query needs 3 of them."""
+    f = I.facts(SPECS["q_revenue_by_region"].fn(spark, SF))
+    read = f.all_read_columns
+    assert "l_extendedprice" in read and "l_discount" in read
+    for never_needed in ("l_comment", "l_shipinstruct", "o_comment", "c_comment"):
+        assert never_needed not in read, f"scan reads unused column {never_needed}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """op_filter_pred's predicates must appear as PushedFilters on the
+    parquet scan (row-group pruning), not only as a post-scan Filter."""
+    f = I.facts(SPECS["op_filter_pred"].fn(spark, SF))
+    assert any("o_totalprice" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """The TPC-H-q1-style aggregate must combine map-side: the shuffle
+    carries per-partition group states, not 600k rows."""
+    f = I.facts(SPECS["q_pricing_summary"].fn(spark, SF))
+    assert f.partial_agg
+    assert f.exchanges <= 2  # agg shuffle + result sort
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    f = I.facts(SPECS["q_pricing_summary"].fn(spark, SF))
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_agg_group_single_shuffle(spark):
+    f = I.facts(SPECS["op_agg_group"].fn(spark, SF))
+    assert f.partial_agg
+    assert f.exchanges <= 1
+
+
+def test_dim_join_stays_broadcast(spark):
+    """customer⋈nation⋈region: both dims ≤25 rows at every sf — a
+    SortMergeJoin here means the broadcast threshold regressed."""
+    f = I.facts(SPECS["op_join_broadcast"].fn(spark, SF))
+    assert "SortMergeJoin" not in f.joins, f.joins
+    assert f.broadcasts >= 2
+
+
+def test_text_ops_scan_only_needed_columns(spark):
+    """documents has 7 columns; per-doc text stats needs 3. Wide scans
+    of a 100 TB corpus are the single most expensive plan bug."""
+    f = I.facts(SPECS["op_text_stats"].fn(spark, SF))
+    assert f.all_read_columns <= {"doc_id", "lang", "text"}, f.all_read_columns
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """Brute-force top-k must broadcast the tiny query set against the
+    big candidate scan — a shuffle or cartesian of candidates is the
+    wrong side of the asymmetry."""
+    f = I.facts(SPECS["op_sim_cosine_topk"].fn(spark, SF))
+    assert f.broadcasts >= 1
+    assert "CartesianProduct" not in f.joins, f.joins
+
+
+def test_whole_stage_codegen_covers_relational_core(spark):
+    """The scan→filter→project→agg spine must run fused JVM codegen.
+    Codegen ids only materialize in the AQE final plan, so this one
+    executes the query first."""
+    f = I.executed_facts(SPECS["q_pricing_summary"].fn(spark, SF))
+    assert f.codegen_spans >= 1, "no WholeStageCodegen span in pricing summary"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["op_text_stats", "op_text_quality", "op_token_count", "op_doc_fingerprint"],
+)
+def test_text_family_no_shuffle(spark, name):
+    """Per-document text ops are embarrassingly parallel: any Exchange
+    in their plan is a bug."""
+    f = I.facts(SPECS[name].fn(spark, SF))
+    assert f.exchanges == 0, f"{name} shuffles {f.exchanges}x"
