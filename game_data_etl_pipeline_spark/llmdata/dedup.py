@@ -32,6 +32,7 @@ from game_data_etl_pipeline_spark.registry import register
 @register(
     "op_dedup_exact_docs",
     tags=("llm", "dedup"),
+    headline=True,
     oracle="""
         SELECT md5(text) AS content_hash,
                MIN(doc_id) AS keeper_doc_id,

@@ -78,6 +78,7 @@ def op_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_text_topterms",
     tags=("llm", "text"),
+    headline=True,
     oracle="""
         SELECT term, COUNT(*) AS n
         FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)

@@ -19,6 +19,7 @@ from game_data_etl_pipeline_spark.registry import register
 @register(
     "op_window_rank",
     tags=("window",),
+    headline=True,
     oracle="""
         SELECT * FROM (
             SELECT o_orderpriority, o_orderkey,

@@ -1,0 +1,123 @@
+"""Source/catalog operators: JSON landing-zone scan, catalog
+enumeration, keyed metadata upsert.
+
+These close the last §2.A gaps that are queryable (the REST fetch
+itself is driver-side I/O, exercised in tests/test_etl_golden.py):
+
+- op_scan_json      — spark.read.schema(...).json over a landed
+  envelope file (reference etl/pipeline.py:85-93 unwraps the same
+  envelope row-by-row). Explicit schema: a schema-inferred scan of a
+  100 TB landing zone is two full passes.
+- op_catalog_scan   — SHOW TABLES over registered views (reference
+  README.md:132-139 does it against sqlite_master).
+- op_metadata_upsert — INSERT-OR-REPLACE semantics (reference
+  etl/pipeline.py:286-296) as append + latest-wins row_number, the
+  plain-parquet substitute for MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import TABLES, register_views
+from game_data_etl_pipeline_spark.etl import fixtures, transform
+from game_data_etl_pipeline_spark.registry import register
+
+_LANDING_CACHE: dict[str, str] = {}
+
+
+def _landing_dir() -> str:
+    """Write the deterministic fixture envelopes once per process."""
+    if "dir" not in _LANDING_CACHE:
+        d = tempfile.mkdtemp(prefix="landing_")
+        fixtures.write_landing(d)
+        _LANDING_CACHE["dir"] = d
+    return _LANDING_CACHE["dir"]
+
+
+@register(
+    "op_scan_json",
+    tags=("source", "reference-parity"),
+    oracle="""
+        SELECT uuid, name, is_playable
+        FROM (VALUES
+            ('agent-1', 'Breeze Runner', TRUE),
+            ('agent-npc', 'Range Dummy', FALSE),
+            ('agent-unknown-flag', 'Mystery', NULL),
+            ('agent-2', 'Long Scribe', TRUE),
+            ('agent-3', 'Quiet Viper', TRUE)
+        ) AS t(uuid, name, is_playable)
+    """,
+)
+def op_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001 — fixture-driven
+    """JSON scan with explicit schema over the landed agents envelope:
+    unwrap {status, data:[...]}, project identity fields. The missing
+    isPlayableCharacter key surfaces as NULL (schema-checked), exactly
+    the case the reference's .get(..., default) guards."""
+    raw = transform.parse_envelope(spark, os.path.join(_landing_dir(), "agents.json"), "agents")
+    return raw.select(
+        "uuid",
+        F.col("displayName").alias("name"),
+        F.col("isPlayableCharacter").alias("is_playable"),
+    )
+
+
+@register(
+    "op_catalog_scan",
+    tags=("source", "reference-parity"),
+    oracle="""
+        SELECT table_name
+        FROM (VALUES
+            ('customer'), ('documents'), ('embeddings'), ('events'),
+            ('lineitem'), ('nation'), ('orders'), ('part'),
+            ('region'), ('supplier')
+        ) AS t(table_name)
+        ORDER BY table_name
+    """,
+)
+def op_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog enumeration: register every sf table as a view, then
+    SHOW TABLES (the reference's sqlite_master scan, Spark-side)."""
+    register_views(spark, sf_dir)
+    return (
+        spark.sql("SHOW TABLES")
+        .filter(F.col("tableName").isin(*TABLES))
+        .select(F.col("tableName").alias("table_name"))
+        .orderBy("table_name")
+    )
+
+
+@register(
+    "op_metadata_upsert",
+    tags=("source", "reference-parity"),
+    oracle="""
+        SELECT run_id, status, total_rows
+        FROM (VALUES
+            ('r1', 'Success', 239),
+            ('r2', 'Failed: boom', 0)
+        ) AS t(run_id, status, total_rows)
+    """,
+)
+def op_metadata_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001 — literal-driven
+    """Keyed upsert (INSERT OR REPLACE): three appended run records,
+    two sharing run_id 'r1' — latest completed_at wins. This is the
+    scale-safe MERGE substitute: append is conflict-free across 1000
+    writers; the replace resolves at read with one window."""
+    runs = spark.createDataFrame(
+        [
+            ("r1", "2026-01-01T00:00:00", "Running", 0),
+            ("r1", "2026-01-01T00:05:00", "Success", 239),
+            ("r2", "2026-01-01T01:00:00", "Failed: boom", 0),
+        ],
+        "run_id string, completed_at string, status string, total_rows int",
+    )
+    w = Window.partitionBy("run_id").orderBy(F.col("completed_at").desc())
+    return (
+        runs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("run_id", "status", "total_rows")
+    )
