@@ -1,0 +1,178 @@
+"""Scale-technique operators: the join/sink shapes that keep working
+when the data is 1000× bigger than the fixtures.
+
+- op_join_asof — point-in-time join WITHOUT a range cross join. The
+  naive theta join (b.ts <= a.ts) is a BNLJ that explodes at scale;
+  this implementation unions both tagged streams, shuffles ONCE on the
+  key, and carries the right side forward with a running last() — the
+  streaming-merge formulation of as-of, O(n log n) per key group.
+- op_join_salted — explicit key-salting for skewed equi-joins: the
+  small side is replicated per salt, the big side picks a
+  deterministic salt, so one hot key spreads over N reducers instead
+  of melting one. (AQE skew-join handles this adaptively; the salted
+  form is the manual contract for engines/sinks where it can't.)
+- op_sink_partition_prune — partitioned parquet sink + pruned scan:
+  the write lays data out by event_type, the read of one type touches
+  one directory. At 100 TB partition layout IS the query plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "op_join_asof",
+    tags=("join", "scale"),
+    oracle=f"""
+        SELECT p.event_id,
+               p.user_id,
+               strftime(CAST(p.ts AS TIMESTAMP), '{_DUCK_TS_FMT}') AS purchase_ts,
+               (SELECT strftime(CAST(MAX(c.ts) AS TIMESTAMP), '{_DUCK_TS_FMT}')
+                  FROM events c
+                 WHERE c.user_id = p.user_id
+                   AND c.event_type = 'click'
+                   AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def op_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's latest click at
+    or before it.
+
+    Union the tagged streams, ONE shuffle on user_id, sort within the
+    partition by (ts, kind) — clicks sort before purchases at equal ts,
+    matching the oracle's <= — then carry the click timestamp forward
+    with last(ignorenulls) and keep only purchase rows. No BNLJ, no
+    per-row subquery: the plan survives a billion events per user shard.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_click_ts_raw",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format("last_click_ts_raw", _TS_FMT).alias("last_click_ts"),
+    )
+
+
+# 5 event types over 10k+ rows: every key is hot. The weights dim is the
+# small side; SALTS-way replication bounds any one reducer's share.
+_TYPE_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("error", 0.0),
+]
+_SALTS = 16
+
+
+@register(
+    "op_join_salted",
+    tags=("join", "scale"),
+    oracle=f"""
+        WITH weights AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"('{t}', {w})" for t, w in _TYPE_WEIGHTS)}
+            ) AS t(event_type, weight)
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(e.value * w.weight), 2) AS weighted_value
+        FROM events e JOIN weights w ON e.event_type = w.event_type
+        GROUP BY e.event_type
+    """,
+)
+def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, bit-identical to the plain join.
+
+    Big side: deterministic salt pmod(xxhash64(event_id), 16) — the
+    salt never reaches the output, so any hash does. Small side:
+    exploded 16×, one copy per salt. The join key (event_type, salt)
+    spreads each hot key over 16 reducers. Aggregation then drops the
+    salt. At this fixture size a broadcast would win — the point is
+    the shape that works when BOTH sides are too big to broadcast and
+    one key holds half the rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    salted_events = events.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)))
+    salted_weights = weights.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_events.join(
+        salted_weights.hint("shuffle_hash"), ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    )
+
+
+_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events re-laid-out as parquet partitioned by event_type (written
+    once per process per sf)."""
+    if sf_dir not in _PARTITIONED_CACHE:
+        out = os.path.join(tempfile.mkdtemp(prefix="events_part_"), "events")
+        load_table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(out)
+        _PARTITIONED_CACHE[sf_dir] = out
+    return _PARTITIONED_CACHE[sf_dir]
+
+
+@register(
+    "op_sink_partition_prune",
+    tags=("sink", "scale"),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+)
+def op_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + partition-pruned read: the scan of one
+    event_type lists one directory (PartitionFilters in the plan,
+    asserted in tests/test_plans.py), not the whole table."""
+    path = partitioned_events_dir(spark, sf_dir)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -96,6 +96,33 @@ def test_whole_stage_codegen_covers_relational_core(spark):
     assert f.codegen_spans >= 1, "no WholeStageCodegen span in pricing summary"
 
 
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must compile to union + ONE shuffle on the key +
+    window — zero join operators. A BNLJ/theta plan here would be the
+    O(n·m) formulation that dies at scale."""
+    f = I.facts(SPECS["op_join_asof"].fn(spark, SF))
+    assert f.joins == [], f.joins
+    assert f.exchanges == 1, f"asof shuffles {f.exchanges}x"
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The salted join must actually shuffle-hash-join on the composite
+    (key, salt) — a broadcast would silently bypass the technique the
+    operator demonstrates."""
+    f = I.facts(SPECS["op_join_salted"].fn(spark, SF))
+    assert "ShuffledHashJoin" in f.joins, f.joins
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark):
+    """Reading one event_type from the partitioned layout must prune at
+    the directory level (PartitionFilters on the scan)."""
+    import re
+
+    plan = I.explain_str(SPECS["op_sink_partition_prune"].fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), "no partition filter on scan"
+
+
 @pytest.mark.parametrize(
     "name",
     ["op_text_stats", "op_text_quality", "op_token_count", "op_doc_fingerprint"],
