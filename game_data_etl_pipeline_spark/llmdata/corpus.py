@@ -1,0 +1,196 @@
+"""Corpus-construction operators: the sampling / splitting / filtering
+/ packing steps between "crawled documents" and "training batches".
+
+Determinism rule: every sampling decision derives from
+``md5(salt || doc_id)`` — a pure function of the row, identical in
+Spark and DuckDB, independent of partitioning, task retries, and
+cluster size. ``rand(seed)`` is none of those things: its value
+depends on partition layout, so a node failure or a repartition
+changes the sample. Content-hash sampling is the only reproducible
+kind at 100 TB.
+
+The first 8 md5 hex chars are a uniform draw on [0, 2^32); comparing
+against ``hex(frac * 2^32)`` keeps a ``frac`` fraction. String
+comparison on fixed-width lowercase hex is numeric comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+# per-language keep fractions (corpus rebalancing: downsample the
+# over-represented head, keep the tail) and their 2^32-scaled hex
+# thresholds (= frac * 2^32 in lowercase hex, 8 digits)
+LANG_FRACTIONS = {
+    "en": ("33333333", 0.2),
+    "de": ("ffffffff", 1.0),
+    "zh": ("ffffffff", 1.0),
+    "fr": ("80000000", 0.5),
+    "es": ("80000000", 0.5),
+}
+
+TRAIN_THRESHOLD = "cccccccc"  # 0.8 * 2^32 — 80/20 train/val
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _draw(salt: str) -> Column:
+    """Deterministic uniform draw per doc: first 8 hex chars of
+    md5(salt || doc_id)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8)
+
+
+def _duck_draw(salt: str) -> str:
+    return f"substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@register(
+    "op_sample_stratified",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_kept
+        FROM documents
+        WHERE {_duck_draw('strat:')} < CASE lang
+            {" ".join(f"WHEN '{lang}' THEN '{hx}'" for lang, (hx, _) in LANG_FRACTIONS.items())}
+            ELSE '00000000' END
+        GROUP BY lang
+    """,
+)
+def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: per-language keep fractions via
+    content-hash draws (en 20%, fr/es 50%, de/zh 100%). One scan, no
+    shuffle until the audit count — the filter itself is a pure
+    per-row predicate, reproducible across any cluster shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.lit("00000000")
+    for lang, (hx, _) in LANG_FRACTIONS.items():
+        threshold = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(threshold)
+    kept = docs.filter(_draw("strat:") < threshold)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "op_split_train_val",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        SELECT CASE WHEN {_duck_draw('split:')} < '{TRAIN_THRESHOLD}'
+                    THEN 'train' ELSE 'val' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def op_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/val split. The split of a document
+    never changes when the corpus grows — holdout contamination from
+    re-sampling is the classic large-pipeline bug this avoids."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(_draw("split:") < TRAIN_THRESHOLD, "train").otherwise("val")
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "op_quality_filter",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CASE WHEN n_tokens >= 20 AND n_chars >= 100 AND ttr >= 0.3
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM scored
+    """,
+)
+def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gate: minimum length (tokens and chars) and
+    lexical diversity (type-token ratio). Emits the verdict instead of
+    silently dropping, so the filter is auditable — at scale you
+    ALWAYS want the drop reasons queryable."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    n_tokens = F.size(terms)
+    ttr = F.size(F.array_distinct(terms)) / n_tokens
+    verdict = F.when(
+        (n_tokens >= 20) & (F.col("n_chars") >= 100) & (ttr >= 0.3), "keep"
+    ).otherwise("drop")
+    return docs.select("doc_id", "lang", n_tokens.alias("n_tokens"), verdict.alias("verdict"))
+
+
+@register(
+    "op_text_redact",
+    tags=("llm", "corpus"),
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                   '(<NUM> ){2,}<NUM>', '<NUMSEQ>', 'g') AS redacted_head
+        FROM (SELECT doc_id, substr(text, 1, 200) AS text FROM documents)
+    """,
+)
+def op_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing pass: numeric tokens → <NUM>, runs of them → <NUMSEQ>
+    (the shape of PII/boilerplate redaction — swap patterns for email/
+    phone/SSN in production). Pure regexp_replace: JVM-side, streamed,
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 200)
+    nums = F.regexp_replace(head, r"[0-9]+", "<NUM>")
+    runs = F.regexp_replace(nums, r"(<NUM> ){2,}<NUM>", "<NUMSEQ>")
+    return docs.select("doc_id", runs.alias("redacted_head"))
+
+
+@register(
+    "op_pack_sequences",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1) / {PACK_BUDGET}) AS INT) AS pack_id
+            FROM sized
+        )
+        SELECT lang, pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed
+        GROUP BY lang, pack_id
+    """,
+)
+def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (per language, deterministic
+    doc_id order) to fixed token-budget packs via running-sum bucketing
+    — the batch-construction step before training. One shuffle on the
+    partition key; the running sum is a window, not a driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sized = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    packed = sized.withColumn(
+        "pack_id", F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET).cast("int")
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )

@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.llmdata.dedup",
     "game_data_etl_pipeline_spark.llmdata.similarity",
     "game_data_etl_pipeline_spark.llmdata.multimodal",
+    "game_data_etl_pipeline_spark.llmdata.corpus",
     "game_data_etl_pipeline_spark.etl.queries",
     "game_data_etl_pipeline_spark.sources.landing",
 )
