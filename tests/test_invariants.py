@@ -1,0 +1,91 @@
+"""Cross-cutting invariants the oracles can't express: determinism
+under repartitioning, ordering guarantees, conservation laws.
+
+These are the properties that make operators safe to run on a cluster
+whose partitioning you don't control — SURVEY.md §5's property-based
+tier.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark import registry
+from game_data_etl_pipeline_spark.llmdata.corpus import PACK_BUDGET, _draw
+
+SPECS = registry.all_specs()
+
+
+def test_asof_never_pairs_future_clicks(spark, sf_dir):
+    """Every as-of match must satisfy last_click_ts <= purchase_ts —
+    the defining property of the join."""
+    rows = SPECS["op_join_asof"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.last_click_ts is not None:
+            assert r.last_click_ts <= r.purchase_ts, r
+
+
+def test_salted_join_matches_unsalted(spark, sf_dir):
+    """The salted join is an implementation technique: its result must
+    be bit-identical to the plain broadcast join it replaces."""
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.operators.scale import _TYPE_WEIGHTS
+
+    salted = {tuple(r) for r in SPECS["op_join_salted"].fn(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    plain = {
+        tuple(r)
+        for r in events.join(F.broadcast(weights), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50, unique=True))
+def test_sampling_draw_is_partition_invariant(spark, doc_ids):
+    """The content-hash draw must depend only on the row, never on the
+    partition layout — repartitioning must not change any draw (this
+    is exactly what rand(seed) violates)."""
+    df = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    base = dict(df.select("doc_id", _draw("strat:").alias("d")).collect())
+    shuffled = dict(df.repartition(7).select("doc_id", _draw("strat:").alias("d")).collect())
+    assert base == shuffled
+
+
+def test_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    """train + val must partition the corpus exactly."""
+    rows = SPECS["op_split_train_val"].fn(spark, sf_dir).collect()
+    by_split = {r.split: r.n_docs for r in rows}
+    assert set(by_split) == {"train", "val"}
+    assert sum(by_split.values()) == 500  # all docs at sf0.001, none dropped/duplicated
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing must conserve tokens (every doc in exactly one pack) and
+    produce contiguous pack ids per language."""
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    rows = SPECS["op_pack_sequences"].fn(spark, sf_dir).collect()
+    packed_total = sum(r.pack_tokens for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    true_total = docs.select(F.sum(F.size(F.split(F.col("text"), " ")))).first()[0]
+    assert packed_total == true_total
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.pack_id)
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids))), f"{lang}: non-contiguous packs {sorted(ids)}"
+    # every pack is near the budget: a pack other than the last one per
+    # lang can overshoot only by the straddling doc, never undershoot 0
+    for r in rows:
+        assert r.pack_tokens > 0
