@@ -88,6 +88,22 @@ def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
         )
 
 
+def test_dot_pandas_matches_jvm_expression(spark, sf_dir):
+    """The Arrow/numpy dot kernel must agree with the higher-order
+    aggregate expression it can replace (float64 both paths)."""
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, dot_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    pair = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.round(dot_expr(F.col("a.embedding"), F.col("b.embedding")), 6).alias("jvm"),
+        F.round(dot_pandas()(F.col("a.embedding"), F.col("b.embedding")), 6).alias("py"),
+    )
+    assert pair.filter(F.col("jvm") != F.col("py")).count() == 0
+
+
 def test_ivf_matches_exact_topk_on_probed_cell(spark, sf_dir):
     """IVF results must be a subset of the full exact ranking ordered
     consistently: every returned neighbor's cosine must be <= the
