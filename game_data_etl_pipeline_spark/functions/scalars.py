@@ -243,3 +243,31 @@ def op_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("env.status").alias("status"),
         F.col("env.payload.k").alias("payload_k"),
     )
+
+
+@register(
+    "op_scalar_decimal",
+    tags=("scalar", "decimal"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS exact_base,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS exact_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic: DECIMAL(18,2) sums, bit-identical across
+    engines and partitionings — no float summation-order noise, which
+    is why every oracled float aggregate elsewhere needs ROUND and
+    these need none (emitted as strings so the comparison sees the
+    exact digits, not pandas' float64 re-approximation). The 100 TB ledger case: doubles drift, decimals
+    don't."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.sum(base).cast("string").alias("exact_base"),
+        F.sum(base * disc).cast("string").alias("exact_disc"),
+    )

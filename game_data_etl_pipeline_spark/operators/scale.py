@@ -176,3 +176,67 @@ def op_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "op_timeseries_gapfill",
+    tags=("timeseries", "scale"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                   date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT t.bucket, et.event_type
+            FROM bounds,
+                 UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(bucket),
+                 (SELECT DISTINCT event_type FROM events) AS et
+        ),
+        actual AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               s.event_type,
+               COALESCE(a.n, 0) AS n_events
+        FROM spine s LEFT JOIN actual a
+          ON s.bucket = a.bucket AND s.event_type = a.event_type
+    """,
+)
+def op_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: empty hours appear as
+    zero rows, the shape dashboards and downstream window functions
+    require.
+
+    The dense spine is GENERATED (sequence + explode over the global
+    [min, max] hour range), never materialized from data — so silence
+    in the source can't silently vanish from the output. The spine is
+    tiny (hours × types) and broadcast; the fact side aggregates
+    BEFORE the join, so the left join touches one row per non-empty
+    (hour, type), not one per event.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    actual = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(spine)
+        .join(actual, ["bucket", "event_type"], "left")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
