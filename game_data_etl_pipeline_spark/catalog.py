@@ -50,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:  # defensive: the round driver hands us ITS session, not ours
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # runtime-settable AQE knobs: harmless if already on, critical
+        # if the host session was built without them
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     except Exception:
         pass
     df = spark.read.parquet(table_path(sf_dir, name))

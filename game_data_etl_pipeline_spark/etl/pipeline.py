@@ -91,10 +91,25 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="game-data ETL pipeline (PySpark)")
     parser.add_argument("--config", default=None, help="JSON config path")
     parser.add_argument("--once", action="store_true", help="single run, no scheduler")
+    parser.add_argument(
+        "--fixture",
+        action="store_true",
+        help="extract from the embedded offline fixture instead of live HTTP "
+        "(self-contained demo run; live extraction degrades per-endpoint to "
+        "empty tables when the network is unreachable)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
     config = load_config(args.config)
+    if args.fixture:
+        import tempfile
+
+        from game_data_etl_pipeline_spark.etl import fixtures
+
+        fixture_dir = tempfile.mkdtemp(prefix="fixture_envelopes_")
+        fixtures.write_landing(fixture_dir)
+        config["api"]["offline_dir"] = fixture_dir
 
     from game_data_etl_pipeline_spark.session import get_spark
 
