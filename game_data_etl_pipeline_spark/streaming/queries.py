@@ -243,3 +243,62 @@ def op_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+@register(
+    "op_stream_custom_state",
+    tags=("streaming", "stateful"),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def op_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum, max) kept in explicit GroupState across
+    micro-batches — the escape hatch when windows/dropDuplicates can't
+    express the state machine (sessionization with custom logic,
+    online aggregates, CEP-ish patterns).
+
+    State is three floats per user — fixed-size, keyed, store-backed;
+    at 100 TB of traffic the state scales with |users|, not |events|.
+    Each batch emits the updated cumulative row per user; with the
+    availableNow replay of the fixture the final row per user equals
+    the batch aggregate, which is exactly what the oracle checks (the
+    max() collapse makes the check batch-count-invariant: the
+    cumulative rows are monotone).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+        )
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, max_value double",
+        stateStructType="n long, total double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(updated, output_mode="update")
+    # cumulative rows are monotone per user: the max IS the final state
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+        F.round(F.max("max_value"), 2).alias("max_value"),
+    )
