@@ -1,0 +1,96 @@
+"""Iterative clustering over the embeddings table — the
+"iterative algorithm" category from the driver contract (genuinely
+non-SQL-expressible: the loop is driver-side control flow over
+distributed steps).
+
+Lloyd's k-means, pure DataFrame per iteration:
+
+1. assign: broadcast the k centroids, nearest by cosine — one scan,
+   no shuffle (the argmin is a per-row expression over k candidates);
+2. update: element-wise centroid mean via posexplode(embedding) →
+   groupBy(cluster, dim) avg → re-assemble — two narrow shuffles of
+   (cluster, dim, partial) pairs, never of raw vectors;
+3. ``localCheckpoint`` between iterations cuts the lineage so the
+   plan doesn't grow with the iteration count — THE classic failure
+   mode of iterative dataflow on Spark.
+
+State per iteration is k×d doubles on the driver-side plan (the
+centroids), independent of corpus size: at 100 TB the assign scan
+dominates and stripes linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, norm_expr
+from game_data_etl_pipeline_spark.registry import register
+
+K = 8
+ITERATIONS = 3
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (cosine): broadcast k rows, rank."""
+    from pyspark.sql import Window
+
+    sim = dot_expr(F.col("embedding"), F.col("ce")) / (
+        norm_expr(F.col("embedding")) * norm_expr(F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster"))
+    return (
+        emb.join(F.broadcast(centroids), F.lit(True))
+        .select("vec_id", "embedding", "cluster", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster", F.col("sim").alias("sim_to_centroid"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroid = element-wise mean of the cluster's vectors."""
+    by_dim = assigned.select(
+        "cluster", F.posexplode("embedding").alias("dim", "v")
+    ).groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
+    return by_dim.groupBy("cluster").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "m"))
+        ).alias("pairs")
+    ).select(
+        "cluster", F.transform(F.col("pairs"), lambda p: p["m"]).alias("ce")
+    )
+
+
+def kmeans_iterations(spark: SparkSession, sf_dir: str) -> list[tuple[int, DataFrame]]:
+    """Run ITERATIONS Lloyd steps; return [(iteration, assigned_df)]."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = (
+        emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("ce"))
+    )
+    out: list[tuple[int, DataFrame]] = []
+    for it in range(ITERATIONS):
+        assigned = _assign(emb, centroids).localCheckpoint(eager=True)
+        out.append((it, assigned))
+        centroids = _update(assigned)
+    return out
+
+
+@register(
+    "op_kmeans_lloyd",
+    tags=("llm", "cluster", "iterative"),
+    doc="""Lloyd's k-means, 3 iterations, deterministic init (first k
+    vec_ids). Rows-only: per-cluster float means depend on summation
+    order. Convergence (monotone inertia) and partition invariants are
+    pinned in tests/test_llmdata.py.""",
+)
+def op_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-iteration cluster profile: size and mean similarity to the
+    centroid per cluster."""
+    _, assigned = kmeans_iterations(spark, sf_dir)[-1]
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sim_to_centroid"), 4).alias("avg_sim"),
+    )

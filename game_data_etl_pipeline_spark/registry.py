@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.llmdata.similarity",
     "game_data_etl_pipeline_spark.llmdata.multimodal",
     "game_data_etl_pipeline_spark.llmdata.corpus",
+    "game_data_etl_pipeline_spark.llmdata.cluster",
     "game_data_etl_pipeline_spark.etl.queries",
     "game_data_etl_pipeline_spark.sources.landing",
 )

@@ -104,6 +104,26 @@ def test_dot_pandas_matches_jvm_expression(spark, sf_dir):
     assert pair.filter(F.col("jvm") != F.col("py")).count() == 0
 
 
+def test_kmeans_converges_and_partitions_corpus(spark, sf_dir):
+    """Lloyd iterations must (a) assign every vector exactly once per
+    iteration, and (b) never decrease mean similarity-to-centroid
+    (inertia's cosine dual is monotone non-decreasing up to float
+    noise) — the convergence property that makes the loop terminate."""
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.llmdata.cluster import kmeans_iterations
+
+    sims = []
+    for _, assigned in kmeans_iterations(spark, sf_dir):
+        n, mean_sim = assigned.agg(
+            F.count(F.lit(1)), F.avg("sim_to_centroid")
+        ).first()
+        assert n == 500  # every vector assigned exactly once
+        sims.append(mean_sim)
+    for prev, cur in zip(sims, sims[1:]):
+        assert cur >= prev - 1e-9, f"mean similarity regressed: {sims}"
+
+
 def test_ivf_matches_exact_topk_on_probed_cell(spark, sf_dir):
     """IVF results must be a subset of the full exact ranking ordered
     consistently: every returned neighbor's cosine must be <= the
