@@ -240,3 +240,75 @@ def op_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+_BUCKETED_CACHE: dict[str, bool] = {}
+_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """lineitem/orders written as bucketed tables on their join key
+    (once per process per sf). Bucketing pre-shuffles AT WRITE TIME:
+    every subsequent join on the bucket key reads co-located buckets
+    and skips the exchange entirely."""
+    key = sf_dir.replace("/", "_").replace(".", "_")
+    li, od = f"lineitem_bkt{key}", f"orders_bkt{key}"
+    if sf_dir not in _BUCKETED_CACHE:
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .mode("overwrite")
+            .saveAsTable(li)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .mode("overwrite")
+            .saveAsTable(od)
+        )
+        _BUCKETED_CACHE[sf_dir] = True
+    return li, od
+
+
+@register(
+    "op_join_bucketed",
+    tags=("join", "scale"),
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def op_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables: both sides pre-bucketed
+    8-way on the join key at write time, so the SortMergeJoin reads
+    matching buckets directly — ZERO exchange on either join input
+    (asserted in tests/test_plans.py; the only shuffle left is the
+    post-join aggregation).
+
+    This is the repeated-join amortization story at 100 TB: pay the
+    shuffle once in the sink layout, never per query. The merge hint
+    pins SMJ so the demo isn't silently rewritten to a broadcast at
+    fixture scale — at production scale neither side broadcasts and
+    the hint is unnecessary.
+    """
+    li, od = _bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(li)
+        .hint("merge")
+        .join(spark.table(od).hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

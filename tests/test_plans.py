@@ -113,6 +113,15 @@ def test_salted_join_shuffles_on_salted_key(spark):
     assert "ShuffledHashJoin" in f.joins, f.joins
 
 
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Both join inputs are bucketed on the key: the SortMergeJoin must
+    read co-located buckets with ZERO exchange on either side — the
+    only shuffle in the plan is the post-join aggregation."""
+    f = I.facts(SPECS["op_join_bucketed"].fn(spark, SF))
+    assert "SortMergeJoin" in f.joins, f.joins
+    assert f.exchanges <= 1, f"bucketed join still shuffles {f.exchanges}x"
+
+
 def test_partitioned_sink_scan_prunes_partitions(spark):
     """Reading one event_type from the partitioned layout must prune at
     the directory level (PartitionFilters on the scan)."""
