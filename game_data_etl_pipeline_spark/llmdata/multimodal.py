@@ -151,3 +151,44 @@ def op_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("frame_bytes"),
     )
+
+
+TARGET_MAX_SIDE = 224  # resize target (the usual vision-model input)
+
+
+@register(
+    "op_multimodal_resize",
+    tags=("llm", "multimodal"),
+    oracle=f"""
+        WITH decoded AS (
+            SELECT doc_id,
+                   CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+                   CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 512 AS INT) AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               CAST(round(width * least({TARGET_MAX_SIDE} * 1.0 / width,
+                                        {TARGET_MAX_SIDE} * 1.0 / height)) AS INT) AS out_width,
+               CAST(round(height * least({TARGET_MAX_SIDE} * 1.0 / width,
+                                         {TARGET_MAX_SIDE} * 1.0 / height)) AS INT) AS out_height
+        FROM decoded
+    """,
+)
+def op_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning stage: aspect-ratio-preserving target dims
+    (longest side -> 224) computed from decoded metadata. The dimension
+    arithmetic is JVM-side over the decode stage's output; the actual
+    pixel resample belongs in the same mapInPandas batch as the decode
+    (stubbed here — no codec in this container), so adding it changes
+    zero plumbing."""
+    decoded = op_multimodal_decode(spark, sf_dir).select("doc_id", "width", "height")
+    scale = F.least(
+        F.lit(TARGET_MAX_SIDE) / F.col("width"), F.lit(TARGET_MAX_SIDE) / F.col("height")
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("out_width"),
+        F.round(F.col("height") * scale).cast("int").alias("out_height"),
+    )
