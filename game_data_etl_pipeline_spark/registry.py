@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.operators.aggregates",
     "game_data_etl_pipeline_spark.operators.windows",
     "game_data_etl_pipeline_spark.operators.setops",
+    "game_data_etl_pipeline_spark.operators.analytics",
     "game_data_etl_pipeline_spark.operators.scale",
     "game_data_etl_pipeline_spark.functions.scalars",
     "game_data_etl_pipeline_spark.functions.udfs",
