@@ -271,3 +271,31 @@ def op_scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(base).cast("string").alias("exact_base"),
         F.sum(base * disc).cast("string").alias("exact_disc"),
     )
+
+
+@register(
+    "op_string_distance",
+    tags=("scalar",),
+    oracle="""
+        SELECT p_partkey,
+               p_brand,
+               levenshtein(p_brand, 'Brand#13') AS brand_edit_dist,
+               levenshtein(LOWER(p_type), 'promo') AS type_edit_dist
+        FROM part
+    """,
+)
+def op_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) scalar — fuzzy matching primitive.
+
+    JVM-side built-in, so it stays inside whole-stage codegen. For
+    fuzzy JOINS at scale, pair it with a blocking key (prefix,
+    soundex-like bucket) so the theta comparison only runs within
+    blocks — never as a raw cross join.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#13")).alias("brand_edit_dist"),
+        F.levenshtein(F.lower("p_type"), F.lit("promo")).alias("type_edit_dist"),
+    )

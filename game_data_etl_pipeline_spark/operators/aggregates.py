@@ -208,3 +208,63 @@ def op_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
         F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_filled"),
     )
+
+
+@register(
+    "op_agg_stats",
+    tags=("agg",),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_stddev,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(MIN(l_extendedprice), 2) AS price_min,
+               ROUND(MAX(l_extendedprice), 2) AS price_max
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / covariance / correlation.
+
+    All are single-pass partial-aggregable (sum, sum-of-squares,
+    cross-moments combine associatively), so they keep the same
+    one-shuffle plan as sum/avg at any scale. Rounding is chosen per
+    magnitude: stddev/covar at cents (relative float noise ~1e-12 of a
+    ~1e4 value), corr at 6dp (bounded in [-1, 1]).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+    )
+
+
+@register(
+    "op_agg_bool",
+    tags=("agg",),
+    oracle="""
+        SELECT o_orderpriority,
+               BOOL_AND(o_totalprice > 1000)   AS all_above_1000,
+               BOOL_OR(o_orderstatus = 'F')    AS any_filled,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def op_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count.
+
+    bool_and/bool_or are partial-aggregable single-bit state; the
+    filtered count is count(CASE WHEN) — all stay in the one-shuffle
+    hash-aggregate plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1000"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+    )

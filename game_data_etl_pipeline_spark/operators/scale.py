@@ -312,3 +312,56 @@ def op_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "op_join_range_binned",
+    tags=("join", "scale"),
+    oracle="""
+        WITH bands AS (
+            SELECT CAST(range AS BIGINT) AS band_id,
+                   range * 5.0 AS lo,
+                   range * 5.0 + 7.5 AS hi
+            FROM range(0, 200)
+        )
+        SELECT band_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id
+    """,
+)
+def op_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact range join via BIN + EQUI-JOIN + residual filter —
+    the scale path op_join_theta's docstring demands.
+
+    A raw interval join (value in [lo, hi)) is a nested-loop: O(probe ×
+    intervals). Binning makes it an equi-join: each interval EXPLODES to
+    the fixed-width bins it overlaps (sequence + explode), each probe
+    row computes its single bin (floor(value / W)), the join runs on the
+    bin key, and the original range predicate filters the residual
+    within-bin false positives. A probe row matches an interval's copy
+    in exactly one bin (its own), so no post-join dedup is needed.
+
+    At 100 TB both sides shuffle-partition on the bin key — hash join,
+    never BNLJ; the plan contract in tests/test_plans.py pins the
+    absence of any nested-loop operator. Bin width trades replication
+    (intervals spanning many bins) against residual selectivity; here
+    W = the band stride, so each interval lands in exactly 2 bins.
+    """
+    W = 5.0
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.range(0, 200).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 7.5).alias("hi"),
+    )
+    binned_bands = bands.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("lo") / W), F.floor((F.col("hi") - F.lit(1e-9)) / W))),
+    )
+    probes = events.withColumn("bin", F.floor(F.col("value") / W))
+    return (
+        probes.join(binned_bands, "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -123,3 +123,34 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, which is what makes exact dedup feasible at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_custkey", "o_orderstatus").dropDuplicates()
+
+
+@register(
+    "op_unpivot",
+    tags=("setop", "reshape"),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, ROUND(l_quantity, 4) AS val
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 4)
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 4)
+        FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns to long (metric, val) rows.
+
+    ``DataFrame.unpivot`` expands each row to one row per value column
+    inside the same task — a generate, not a shuffle, so it scales
+    linearly. The oracle is the UNION-ALL expansion (DuckDB's UNPIVOT
+    produces the same multiset).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return lineitem.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="raw_val",
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("raw_val", 4).alias("val"))

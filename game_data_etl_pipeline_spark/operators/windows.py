@@ -152,3 +152,77 @@ def op_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("balance"))
     )
+
+
+@register(
+    "op_window_ntile",
+    tags=("window",),
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               ROUND(c_acctbal, 2) AS balance,
+               NTILE(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS bal_pct_rank,
+               ROUND(CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS bal_cume_dist
+        FROM customer
+    """,
+)
+def op_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    ntile orders by (c_acctbal, c_custkey) — the unique tiebreaker makes
+    bucket assignment deterministic (ntile splits ties by position, so an
+    ambiguous order would be run-dependent). percent_rank/cume_dist
+    depend only on the key VALUES, so they order by c_acctbal alone.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_val = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("balance"),
+        F.ntile(4).over(w_unique).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "op_window_first_last",
+    tags=("window",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               strftime(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d') AS first_order_date,
+               strftime(LAST_VALUE(o_orderdate)  OVER w, '%Y-%m-%d') AS last_order_date,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+)
+def op_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-frame.
+
+    The frame is UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING on BOTH
+    engines — last_value under the default frame (..CURRENT ROW) is the
+    classic silent-wrong-answer, so the frame is always spelled out.
+    (o_orderdate, o_orderkey) is a unique order, so nth_value is
+    deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_order_date"),
+        F.date_format(F.last("o_orderdate").over(w), "yyyy-MM-dd").alias("last_order_date"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    )

@@ -141,3 +141,20 @@ def test_text_family_no_shuffle(spark, name):
     in their plan is a bug."""
     f = I.facts(SPECS[name].fn(spark, SF))
     assert f.exchanges == 0, f"{name} shuffles {f.exchanges}x"
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """The binned range join must plan as an equi-join on the bin key —
+    any nested-loop operator means the rewrite regressed to O(n·m)."""
+    f = I.facts(SPECS["op_join_range_binned"].fn(spark, SF))
+    assert f.joins, "no joins found in plan"
+    assert all("NestedLoop" not in j and "Cartesian" not in j for j in f.joins), f.joins
+
+
+def test_subquery_decorrelation_no_nested_loop(spark):
+    """q_small_qty_revenue (correlated scalar subquery) and
+    q_top_supplier (uncorrelated scalar subquery) must decorrelate to
+    hash joins — a nested-loop here is the per-row-subquery anti-plan."""
+    for name in ("q_small_qty_revenue", "q_top_supplier"):
+        f = I.facts(SPECS[name].fn(spark, SF))
+        assert all("NestedLoop" not in j and "Cartesian" not in j for j in f.joins), (name, f.joins)
