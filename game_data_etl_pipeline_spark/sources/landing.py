@@ -121,3 +121,29 @@ def op_metadata_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
         .filter(F.col("_rn") == 1)
         .select("run_id", "status", "total_rows")
     )
+
+
+@register(
+    "op_source_python_api",
+    tags=("source", "reference-parity"),
+    oracle="""
+        SELECT endpoint, n_records FROM (VALUES
+            ('agents', 5), ('weapons', 3), ('maps', 2), ('gamemodes', 2)
+        ) AS t(endpoint, n_records)
+    """,
+)
+def op_source_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001 — fixture-driven
+    """The REST source as a registered Spark data source: per-endpoint
+    record counts read via ``spark.read.format("game_api")``.
+
+    Each endpoint is an InputPartition fetched executor-side in
+    parallel (see sources/api_source.py) — the idiomatic replacement
+    for the reference's sequential driver loop. A broken endpoint
+    yields zero rows instead of a failed scan, which
+    tests/test_api_source.py pins.
+    """
+    from game_data_etl_pipeline_spark.sources.api_source import GameApiDataSource
+
+    spark.dataSource.register(GameApiDataSource)
+    df = spark.read.format("game_api").option("landing_dir", _landing_dir()).load()
+    return df.groupBy("endpoint").agg(F.count(F.lit(1)).alias("n_records"))
