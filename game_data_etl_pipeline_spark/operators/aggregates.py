@@ -268,3 +268,34 @@ def op_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
     )
+
+
+@register(
+    "op_agg_median",
+    tags=("agg",),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(MEDIAN(l_quantity), 2) AS median_qty,
+               ROUND(MEDIAN(l_extendedprice), 3) AS median_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (percentile_cont(0.5), interpolating on
+    even counts in both engines). The price median rounds at 3dp —
+    the midpoint of two cent-valued prices carries a third decimal
+    digit, and rounding AT the .xx5 boundary is engine-divergent
+    (Spark HALF_UP on decimal repr vs binary-double rounding).
+
+    Unlike the moment aggregates, exact median is NOT partial-aggregable
+    — it sorts each group's values. Use op_agg_percentile's
+    approx_percentile (t-digest sketch, mergeable) when a bounded-error
+    answer is acceptable at 100 TB; exact median is for final
+    small-group rollups like this one.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 3).alias("median_price"),
+    )

@@ -35,6 +35,7 @@ from game_data_etl_pipeline_spark.registry import register
 
 @register(
     "q_volume_shipping",
+    headline=True,
     tags=("join", "agg", "analytics"),
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
@@ -156,6 +157,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_customer_distribution",
+    headline=True,
     tags=("join", "agg", "analytics"),
     oracle="""
         SELECT c_count, COUNT(*) AS custdist

@@ -147,3 +147,39 @@ def op_source_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa
     spark.dataSource.register(GameApiDataSource)
     df = spark.read.format("game_api").option("landing_dir", _landing_dir()).load()
     return df.groupBy("endpoint").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+_CSV_CACHE: dict[str, str] = {}
+
+
+@register(
+    "op_scan_csv",
+    tags=("source",),
+    oracle="""
+        SELECT event_id, event_type, ROUND(value, 4) AS val
+        FROM events WHERE event_id < 1000
+    """,
+)
+def op_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with an EXPLICIT schema: parquet -> csv ->
+    typed scan.
+
+    Schema is declared, never inferred — inference on a 100 TB CSV
+    landing zone is a full extra pass. header=false + declared column
+    order keeps the contract in code. (CSV stays an interchange format
+    only; every curated table is parquet.)
+    """
+    key = f"{sf_dir}"
+    if key not in _CSV_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="csv_src_"), "events_csv")
+        from game_data_etl_pipeline_spark.catalog import load_table
+
+        load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").option("header", "false").csv(d)
+        _CSV_CACHE[key] = d
+    return (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .csv(_CSV_CACHE[key])
+        .select("event_id", "event_type", F.round("value", 4).alias("val"))
+    )
