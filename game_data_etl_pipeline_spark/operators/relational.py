@@ -452,3 +452,31 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+@register(
+    "op_explode_outer",
+    tags=("explode",),
+    oracle="""
+        SELECT doc_id, NULL AS token
+        FROM documents WHERE doc_id < 20 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+        FROM documents WHERE doc_id < 20 AND doc_id % 3 <> 0
+    """,
+)
+def op_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode: a NULL array keeps its parent row (with a NULL
+    element) instead of silently dropping it.
+
+    Plain explode drops parents with NULL/empty arrays — the right
+    default for the reference's ``or []`` flatten semantics
+    (op_posexplode_array) but lossy for audits like "every document
+    must appear in the token table". Here every third document's array
+    is nulled and explode_outer preserves those rows; the oracle spells
+    the same semantics as a two-branch union. Like explode, this is a
+    per-task generate — no shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    arr = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.split(F.lower("text"), " "))
+    return docs.select("doc_id", F.explode_outer(arr).alias("token"))
