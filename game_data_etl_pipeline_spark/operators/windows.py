@@ -226,3 +226,43 @@ def op_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last("o_orderdate").over(w), "yyyy-MM-dd").alias("last_order_date"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
     )
+
+
+@register(
+    "op_scd2_intervals",
+    tags=("window", "warehouse"),
+    oracle="""
+        SELECT user_id,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(LEAD(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               ROUND(value, 4) AS val,
+               (LEAD(event_id) OVER w IS NULL) AS is_current
+        FROM events
+        WHERE event_type = 'purchase' AND user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build: each change event becomes a
+    [valid_from, valid_to) validity row, open-ended for the latest.
+
+    The warehouse pattern behind the reference's full-refresh sink's
+    missing history (reference etl/pipeline.py:280 drops and rewrites;
+    this derives history instead): one shuffle on the entity key,
+    lead() closes each interval with the next change's timestamp.
+    (event_id tiebreaks equal timestamps, so intervals are
+    deterministic.) The is_current flag tests lead(event_id) — not the
+    formatted timestamp — so it is NULL-exact.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return events.select(
+        "user_id",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.round("value", 4).alias("val"),
+        F.lead("event_id").over(w).isNull().alias("is_current"),
+    )
