@@ -441,3 +441,45 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_min_balance_supplier",
+    tags=("join", "agg", "subquery", "analytics"),
+    oracle="""
+        SELECT s_suppkey, s_name, n_name, ROUND(s_acctbal, 2) AS balance
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (
+            SELECT MIN(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = supplier.s_nationkey
+        )
+    """,
+)
+def q_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style per-group extremum: the supplier(s) holding each
+    nation's minimum account balance — a CORRELATED AGGREGATE SUBQUERY
+    whose correlation key is the GROUP, not the row.
+
+    Decorrelation: one grouped MIN over supplier, joined back on the
+    nation key (a self-join against an aggregate of the same table).
+    Completes the subquery taxonomy next to q_top_supplier (global
+    scalar) and q_small_qty_revenue (per-row correlated scalar). Ties
+    all surface (= comparison, not row_number), matching the SQL.
+    Doubles are compared raw, not rounded: both engines see the same
+    parquet doubles and MIN picks an exact member value, so equality is
+    bit-exact — rounding happens only at projection.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    min_bal = supplier.groupBy(F.col("s_nationkey").alias("min_nationkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supplier.join(
+            F.broadcast(min_bal),
+            (F.col("s_nationkey") == F.col("min_nationkey")) & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("balance"))
+    )
