@@ -77,7 +77,8 @@ class Loader:
                 duration=round(time.time() - start, 2),
             )
             if self.sqlite_path:
-                self._mirror_to_sqlite(spark, transformed, run_id)
+                self._mirror_to_sqlite(spark, counts, run_id)
+                self.drop_from_sqlite([n for n in transformed if n not in counts])
             return counts
         except Exception as e:  # noqa: BLE001 — record, then re-raise (reference :302-308)
             self._write_run_record(
@@ -119,16 +120,38 @@ class Loader:
             d for d in os.listdir(self.warehouse_dir) if os.path.isdir(os.path.join(self.warehouse_dir, d))
         )
 
-    def _mirror_to_sqlite(self, spark: SparkSession, transformed: dict[str, DataFrame], run_id: str) -> None:
+    def _mirror_to_sqlite(self, spark: SparkSession, counts: dict[str, int], run_id: str) -> None:
         """Optional: reproduce the reference's SQLite sink exactly
-        (driver-side; only sane for dimension-sized tables)."""
+        (driver-side; only sane for dimension-sized tables).
+
+        Mirrors only the tables actually LOADED this run (the counts
+        dict) — a table skipped as empty has no warehouse dir on a
+        first run (reading it would raise after Success was recorded)
+        and a stale dir on later runs (mirroring it would resurrect
+        the previous run's rows). Skipped-empty tables are DROPPED
+        from the mirror instead, matching the reference sink where a
+        replaced database never carries a vanished table forward."""
         import sqlite3
 
         con = sqlite3.connect(self.sqlite_path)
         try:
-            for name in transformed:
+            for name in counts:
                 pdf = self.read_table(spark, name).toPandas()
                 pdf.to_sql(name, con, if_exists="replace", index=False)
+            con.commit()
+        finally:
+            con.close()
+
+    def drop_from_sqlite(self, names: list[str]) -> None:
+        """Drop mirror tables for names skipped as empty this run."""
+        import sqlite3
+
+        if not self.sqlite_path:
+            return
+        con = sqlite3.connect(self.sqlite_path)
+        try:
+            for name in names:
+                con.execute(f'DROP TABLE IF EXISTS "{name}"')
             con.commit()
         finally:
             con.close()

@@ -22,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
@@ -55,6 +55,7 @@ def op_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_dedup_ngram_jaccard",
     tags=("llm", "dedup"),
+    headline=True,
     oracle="""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 60),
         sh AS (
@@ -193,26 +194,58 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_dedup_embedding_cosine",
     tags=("llm", "dedup"),
     oracle="""
-        WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-                     FROM embeddings WHERE vec_id < 300)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        WITH cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id AS bucket,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
 )
 def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, bounded window): all
-    pairs above 0.3 cosine among vec_id < 300. The exact O(n²) check
-    a production pipeline runs per LSH bucket, not globally."""
+    """Embedding-cosine near-dup pairs, bucket-then-verify: coarse-
+    quantize every vector to its nearest deterministic centroid (IVF
+    cell, same assignment as op_sim_ivf), then compute exact cosine
+    ONLY within each cell via an equi-join on the cell id.
+
+    This is the 100 TB shape: the join key is the bucket, so the plan
+    is a hash join over cells — never an all-pairs BroadcastNestedLoop.
+    Cross-bucket near-dups are the recall tradeoff every bucketed
+    dedup makes; multi-probe (assign to top-p cells) is the knob."""
     from game_data_etl_pipeline_spark.llmdata.similarity import cosine_expr
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "embedding", "cent_id", cosine_expr(F.col("embedding"), F.col("ce")).alias("cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("cent_id").alias("bucket"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("cent_id").alias("bucket_b"))
     cos = cosine_expr(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .select("vec_a", "vec_b", "bucket", F.round(cos, 4).alias("cosine"))
     )

@@ -204,13 +204,19 @@ def op_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sim_lsh",
     tags=("llm", "similarity"),
     doc="""Random-projection LSH ANN (MLlib BucketedRandomProjectionLSH,
-    fixed seed): approxNearestNeighbors per query. Rows-only (bucket
-    boundaries are model-specific); recall vs exact top-k asserted in
+    fixed seed): a BATCH of queries served via approxSimilarityJoin —
+    the whole query set stays a distributed DataFrame, no per-query
+    driver round-trip. Rows-only (bucket boundaries are
+    model-specific); recall vs exact top-k asserted in
     tests/test_llmdata.py.""",
 )
 def op_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-projection LSH: Euclidean buckets,
-    query probes its own bucket chain only."""
+    """Approximate NN via random-projection LSH, batched: Euclidean
+    buckets, each query joins only its own bucket chain. top-5 per
+    query by windowed rank over the distance-bounded candidates.
+
+    100 TB shape: queries x candidates meet on bucket hashes (equi-
+    join), never all-pairs; the driver never sees a vector."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -221,11 +227,21 @@ def op_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="buckets", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(emb)
-    query = emb.filter(F.col("vec_id") == 1).first()
-    neighbors = model.approxNearestNeighbors(emb.filter(F.col("vec_id") != 1), query.features, 5)
-    return neighbors.select(
-        F.lit(1).alias("query_id"),
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.round("distCol", 4).alias("euclidean_dist"),
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("features").alias("qfeat")
+    )
+    cands = emb.filter(F.col("vec_id") >= 4)
+    pairs = model.approxSimilarityJoin(
+        queries.withColumnRenamed("qfeat", "features"), cands, 25.0, distCol="dist"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("euclidean_dist").asc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            F.col("datasetA.query_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("datasetB.label").alias("label"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )

@@ -69,32 +69,51 @@ def op_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
     oracle="""
         SELECT l_linestatus,
-               list_sort(list(DISTINCT l_returnflag)) AS flags
+               array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         FROM lineitem
         GROUP BY l_linestatus
     """,
 )
 def op_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set with a deterministic sort — set-valued aggregation.
-    Safe only for low-cardinality values (state is O(distinct) per group)."""
+    """collect_set with a deterministic sort — set-valued aggregation,
+    scalarized to a comma-joined string so order-insensitive value
+    hashing works on the result. Safe only for low-cardinality values
+    (state is O(distinct) per group)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_linestatus").agg(F.sort_array(F.collect_set("l_returnflag")).alias("flags"))
+    return lineitem.groupBy("l_linestatus").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("flags")
+    )
 
 
 @register(
     "op_agg_approx_distinct",
     tags=("agg", "approx"),
-    doc="""HLL++ approximate distinct. No value oracle (estimator-specific);
-    rows-only check. Accuracy asserted in tests/test_llmdata.py
-    against exact countDistinct (10% = 2x rsd).""",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               COUNT(*) AS n_items,
+               TRUE AS within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def op_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): O(1) state per group —
-    the 100 TB substitute for exact countDistinct."""
+    the 100 TB substitute for exact countDistinct.
+
+    Oracle strategy: the estimate itself is engine-specific, so the
+    query emits the EXACT distinct count (hash-comparable) plus a
+    ``within_tol`` boolean asserting |approx - exact| <= 10% * exact
+    (2x the configured rsd); the oracle pins within_tol = TRUE. A
+    drifting estimator flips the boolean and fails the value hash."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_items"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey", rsd=0.05) - F.countDistinct("l_orderkey"))
+            <= 0.10 * F.countDistinct("l_orderkey")
+        ).alias("within_tol"),
     )
 
 

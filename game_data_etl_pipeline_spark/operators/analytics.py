@@ -96,6 +96,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_market_share",
     tags=("join", "agg", "analytics"),
+    headline=True,
     oracle="""
         SELECT o_year,
                ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)

@@ -280,6 +280,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 @register(
     "op_join_bucketed",
     tags=("join", "scale"),
+    headline=True,
     oracle="""
         SELECT o_orderpriority,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

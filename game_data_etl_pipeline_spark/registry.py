@@ -22,8 +22,10 @@ that make the driver's order-insensitive value-hash comparison work:
 from __future__ import annotations
 
 import importlib
+import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,25 +33,28 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 # Modules whose import populates the registry (each calls @register at
 # module scope). Extend as operator families land.
+# Module order doubles as the verification-priority tie-break: among
+# equally-(un)verified queries, ``all_specs`` keeps registration order,
+# so the families most in need of a driver CORRECTNESS row come first.
 _OPERATOR_MODULES = (
-    "game_data_etl_pipeline_spark.operators.relational",
-    "game_data_etl_pipeline_spark.operators.joins",
-    "game_data_etl_pipeline_spark.operators.aggregates",
-    "game_data_etl_pipeline_spark.operators.windows",
-    "game_data_etl_pipeline_spark.operators.setops",
-    "game_data_etl_pipeline_spark.operators.analytics",
-    "game_data_etl_pipeline_spark.operators.scale",
-    "game_data_etl_pipeline_spark.functions.scalars",
-    "game_data_etl_pipeline_spark.functions.udfs",
-    "game_data_etl_pipeline_spark.streaming.queries",
-    "game_data_etl_pipeline_spark.llmdata.text",
     "game_data_etl_pipeline_spark.llmdata.dedup",
     "game_data_etl_pipeline_spark.llmdata.similarity",
-    "game_data_etl_pipeline_spark.llmdata.multimodal",
-    "game_data_etl_pipeline_spark.llmdata.corpus",
-    "game_data_etl_pipeline_spark.llmdata.cluster",
+    "game_data_etl_pipeline_spark.streaming.queries",
     "game_data_etl_pipeline_spark.etl.queries",
+    "game_data_etl_pipeline_spark.functions.udfs",
+    "game_data_etl_pipeline_spark.operators.scale",
+    "game_data_etl_pipeline_spark.functions.scalars",
+    "game_data_etl_pipeline_spark.llmdata.multimodal",
+    "game_data_etl_pipeline_spark.operators.aggregates",
+    "game_data_etl_pipeline_spark.llmdata.corpus",
+    "game_data_etl_pipeline_spark.llmdata.text",
+    "game_data_etl_pipeline_spark.llmdata.cluster",
     "game_data_etl_pipeline_spark.sources.landing",
+    "game_data_etl_pipeline_spark.operators.analytics",
+    "game_data_etl_pipeline_spark.operators.relational",
+    "game_data_etl_pipeline_spark.operators.joins",
+    "game_data_etl_pipeline_spark.operators.windows",
+    "game_data_etl_pipeline_spark.operators.setops",
 )
 
 
@@ -100,9 +105,50 @@ def _load() -> None:
     _LOADED = True
 
 
+def _driver_verified_counts() -> dict[str, int]:
+    """How many times each query earned a driver CORRECTNESS row.
+
+    The driver verifies the FIRST 50 entries of ``queries()`` each
+    round and writes CORRECTNESS_r{N}.json to the repo root. Counting
+    green rows (hash_match, or the weaker rows-only check for
+    oracle-less entries) lets ``all_specs`` order never-verified
+    queries first — the verification window rotates itself and a
+    failed row automatically re-enters the window next round.
+    """
+    counts: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                counts[name] = counts.get(name, 0) + 1
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # A rows-only row only counts for a spec that is STILL
+                # oracle-less; once a query gains an oracle it re-enters
+                # the window for the stronger hash check.
+                spec = _REGISTRY.get(name)
+                if spec is not None and spec.oracle is None:
+                    counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def all_specs() -> dict[str, QuerySpec]:
+    """Registry contents, least-driver-verified first (see
+    ``_driver_verified_counts``); ties keep registration order."""
     _load()
-    return dict(_REGISTRY)
+    verified = _driver_verified_counts()
+    order = {name: i for i, name in enumerate(_REGISTRY)}
+    return {
+        name: _REGISTRY[name]
+        for name in sorted(_REGISTRY, key=lambda n: (verified.get(n, 0), order[n]))
+    }
 
 
 def queries() -> dict[str, SparkQuery]:

@@ -87,6 +87,44 @@ def test_rerun_overwrites_full_refresh(spark, tmp_path):
     assert len(run_ids) <= 2
 
 
+def test_sqlite_mirror_skips_and_drops_empty_tables(spark, tmp_path):
+    """Mirror-sink regression (ADVICE r1): a table skipped as empty
+    must not crash the mirror on a first run (no warehouse dir to
+    read) and must be DROPPED from the mirror on later runs rather
+    than resurrecting the previous run's rows."""
+    import sqlite3
+
+    def tables_in(db):
+        con = sqlite3.connect(db)
+        try:
+            return {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+        finally:
+            con.close()
+
+    db = str(tmp_path / "mirror.db")
+
+    # first run with a broken endpoint: weapons/weapon_damage are empty
+    pipe = _pipeline(spark, tmp_path, broken={"weapons"})
+    pipe.loader.sqlite_path = db
+    pipe.run()
+    mirrored = tables_in(db)
+    assert "agents" in mirrored and "weapons" not in mirrored
+
+    # healthy run: weapons appears
+    pipe2 = _pipeline(spark, tmp_path / "second", broken=frozenset())
+    pipe2.loader.warehouse_dir = pipe.loader.warehouse_dir  # same warehouse
+    pipe2.loader.sqlite_path = db
+    pipe2.run()
+    assert "weapons" in tables_in(db)
+
+    # broken again: stale weapons rows must NOT survive in the mirror
+    pipe3 = _pipeline(spark, tmp_path / "third", broken={"weapons"})
+    pipe3.loader.warehouse_dir = pipe.loader.warehouse_dir
+    pipe3.loader.sqlite_path = db
+    pipe3.run()
+    assert "weapons" not in tables_in(db)
+
+
 def test_schedule_config_roundtrip(tmp_path):
     from game_data_etl_pipeline_spark.etl.pipeline import DEFAULT_CONFIG, load_config
 

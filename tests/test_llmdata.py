@@ -83,9 +83,8 @@ def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
     )
     for r in rows:
         true = exact[r.l_returnflag]
-        assert abs(r.approx_orders - true) <= 0.10 * true, (
-            f"{r.l_returnflag}: approx {r.approx_orders} vs exact {true}"
-        )
+        assert r.exact_orders == true
+        assert r.within_tol, f"{r.l_returnflag}: HLL estimate drifted >10% from exact {true}"
 
 
 def test_dot_pandas_matches_jvm_expression(spark, sf_dir):
