@@ -26,7 +26,7 @@ fact table — decorrelation turns it into one extra hash aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
@@ -483,4 +483,278 @@ def q_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("balance"))
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    tags=("agg", "analytics"),
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style revenue-change forecast: one filtered scan, one
+    global sum, zero joins. The whole query should compile to a single
+    WholeStageCodegen span over a PushedFilters parquet scan — the
+    purest test that predicates reach the reader."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"))
+
+
+@register(
+    "q_product_profit",
+    tags=("join", "agg", "analytics"),
+    oracle="""
+        SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) - p_retailprice * 0.01 * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product-line profit per nation per year (adapted:
+    no partsupp table, so supply cost is modeled as 1% of p_retailprice
+    per unit — the join/agg SHAPE is the point, a 5-table star).
+
+    part is filtered BEFORE the join (name predicate pushed to its
+    scan) and both dimension joins broadcast; lineitem and orders meet
+    in the only real shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("p_retailprice") * 0.01 * F.col(
+        "l_quantity"
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_important_parts",
+    tags=("agg", "subquery", "analytics"),
+    oracle="""
+        WITH value_per_part AS (
+            SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        ),
+        total AS (SELECT SUM(part_value) AS tv FROM value_per_part)
+        SELECT l_partkey, ROUND(part_value, 2) AS part_value
+        FROM value_per_part, total
+        WHERE part_value > 0.0005 * tv
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important stock (adapted to lineitem value, no
+    partsupp): parts whose traded value exceeds a FRACTION OF THE
+    GLOBAL TOTAL — a HAVING against an uncorrelated scalar subquery.
+
+    Decorrelation: aggregate once per part, re-aggregate to one global
+    row, broadcast-cross-join it back (1-row broadcast, not a second
+    scan of lineitem) and filter. Two shuffles total at any scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("tv"))
+    return (
+        per_part.join(F.broadcast(total), F.lit(True))
+        .filter(F.col("part_value") > 0.0005 * F.col("tv"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q_priority_shipping",
+    tags=("join", "agg", "analytics"),
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l_linestatus
+    """,
+)
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style shipping-priority audit (adapted: no shipmode
+    column, grouped by l_linestatus): for badly-late lines (shipped
+    >90 days after ordering), count high- vs low-priority orders via
+    CONDITIONAL AGGREGATION — one join, one shuffle, the CASE folds
+    into the aggregate (no per-branch passes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_supplier_part_counts",
+    tags=("join", "agg", "analytics"),
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#2'
+          AND p_type NOT LIKE 'ECONOMY%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier/part relationship (adapted: the
+    part-supplier relation comes from lineitem, and 'complaint'
+    suppliers are modeled as negative account balance): distinct
+    supplier count per qualifying (brand, type, size), with the
+    excluded-supplier NOT IN decorrelated to a LEFT ANTI join against
+    a broadcast exclusion list."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & ~F.col("p_type").like("ECONOMY%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_promo_suppliers",
+    tags=("join", "subquery", "analytics"),
+    oracle="""
+        SELECT s_name, n_name AS nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 50
+        )
+    """,
+)
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style promotion candidates: suppliers who moved more
+    than 50 units of 'red' parts in 1997 — NESTED IN subqueries
+    decorrelated to semi-join -> grouped HAVING -> semi-join.
+
+    Both IN lists become broadcast joins (part filter is tiny, the
+    qualifying-supplier aggregate is group-count-bounded); lineitem is
+    scanned once."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red_parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        lineitem.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "q_late_suppliers",
+    tags=("join", "window", "analytics"),
+    oracle="""
+        WITH f_lines AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        marked AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS last_ship,
+                   l_shipdate,
+                   COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+            FROM f_lines
+        )
+        SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+        FROM marked JOIN supplier ON s_suppkey = l_suppkey
+        WHERE n_supp > 1 AND l_shipdate = last_ship
+        GROUP BY s_name
+    """,
+)
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style 'suppliers who kept orders waiting' (adapted:
+    no commit/receipt dates, so the culprit is the supplier whose line
+    shipped LAST on a multi-supplier finished order).
+
+    The classic EXISTS / NOT EXISTS pair over lineitem self-joins is
+    re-expressed as two WINDOW functions over a single scan — max
+    shipdate and distinct-supplier count per order — turning three
+    passes over the fact table into one shuffle on l_orderkey."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("last_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+    )
+    return (
+        marked.filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("last_ship")))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
