@@ -194,3 +194,135 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
     )
+
+
+@register(
+    "op_contamination_check",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH bench AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 100 < 2),
+        corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 100 >= 2),
+        bsh AS (
+            SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(t) - 4),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS s
+            FROM bench
+        ),
+        csh AS (
+            SELECT DISTINCT UNNEST(list_transform(range(len(t) - 4),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS s
+            FROM corpus
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               ROUND(SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS contamination
+        FROM bsh b LEFT JOIN csh c ON b.s = c.s
+        GROUP BY b.doc_id
+    """,
+)
+def op_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: for each held-out eval doc
+    (doc_id % 100 < 2), the fraction of its distinct 5-gram shingles
+    that appear anywhere in the training corpus (the other docs).
+
+    This is the standard n-gram-overlap decontamination pass run
+    before training. Scale shape: the corpus side collapses to a
+    DISTINCT shingle set (hashes at 100 TB), the benchmark side is
+    tiny — the join is benchmark-shingle x corpus-shingle-set equi-
+    join, never doc x doc; contamination aggregates per eval doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(terms) - 5),
+        lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 5)),
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 100 < 2)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+    corpus_shingles = (
+        docs.filter(F.col("doc_id") % 100 >= 2)
+        .select(F.explode(shingles).alias("cs"))
+        .distinct()
+    )
+    hit = F.col("cs").isNotNull()
+    return (
+        bench.join(corpus_shingles, F.col("s") == F.col("cs"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_contaminated"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "op_corpus_source_stats",
+    tags=("llm", "corpus"),
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_unique,
+               ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) AS dup_rate,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY source
+    """,
+)
+def op_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: volume, exact-dup rate
+    (via content hash, never comparing text bodies), language spread,
+    mean length — the triage table that decides which crawl sources
+    are worth keeping. One shuffle on the source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "op_embedding_normalize",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH normed AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               ROUND(l2, 6) AS l2_norm,
+               array_to_string(list_transform(e, x -> CAST(FLOOR(127 * x / l2) AS BIGINT)), ',') AS q8
+        FROM normed
+    """,
+)
+def op_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + int8-quantize every embedding — the storage/
+    bandwidth prep step before ANN indexing (4x smaller vectors, and
+    normalized vectors turn cosine into a plain dot product).
+
+    Pure JVM higher-order expressions (transform/aggregate), one
+    narrow pass, no shuffle, no UDF. FLOOR (not round) for the
+    quantizer: floor is identical across engines while half-way
+    rounding is not. Output scalarized (comma-joined) for value
+    hashing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    q8 = F.concat_ws(
+        ",",
+        F.transform(e, lambda x: F.floor(F.lit(127) * x / F.col("l2")).cast("bigint")),
+    )
+    return (
+        emb.withColumn("l2", l2)
+        .select("vec_id", "label", F.round("l2", 6).alias("l2_norm"), q8.alias("q8"))
+    )

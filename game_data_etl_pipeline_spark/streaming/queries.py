@@ -302,3 +302,98 @@ def op_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("total_value"), 2).alias("total_value"),
         F.round(F.max("max_value"), 2).alias("max_value"),
     )
+
+
+@register(
+    "op_stream_static_join",
+    tags=("streaming", "join"),
+    oracle="""
+        SELECT user_id % 5 AS cohort, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def op_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    dimension (user -> cohort), then aggregated per cohort.
+
+    The static side is re-read per micro-batch and broadcast — no
+    stream-side state for the join itself, which is why stream-static
+    is the scale-preferred enrichment (dimension updates are picked up
+    at the next micro-batch; no watermark needed on the dim). State
+    exists only for the downstream aggregate."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.join(F.broadcast(users), "user_id")
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return run_to_memory(agg, output_mode="complete").select(
+        "cohort", "event_type", "n_events", "total_value"
+    )
+
+
+@register(
+    "op_stream_stream_join",
+    tags=("streaming", "join"),
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+               strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join: clicks joined to the same user's
+    purchases within the following 10 minutes — the attribution query.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so each side's buffered state is evicted
+    once the other stream's watermark passes the interval — bounded
+    state on an unbounded stream. Equality on user_id keys the state
+    store; the range predicate filters within the key's buffer."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return run_to_memory(joined, output_mode="append").select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        _fmt(F.col("click_ts"), "click_ts"),
+        _fmt(F.col("purchase_ts"), "purchase_ts"),
+    )
