@@ -249,3 +249,105 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b", "bucket", F.round(cos, 4).alias("cosine"))
     )
+
+
+@register(
+    "op_dedup_clusters",
+    tags=("llm", "dedup", "iterative"),
+    oracle="""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 60),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS shingles
+            FROM toks
+        ),
+        exd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges_half AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges_half
+            UNION ALL SELECT doc_b, doc_a FROM edges_half
+        ),
+        nodes AS (SELECT DISTINCT doc_id FROM toks),
+        reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM nodes
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster_id
+        FROM reach GROUP BY a
+    """,
+)
+def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    near-dup pair graph (3-gram Jaccard >= 0.2, doc_id < 60 window) by
+    iterative min-label propagation — every doc gets the smallest
+    doc_id reachable through dup edges as its cluster id, so a keeper
+    policy ('keep cluster minimum') falls out for free.
+
+    This is the step an LLM dedup pipeline runs AFTER pair generation:
+    pairs alone over-delete (A~B, B~C but A!~C) — clustering keeps one
+    doc per component, not per pair. The loop is a DataFrame-only BSP:
+    each round joins labels to edges, takes the min over neighbors,
+    and localCheckpoints to cut the growing lineage. Converges in
+    O(diameter) rounds (near-dup components are shallow); at 100 TB
+    each round is one shuffle on the edge key, the standard
+    large-star/small-star shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    terms = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(terms) - 3),
+        lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
+    )
+    exd = docs.select("doc_id", F.explode(shingles).alias("s")).dropDuplicates(["doc_id", "s"])
+    sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = exd.alias("a"), exd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    edges_half = (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jaccard >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    edges = edges_half.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges_half.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        neighbor_min = (
+            labels.join(edges, F.col("doc_id") == F.col("dst"))
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -183,3 +183,33 @@ def op_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(_CSV_CACHE[key])
         .select("event_id", "event_type", F.round("value", 4).alias("val"))
     )
+
+
+_ORC_CACHE: dict[str, str] = {}
+
+
+@register(
+    "op_scan_orc",
+    tags=("source",),
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+        FROM supplier
+    """,
+)
+def op_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: parquet -> ORC -> scan. ORC is the
+    second columnar interchange format a complete engine reads and
+    writes natively (Hive-ecosystem handoff); types, predicate
+    pushdown and column pruning work exactly as with parquet —
+    Catalyst treats both as v1/v2 FileScan sources."""
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    key = f"{sf_dir}"
+    if key not in _ORC_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="orc_src_"), "supplier_orc")
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(d)
+        _ORC_CACHE[key] = d
+    return (
+        spark.read.orc(_ORC_CACHE[key])
+        .select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal"))
+    )
