@@ -158,3 +158,43 @@ def test_subquery_decorrelation_no_nested_loop(spark):
     for name in ("q_small_qty_revenue", "q_top_supplier"):
         f = I.facts(SPECS[name].fn(spark, SF))
         assert all("NestedLoop" not in j and "Cartesian" not in j for j in f.joins), (name, f.joins)
+
+
+def test_embedding_cosine_pair_join_is_hash_not_bnlj(spark):
+    """Round-2 fix contract: the near-dup PAIR join must meet on the
+    bucket key (SortMerge/ShuffledHash), never as an all-pairs
+    BroadcastNestedLoopJoin over the vectors. The only permissible
+    nested-loop is the tiny broadcast centroid-assignment cross join
+    (bounded by k centroids, not by n²)."""
+    f = I.facts(SPECS["op_dedup_embedding_cosine"].fn(spark, SF))
+    hash_joins = [j for j in f.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
+    assert hash_joins, f"pair join is not a hash join: {f.joins}"
+
+
+def test_new_analytics_no_nested_loop(spark):
+    """Round-2 TPC-H shapes must all decorrelate/compile to hash joins
+    (the 1-row global-total broadcast in q_important_parts is the one
+    sanctioned cross join — a single-row build side, not O(n·m))."""
+    for name in ("q_product_profit", "q_supplier_part_counts", "q_promo_suppliers", "q_late_suppliers"):
+        f = I.facts(SPECS[name].fn(spark, SF))
+        assert all("NestedLoop" not in j and "Cartesian" not in j for j in f.joins), (name, f.joins)
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """TPC-H-q6 shape: every predicate must reach the parquet scan."""
+    f = I.facts(SPECS["q_forecast_revenue"].fn(spark, SF))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in p for p in f.pushed_filters), (col, f.pushed_filters)
+
+
+def test_product_profit_broadcasts_dims(spark):
+    """q9 shape: part/supplier/nation are broadcast; lineitem-orders is
+    the only shuffled join."""
+    f = I.facts(SPECS["q_product_profit"].fn(spark, SF))
+    assert "BroadcastHashJoin" in f.joins, f.joins
+
+
+def test_embedding_normalize_no_shuffle(spark):
+    """Normalization+quantization is a narrow map — zero exchanges."""
+    f = I.facts(SPECS["op_embedding_normalize"].fn(spark, SF))
+    assert f.exchanges == 0, f.exchanges
