@@ -12,10 +12,11 @@ Scale shapes:
   a shingle) — at 100 TB this is the verifier you run AFTER a
   candidate filter, not the filter;
 - MinHash-LSH IS that filter: fixed-seed signatures, banded join,
-  candidates only (MLlib; rows-only check);
-- SimHash: 16-bit xxhash64 sign-aggregate signature per doc —
-  near-dup candidates share a bucket (rows-only: hash values are
-  engine-specific);
+  candidates only (MLlib variant rows-only; the transparent
+  md5-family banded variant is fully value-oracled);
+- SimHash: 16-bit md5-derived sign-aggregate signature per doc —
+  near-dup candidates share a bucket (value-oracled; xxhash64 is the
+  faster Spark-only drop-in);
 - embedding cosine near-dup: threshold pairs among a bounded window
   (the exact variant; the ANN path lives in similarity.py).
 """
@@ -157,21 +158,42 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_dedup_simhash",
     tags=("llm", "dedup"),
-    doc="""16-bit SimHash signatures via xxhash64 term hashes (sign-sum
-    per bit, reassembled). Rows-only: xxhash64 is Spark-specific.
-    Bucket-collision pairs are the near-dup candidates.""",
+    oracle="""
+        WITH terms AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) AS h FROM terms
+        ),
+        bits AS (
+            SELECT doc_id, UNNEST(range(16)) AS bit, h FROM hashed
+        ),
+        votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+            FROM bits GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS INT) AS simhash16
+        FROM votes GROUP BY doc_id
+    """,
 )
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-term 64-bit hashes vote ±1 on each of 16 signature
-    bits; the signature is the sign vector packed to an int.
+    """SimHash: per-term hashes vote ±1 on each of 16 signature bits;
+    the signature is the sign vector packed to an int.
 
+    The term hash is the first 32 bits of md5 — engine-portable, so
+    the full signature is VALUE-ORACLED against DuckDB (xxhash64 is
+    the faster Spark-only alternative; swapping the hash is one line).
     Pure DataFrame ops: explode(term) x posexplode(bit) is 16 rows per
     term — at 100 TB this becomes a pandas_udf packing bits per
     partition, same signature contract.
     """
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    hashed = terms.select("doc_id", F.xxhash64("term").alias("h"))
+    hashed = terms.select(
+        "doc_id", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
     bits = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
@@ -351,3 +373,77 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@register(
+    "op_dedup_minhash_banded",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH terms AS (
+            SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 200
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   MIN(CAST(('0x' || substring(md5(term || '#0'), 1, 8)) AS BIGINT)) AS s0,
+                   MIN(CAST(('0x' || substring(md5(term || '#1'), 1, 8)) AS BIGINT)) AS s1,
+                   MIN(CAST(('0x' || substring(md5(term || '#2'), 1, 8)) AS BIGINT)) AS s2,
+                   MIN(CAST(('0x' || substring(md5(term || '#3'), 1, 8)) AS BIGINT)) AS s3,
+                   MIN(CAST(('0x' || substring(md5(term || '#4'), 1, 8)) AS BIGINT)) AS s4,
+                   MIN(CAST(('0x' || substring(md5(term || '#5'), 1, 8)) AS BIGINT)) AS s5,
+                   MIN(CAST(('0x' || substring(md5(term || '#6'), 1, 8)) AS BIGINT)) AS s6,
+                   MIN(CAST(('0x' || substring(md5(term || '#7'), 1, 8)) AS BIGINT)) AS s7
+            FROM terms GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band, s0 || '_' || s1 AS bv FROM sigs
+            UNION ALL SELECT doc_id, 1, s2 || '_' || s3 FROM sigs
+            UNION ALL SELECT doc_id, 2, s4 || '_' || s5 FROM sigs
+            UNION ALL SELECT doc_id, 3, s6 || '_' || s7 FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    """,
+)
+def op_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent banded MinHash-LSH, VALUE-ORACLED end to end: 8
+    deterministic hash functions (first 32 bits of md5(term + '#j') —
+    the same family both engines compute bit-identically), signatures
+    as per-doc minima, 4 bands of 2 rows, candidate pairs = docs
+    colliding on any full band value.
+
+    Complements op_dedup_minhash (MLlib, rows-only): same banding math
+    the library hides, but every intermediate is cross-checkable. The
+    scale shape is identical — fixed-width signatures, equi-join on
+    (band, band_value), only bucket collisions materialize; candidate
+    count is tuned by the band/row split (b=4,r=2 here: catches
+    J>=~0.5 pairs with high probability)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    terms = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    h = lambda j: F.min(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#{j}"))), 1, 8), 16, 10).cast("bigint")
+    ).alias(f"s{j}")
+    sigs = terms.groupBy("doc_id").agg(*[h(j) for j in range(8)])
+    band_cols = [
+        F.concat_ws("_", F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(f"b{b}") for b in range(4)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    bands = None
+    for b in range(4):
+        part = banded.select("doc_id", F.lit(b).alias("band"), F.col(f"b{b}").alias("bv"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
