@@ -318,3 +318,26 @@ def op_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_quantity"), 2).alias("median_qty"),
         F.round(F.median("l_extendedprice"), 3).alias("median_price"),
     )
+
+
+@register(
+    "op_agg_histogram",
+    tags=("agg",),
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS bucket_total
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def op_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket index by integer division, one
+    hash-aggregate pass. The fixed width (vs quantile buckets) is the
+    scale choice — no global pre-pass, buckets stable as data grows,
+    and the shuffle carries one row per non-empty bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("bucket_total"))
+    )

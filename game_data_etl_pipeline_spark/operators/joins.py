@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.catalog import load_table, register_views
 from game_data_etl_pipeline_spark.registry import register
 
 
@@ -192,4 +192,44 @@ def op_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(F.broadcast(bands), (events.value >= bands.lo) & (events.value < bands.hi))
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "op_join_lateral",
+    tags=("join", "subquery"),
+    oracle="""
+        SELECT c_custkey, m.max_price, m.n_orders
+        FROM customer
+        JOIN LATERAL (
+            SELECT ROUND(MAX(o_totalprice), 2) AS max_price,
+                   COUNT(*) AS n_orders
+            FROM orders WHERE o_custkey = c_custkey
+        ) m ON TRUE
+        WHERE c_custkey < 200
+    """,
+)
+def op_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL surface): each customer row
+    feeds a dependent aggregate over their own orders.
+
+    Catalyst DECORRELATES the lateral into a grouped aggregate joined
+    on the correlation key — same rewrite q_small_qty_revenue does by
+    hand, here proven at the SQL layer. A per-row re-execution of the
+    subquery (the naive reading) would be a nested loop over orders;
+    the planned form is one aggregate + one hash join at any scale.
+    Aggregate-only lateral yields exactly one row per customer, so the
+    join keeps no-order customers too (COUNT(*)=0, NULL max)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, m.max_price, m.n_orders
+        FROM customer
+        JOIN LATERAL (
+            SELECT ROUND(MAX(o_totalprice), 2) AS max_price,
+                   COUNT(*) AS n_orders
+            FROM orders WHERE o_custkey = c_custkey
+        ) m
+        WHERE c_custkey < 200
+        """
     )

@@ -266,3 +266,40 @@ def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("val"),
         F.lead("event_id").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "op_window_range_interval",
+    tags=("window", "timeseries"),
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               ROUND(SUM(value) OVER w, 2) AS sum_1h
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def op_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, rolling 1-hour count/sum over
+    EVENT TIME — the batch twin of a sliding streaming window.
+
+    RANGE (value-based) frames, unlike ROWS frames, are defined by the
+    ordering value so ties are peers and gaps shrink the frame — the
+    correct semantics for irregular event streams. Ordered on epoch
+    MICROseconds to match timestamp-interval arithmetic exactly. One
+    shuffle on user_id; frame state is bounded by the hour span."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
