@@ -341,3 +341,32 @@ def op_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("bucket_total"))
     )
+
+
+@register(
+    "op_agg_percentile_approx",
+    tags=("agg", "approx"),
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(MEDIAN(o_totalprice), 4) AS exact_median,
+               TRUE AS within_tol
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def op_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch): bounded-state,
+    MERGEABLE quantiles — map-side sketches combine associatively, so
+    the shuffle carries one sketch per partition, the property exact
+    percentile lacks at 100 TB.
+
+    Oracle strategy mirrors op_agg_approx_distinct: emit the exact
+    median (hash-comparable) plus a within_tol boolean pinning the
+    sketch to ±2% of exact; the oracle asserts TRUE."""
+    orders = load_table(spark, sf_dir, "orders")
+    approx = F.percentile_approx("o_totalprice", 0.5, 10000)
+    exact = F.percentile("o_totalprice", 0.5)
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) <= 0.02 * exact).alias("within_tol"),
+    )

@@ -758,3 +758,46 @@ def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+@register(
+    "q_event_funnel",
+    tags=("agg", "analytics", "events"),
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM firsts
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per user,
+    the FIRST occurrence of each stage must be in causal order.
+
+    One conditional-MIN aggregate per user (single shuffle), then a
+    1-row conditional count — the product-analytics staple expressed
+    without self-joins: a 3-way self-join funnel is O(events²) per
+    user, the conditional-aggregate form is O(events)."""
+    events = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = events.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"),
+    )

@@ -397,3 +397,108 @@ def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.col("click_ts"), "click_ts"),
         _fmt(F.col("purchase_ts"), "purchase_ts"),
     )
+
+
+@register(
+    "op_stream_transform_with_state",
+    tags=("streaming", "stateful"),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def op_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas —
+    Spark 4's successor to applyInPandasWithState: typed state
+    handles (ValueState/ListState/MapState), timers, and a processor
+    lifecycle instead of one opaque tuple.
+
+    Per-user running (count, sum) kept in a ValueState; the fixture
+    replay's final row per user equals the batch aggregate, which the
+    oracle pins. Requires the RocksDB state store provider (set
+    per-session below) — which is also the 100 TB answer: state
+    spills to disk per partition instead of living on the JVM heap,
+    and changelog checkpointing keeps commits incremental.
+
+    GATED: the transformWithState protocol needs google.protobuf,
+    which this container lacks — in that case the same keyed-state
+    semantics run through applyInPandasWithState (the pre-4.x API),
+    so the operator's contract holds everywhere and the new API
+    engages wherever protobuf exists.
+    """
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — twS state protocol dependency
+        _HAS_TWS = True
+    except ImportError:
+        _HAS_TWS = False
+
+    if not _HAS_TWS:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        stream = events_stream(spark, sf_dir).select("user_id", "value")
+
+        def update(key, pdfs, state: GroupState):
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+        result = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        final = run_to_memory(result, output_mode="update")
+        return final.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+        def close(self) -> None:
+            pass
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    result = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    final = run_to_memory(result, output_mode="update")
+    # availableNow may split the fixture into several micro-batches;
+    # cumulative rows are monotone, so max() recovers the final state
+    return final.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )
