@@ -192,3 +192,51 @@ def op_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("width") * scale).cast("int").alias("out_width"),
         F.round(F.col("height") * scale).cast("int").alias("out_height"),
     )
+
+
+@register(
+    "op_multimodal_audio_rms",
+    tags=("llm", "multimodal"),
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, text, UNNEST(range(len(text))) AS i FROM documents
+        )
+        SELECT doc_id,
+               CAST(i // 256 AS INT) AS win,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               ROUND(sqrt(AVG((ord(substring(text, CAST(i AS INT) + 1, 1)) - 128.0) ** 2)), 4) AS rms
+        FROM chars
+        GROUP BY doc_id, i // 256
+    """,
+)
+def op_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over an opaque audio payload via mapInPandas: the
+    payload bytes stand in for 8-bit PCM samples (center 128), chunked
+    into 256-sample windows, RMS per window — the loudness-profile
+    feature extraction a real audio pipeline runs per clip.
+
+    The Arrow batch iteration, numpy vectorization per partition, and
+    typed output schema are the production plumbing; only the 'PCM'
+    interpretation is the container-imposed fake (the fixture payload
+    is ASCII text, so the DuckDB oracle can mirror the byte values via
+    ord()). Payloads never hit the driver."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def rms_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_win, out_n, out_rms = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+                for w in range(0, len(samples), 256):
+                    chunk = samples[w : w + 256]
+                    out_doc.append(doc_id)
+                    out_win.append(w // 256)
+                    out_n.append(len(chunk))
+                    out_rms.append(round(float(np.sqrt(np.mean(chunk**2))), 4))
+            yield pd.DataFrame({"doc_id": out_doc, "win": out_win, "n_samples": out_n, "rms": out_rms})
+
+    return docs.mapInPandas(rms_windows, "doc_id long, win int, n_samples long, rms double")

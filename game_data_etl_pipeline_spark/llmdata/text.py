@@ -226,3 +226,25 @@ def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("doc_md5"),
         F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("min_shingle_md5"),
     )
+
+
+@register(
+    "op_text_normalize",
+    tags=("llm", "text"),
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS clean_text
+        FROM documents
+    """,
+)
+def op_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics,
+    collapse runs of spaces, trim — the pre-tokenization cleanup pass.
+    All JVM-side regexp_replace (whole-stage codegen, no Python); at
+    100 TB this is a narrow map fused into whatever follows it."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return docs.select("doc_id", clean.alias("clean_text"))

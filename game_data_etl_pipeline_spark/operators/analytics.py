@@ -801,3 +801,64 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
         F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q_sessionize_batch",
+    tags=("window", "analytics", "events"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+                   event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(COUNT(*) * 1.0 / MAX(session_id), 4) AS events_per_session
+        FROM sessions
+        GROUP BY user_id
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions per user via
+    lag + running flag-sum (the classic two-window rewrite), reduced
+    to per-user session stats.
+
+    Same semantics as the streaming session window
+    (op_stream_session) computed at rest — one shuffle on user_id
+    serves both window functions AND the final aggregate, since all
+    three share the partition key."""
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (F.col("ts") > F.lag("ts").over(w_order) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.count(F.lit(1)) / F.max("session_id"), 4).alias("events_per_session"),
+    )

@@ -89,3 +89,26 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     # lang can overshoot only by the straddling doc, never undershoot 0
     for r in rows:
         assert r.pack_tokens > 0
+
+
+def test_dedup_clusters_are_consistent_components(spark, sf_dir):
+    """Connected-components invariants: (a) both endpoints of every
+    near-dup edge land in the same cluster; (b) each cluster's id is
+    the minimum doc_id among its members (the keeper policy)."""
+    from game_data_etl_pipeline_spark.registry import all_specs
+
+    specs = all_specs()
+    labels = {r.doc_id: r.cluster_id for r in specs["op_dedup_clusters"].fn(spark, sf_dir).collect()}
+    # recover the edge set at the same threshold the operator uses
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in specs["op_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.2
+    ]
+    for a, b in pairs:
+        assert labels[a] == labels[b], f"edge ({a},{b}) split across clusters"
+    members: dict[int, list[int]] = {}
+    for doc, cl in labels.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs), f"cluster {cl} is not the min of {sorted(docs)[:5]}..."
