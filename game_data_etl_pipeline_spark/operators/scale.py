@@ -366,3 +366,40 @@ def op_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "op_join_dpp",
+    tags=("join", "scale"),
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    """,
+)
+def op_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned on the
+    join key (event_type), the dim side's filter is on a DIFFERENT
+    column (is_conversion) — so no static pushdown is possible, and
+    Catalyst instead injects a runtime subquery
+    (dynamicpruningexpression) that reads the filtered dim first and
+    prunes fact PARTITIONS before scanning them.
+
+    This is the third leg of the pruning story next to static
+    partition pruning (op_sink_partition_prune) and row-group
+    predicate pushdown: at 100 TB a date/type-partitioned fact joined
+    to a filtered dimension reads only the matching directories, and
+    nothing in the query spells the partition list out."""
+    fact = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 1), ("view", 0), ("signup", 0), ("error", 0)],
+        "etype string, is_conversion int",
+    ).filter(F.col("is_conversion") == 1)
+    return (
+        fact.join(F.broadcast(dim), F.col("event_type") == F.col("etype"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

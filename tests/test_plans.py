@@ -198,3 +198,17 @@ def test_embedding_normalize_no_shuffle(spark):
     """Normalization+quantization is a narrow map — zero exchanges."""
     f = I.facts(SPECS["op_embedding_normalize"].fn(spark, SF))
     assert f.exchanges == 0, f.exchanges
+
+
+def test_dpp_join_injects_runtime_partition_filter(spark):
+    """op_join_dpp: the dim filter is on a non-join column, so the only
+    way the fact scan skips partitions is a runtime
+    dynamicpruningexpression — assert Catalyst injected one."""
+    import contextlib
+    import io
+
+    df = SPECS["op_join_dpp"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    assert "dynamicpruning" in buf.getvalue().lower()
