@@ -248,3 +248,125 @@ def op_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
     )
     return docs.select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "op_text_tfidf",
+    tags=("llm", "text"),
+    oracle="""
+        WITH terms AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM terms GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * LN((SELECT n_docs FROM n) * 1.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term)
+    """,
+)
+def op_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(document, term) TF-IDF: split + explode + two aggregations.
+
+    Scale shape: term frequencies shuffle on (doc_id, term) once;
+    document frequency is a re-aggregation of that result on term
+    alone (no second pass over the text); the vocabulary and the
+    corpus size are broadcast back — the 100 TB corpus is scanned
+    exactly once and full text never shuffles, only (doc_id, term)
+    pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_terms()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "op_text_repetition",
+    tags=("llm", "text"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        base AS (
+            SELECT doc_id, w,
+                   ROUND(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac,
+                   len(w) - 1 AS n_bigrams
+            FROM t
+        ),
+        bg AS (
+            SELECT doc_id, dup_word_frac, n_bigrams,
+                   w[p + 1] || ' ' || w[p + 2] AS bigram
+            FROM base, UNNEST(range(len(w) - 1)) AS u(p)
+        ),
+        cnt AS (
+            SELECT doc_id, dup_word_frac, n_bigrams, bigram, COUNT(*) AS c
+            FROM bg GROUP BY ALL
+        )
+        SELECT doc_id, dup_word_frac,
+               ROUND(MAX(c) * 1.0 / n_bigrams, 4) AS top_bigram_frac
+        FROM cnt
+        GROUP BY doc_id, dup_word_frac, n_bigrams
+    """,
+)
+def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): fraction of repeated
+    words and the share of the document covered by its single most
+    frequent bigram — high values flag boilerplate / spam for corpus
+    filtering.
+
+    The bigram list is built with a higher-order ``transform`` over the
+    token array (JVM-side, no Python); only (doc_id, bigram) pairs
+    shuffle, never document bodies, and both signals ride the same
+    single corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _terms()
+    n = F.size(terms)
+    dup_word_frac = F.round(F.lit(1.0) - F.size(F.array_distinct(terms)) / n, 4)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        dup_word_frac.alias("dup_word_frac"),
+        (n - 1).alias("n_bigrams"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    cnt = base.groupBy("doc_id", "dup_word_frac", "n_bigrams", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        cnt.groupBy("doc_id", "dup_word_frac", "n_bigrams")
+        .agg(F.max("c").alias("top_c"))
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            F.round(F.col("top_c") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        )
+    )

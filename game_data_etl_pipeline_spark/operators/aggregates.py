@@ -370,3 +370,55 @@ def op_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 4).alias("exact_median"),
         (F.abs(approx - exact) <= 0.02 * exact).alias("within_tol"),
     )
+
+
+@register(
+    "op_agg_rollup_merge",
+    tags=("agg", "scale"),
+    oracle="""
+        SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY ALL
+    """,
+)
+def op_agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup re-aggregation: events are first
+    aggregated to an HOURLY rollup (count / sum / min / max — all
+    mergeable partials), then the hourly rows are merged into DAILY
+    figures, with avg recomputed from sum/count rather than averaged.
+
+    The oracle is the direct daily aggregate, proving the two-level
+    merge is lossless. This is the continuous-aggregate pattern at
+    100 TB: the hourly rollup is tiny (O(hours × types)), is the only
+    thing long queries re-read, and any coarser grain derives from it
+    without touching raw events — provided every stored measure is a
+    mergeable partial, which this operator demonstrates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("total_value"),
+            (F.round(F.sum("s"), 2) / F.sum("c")).alias("avg_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )

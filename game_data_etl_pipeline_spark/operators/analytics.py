@@ -862,3 +862,63 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.count(F.lit(1)) / F.max("session_id"), 4).alias("events_per_session"),
     )
+
+
+@register(
+    "op_window_session_native",
+    tags=("window", "analytics", "events"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+                   event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def op_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH: Spark's built-in
+    gap-merging session grouping (the same primitive the streaming
+    engine uses) applied at rest — one shuffle on user_id, sessions
+    merged inside the aggregation operator with no window functions.
+
+    Semantics pinned by the oracle: a session closes when the next
+    event is >= 30 minutes after the previous one (session end =
+    last event + gap, merge only while next.start < end). Contrast
+    with q_sessionize_batch, which derives the same sessions via the
+    lag + running-sum rewrite; at 100 TB the native form is
+    preferable because it needs no total order per user beyond the
+    aggregation sort and exposes the gap to the planner.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

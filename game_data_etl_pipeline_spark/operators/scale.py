@@ -403,3 +403,42 @@ def op_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "op_join_bloom",
+    tags=("join", "scale"),
+    oracle="""
+        SELECT p.p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               ROUND(SUM(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size = 1
+        GROUP BY p.p_type
+    """,
+)
+def op_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension fact join — the shape where Spark's RUNTIME
+    bloom filter pays off. At fixture scale the filtered `part` side
+    broadcasts (the right plan). At 100 TB, when the build side
+    exceeds the broadcast threshold and the join must shuffle, AQE
+    injects a bloom_filter_agg over the filtered dim and a
+    might_contain predicate into the lineitem scan, so most fact rows
+    die BEFORE the shuffle — a semi-join reduction the query never
+    spells out. tests/test_plans.py pins that injection by forcing
+    the shuffle-join regime (thresholds to 0) and asserting the
+    bloom filter appears in the optimized plan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

@@ -212,3 +212,38 @@ def test_dpp_join_injects_runtime_partition_filter(spark):
     with contextlib.redirect_stdout(buf):
         df.explain(True)
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_bloom_filter_injected_in_shuffle_join_regime(spark):
+    """op_join_bloom: force the 100 TB regime (no broadcast, bloom
+    thresholds at zero) and assert Catalyst injects the runtime bloom
+    filter (bloom_filter_agg build + might_contain probe) that kills
+    fact rows before the shuffle."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creation threshold is a MAXIMUM build-side size; application
+        # threshold is a MINIMUM probe-side size — relax both so the
+        # sf0.01 fixture falls inside the injection window.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = SPECS["op_join_bloom"].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan[-2000:]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
