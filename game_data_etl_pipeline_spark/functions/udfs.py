@@ -126,3 +126,56 @@ def op_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="p_partkey long, p_retailprice double, price_offset double",
     )
     return out.select("p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), "price_offset")
+
+
+def _make_tokenize_udtf():
+    """Python UDTF (Spark 3.5+): one input row -> many output rows.
+
+    Built lazily for the same session-resolution reason as the pandas
+    UDFs above. The UDTF is the table-valued rung of the UDF ladder:
+    use it when a custom expansion has no `explode`-expressible form;
+    here tokenization IS explode-expressible, which is what makes it
+    oracle-checkable.
+    """
+    from pyspark.sql.functions import udtf
+
+    class Tokenize:
+        def eval(self, doc_id, text):
+            for pos, token in enumerate((text or "").split(" ")):
+                if token:
+                    yield doc_id, pos, token
+
+    return udtf(Tokenize, returnType="doc_id bigint, pos int, token string")
+
+
+@register(
+    "op_udtf_lateral",
+    tags=("udf",),
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id, CAST(p AS INTEGER) AS pos, w[p + 1] AS token
+        FROM t, UNNEST(range(len(w))) AS u(p)
+        WHERE w[p + 1] <> ''
+    """,
+)
+def op_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied via SQL LATERAL: each document row fans out
+    to (doc_id, pos, token) rows, correlated on the outer row's
+    columns — the table-function surface (completes the UDF ladder:
+    scalar pandas, grouped agg, mapInPandas, UDTF).
+
+    Scale note: a UDTF runs row-at-a-time in Python workers, so in a
+    real pipeline this exact expansion should be the built-in
+    posexplode(split(...)) (see op_posexplode_array); the operator
+    exists to pin the API surface and its exact explode equivalence,
+    not as a hot path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize_udtf", _make_tokenize_udtf())
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+        """
+    )

@@ -422,3 +422,58 @@ def op_agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+@register(
+    "op_agg_hll_merge",
+    tags=("agg", "scale"),
+    oracle="""
+        SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS within_tol
+        FROM events
+        GROUP BY ALL
+    """,
+)
+def op_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL: hourly
+    ``hll_sketch_agg(user_id)`` sketches are unioned into daily
+    estimates with ``hll_union_agg`` — the one aggregate
+    ``op_agg_rollup_merge`` cannot cover, because COUNT(DISTINCT) is
+    not a mergeable partial but an HLL sketch is.
+
+    At 100 TB this is the only viable shape for distinct users over
+    arbitrary grains: the hourly sketch table is O(hours x types x
+    sketch_size) bytes, re-aggregates to day/week/month without
+    touching raw events, and the union is associative so AQE can
+    combine partials anywhere. The oracle pins the exact daily
+    distinct count; the query itself asserts the merged estimate
+    lands within HLL's error envelope (lgConfigK=12 -> ~1.6% rse;
+    5% tolerance) and returns the exact value, so the driver hash
+    check stays deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_est = (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return exact.join(daily_est, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )

@@ -442,3 +442,123 @@ def op_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "op_timeseries_interpolate",
+    tags=("timeseries", "scale"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                   date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT t.bucket, et.event_type
+            FROM bounds,
+                 UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(bucket),
+                 (SELECT DISTINCT event_type FROM events) AS et
+        ),
+        observed AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   event_type, COUNT(*) * 1.0 AS v
+            FROM events
+            WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP))::INT % 3 = 0
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT s.bucket, s.event_type, o.v
+            FROM spine s LEFT JOIN observed o
+              ON s.bucket = o.bucket AND s.event_type = o.event_type
+        ),
+        f AS (
+            SELECT bucket, event_type, v,
+                   LAST_VALUE(v IGNORE NULLS) OVER w_prev AS prev_v,
+                   LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                       OVER w_prev AS prev_t,
+                   FIRST_VALUE(v IGNORE NULLS) OVER w_next AS next_v,
+                   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                       OVER w_next AS next_t
+            FROM j
+            WINDOW w_prev AS (PARTITION BY event_type ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY event_type ORDER BY bucket
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               prev_v AS locf_value,
+               ROUND(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v)
+                        * (epoch(bucket) - epoch(prev_t))
+                        / (epoch(next_t) - epoch(prev_t))
+               END, 4) AS interp_value
+        FROM f
+    """,
+)
+def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap interpolation over a sparse hourly series: observations are
+    artificially thinned to every third hour (a deterministic stand-in
+    for sparse sensors), then missing hours are filled two ways —
+    last-observation-carried-forward and linear interpolation between
+    the surrounding observations.
+
+    Pure window algebra on the gap-filled spine: prev/next observation
+    value and time come from ``last(ignorenulls)`` /
+    ``first(ignorenulls)`` frames, so the fill is one shuffle on
+    event_type (the spine is already tiny) with no self-join and no
+    Python. The same two-frame trick carries to any
+    carry-forward/lerp fill at 100 TB because state per group is O(1).
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    ).crossJoin(events.select("event_type").distinct())
+    observed = (
+        events.filter(F.hour("ts") % 3 == 0)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    j = F.broadcast(spine).join(observed, ["bucket", "event_type"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    f = j.select(
+        "bucket",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    frac = (
+        F.unix_timestamp("bucket") - F.unix_timestamp("prev_t")
+    ) / (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return f.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("prev_v").alias("locf_value"),
+        F.round(interp, 4).alias("interp_value"),
+    )
