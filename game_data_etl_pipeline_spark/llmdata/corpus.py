@@ -326,3 +326,74 @@ def op_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn("l2", l2)
         .select("vec_id", "label", F.round("l2", 6).alias("l2_norm"), q8.alias("q8"))
     )
+
+
+@register(
+    "q_corpus_pipeline",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        WITH dedup AS (
+            SELECT doc_id, text, lang, n_chars
+            FROM (
+                SELECT doc_id, text, lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        quality AS (
+            SELECT doc_id, text, lang FROM dedup
+            WHERE len(string_split(text, ' ')) >= 20
+              AND n_chars >= 100
+              AND len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')) >= 0.3
+        ),
+        sampled AS (
+            SELECT doc_id, text, lang FROM quality
+            WHERE {_duck_draw('strat:')} < CASE lang
+                {" ".join(f"WHEN '{lang}' THEN '{hx}'" for lang, (hx, _) in LANG_FRACTIONS.items())}
+                ELSE '00000000' END
+        )
+        SELECT lang,
+               CASE WHEN {_duck_draw('split:')} < '{TRAIN_THRESHOLD}'
+                    THEN 'train' ELSE 'val' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM sampled
+        GROUP BY 1, 2
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus-construction pipeline: exact dedup -> quality
+    gate -> per-language stratified downsample -> deterministic
+    train/val split -> per-(lang, split) doc and token budget. One
+    composed DataFrame chaining the stages the standalone ops pin
+    individually — proving the stages compose without materialization
+    barriers.
+
+    Plan shape at 100 TB: the only wide stages are the dedup window
+    (one shuffle on md5(text) — could swap to groupBy-min for the
+    pure-dedup case) and the final tiny aggregation; quality, sampling
+    and split are all narrow row-local predicates on content hashes,
+    so they fuse into the scan and drop most rows BEFORE the shuffle
+    the dedup needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    terms = F.split(F.col("text"), " ")
+    n_tokens = F.size(terms)
+    ttr = F.size(F.array_distinct(terms)) / n_tokens
+    quality = dedup.filter(
+        (n_tokens >= 20) & (F.col("n_chars") >= 100) & (ttr >= 0.3)
+    )
+    thr = F.lit("00000000")
+    for lang, (hx, _) in LANG_FRACTIONS.items():
+        thr = F.when(F.col("lang") == lang, hx).otherwise(thr)
+    sampled = quality.filter(_draw("strat:") < thr)
+    split = F.when(_draw("split:") < TRAIN_THRESHOLD, "train").otherwise("val")
+    return sampled.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )

@@ -213,3 +213,66 @@ def op_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.orc(_ORC_CACHE[key])
         .select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal"))
     )
+
+
+_MERGE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "op_scan_merge_schema",
+    tags=("source", "scale"),
+    oracle="""
+        WITH v1 AS (
+            SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+        ),
+        v2 AS (
+            SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1
+        ),
+        merged AS (
+            SELECT event_id, event_type, NULL::DOUBLE AS value FROM v1
+            UNION ALL
+            SELECT event_id, event_type, value FROM v2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(value) AS BIGINT) AS n_with_value,
+               ROUND(SUM(value), 2) AS total_value
+        FROM merged
+        GROUP BY event_type
+    """,
+)
+def op_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet directory: an old writer emitted
+    (event_id, event_type), a newer one added `value`; a single
+    ``mergeSchema`` read reconciles both generations, surfacing the
+    missing column as NULL — the drift every long-lived 100 TB lake
+    accumulates.
+
+    Scale notes: mergeSchema footer-merging costs one pass over file
+    footers (not data) and is off by default for that reason — turn it
+    on per-read exactly like this, or pin the merged schema in a
+    catalog once known. Column pruning and pushdown still apply per
+    file; files lacking a pruned column short-circuit to NULL without
+    I/O.
+    """
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    key = f"{sf_dir}"
+    if key not in _MERGE_CACHE:
+        base = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "events_evolved")
+        events = load_table(spark, sf_dir, "events")
+        events.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        ).write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+        events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+        _MERGE_CACHE[key] = base
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(_MERGE_CACHE[key])
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
