@@ -299,3 +299,38 @@ def op_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("p_brand"), F.lit("Brand#13")).alias("brand_edit_dist"),
         F.levenshtein(F.lower("p_type"), F.lit("promo")).alias("type_edit_dist"),
     )
+
+
+@register(
+    "op_variant_shred",
+    tags=("json", "scalar"),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def op_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` ingests
+    props into the binary Variant encoding once, ``variant_get``
+    shreds typed fields out of it — the open-format answer to schema-
+    on-read JSON at scale.
+
+    Contrast with op_json_fns (get_json_object): that re-parses the
+    JSON text per extraction; Variant parses ONCE into a binary tree
+    and every ``variant_get`` is a cheap offset walk, the right trade
+    when a 100 TB events table is queried on many paths. Values are
+    pinned to the text-JSON oracle, proving the encoding round-trips.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

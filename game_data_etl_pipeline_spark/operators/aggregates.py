@@ -477,3 +477,35 @@ def op_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_tol"),
     )
+
+
+@register(
+    "op_agg_topk_sketch",
+    tags=("agg", "scale"),
+    oracle="""
+        SELECT event_type AS item,
+               CAST(COUNT(*) AS BIGINT) AS est_count
+        FROM events
+        GROUP BY event_type
+        ORDER BY est_count DESC
+        LIMIT 3
+    """,
+)
+def op_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4): a single
+    bounded-memory aggregate tracks the most frequent items, then the
+    sketch unnests to (item, est_count) rows.
+
+    When the tracked-item budget covers the true cardinality (here: 5
+    event types, default budget 10k) the sketch is exact, which is
+    what lets the oracle pin values; past the budget it degrades to
+    approximate counts with the same O(budget) state per partition —
+    the property that makes global top-k on a 100 TB key space
+    feasible without a full groupBy of every key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sk = events.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("est_count"),
+    )

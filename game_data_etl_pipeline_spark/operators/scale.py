@@ -562,3 +562,131 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_v").alias("locf_value"),
         F.round(interp, 4).alias("interp_value"),
     )
+
+
+_MULTIFILE_CACHE: dict[str, str] = {}
+
+
+def _multifile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem rewritten once per (process, sf) as 16 parquet files —
+    the multi-mapper layout every real table has."""
+    if sf_dir not in _MULTIFILE_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="multifile_"), "lineitem16")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).repartition(16).write.mode("overwrite").parquet(d)
+        _MULTIFILE_CACHE[sf_dir] = d
+    return spark.read.parquet(_MULTIFILE_CACHE[sf_dir])
+
+
+@register(
+    "op_join_skew_aqe",
+    tags=("join", "scale"),
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+                        ELSE l_orderkey % 997 END AS k,
+                   l_extendedprice
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT range AS k,
+                   CASE WHEN range = 0 THEN 'hot' ELSE 'cold' END AS label
+            FROM range(997)
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM fact JOIN dim USING (k)
+        GROUP BY label
+    """,
+)
+def op_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed equi-join left to ADAPTIVE remediation: ~75% of fact rows
+    share one hot key. At fixture scale the tiny dim broadcasts (skew
+    is then irrelevant — broadcast joins never shuffle the fact). In
+    the forced shuffle-join regime, AQE's OptimizeSkewedJoin splits
+    the hot partition into advisory-sized slices at runtime
+    (tests/test_plans.py pins `skew=true` in the final adaptive plan)
+    — the automatic counterpart to the manual op_join_salted contract,
+    and the reason hand-salting is only needed where AQE can't reach
+    (stateful sinks, bucketed layouts).
+
+    The fact is read from a 16-file copy of lineitem, not the
+    single-file fixture: a skewed reduce partition splits at
+    MAP-OUTPUT granularity, so a one-mapper shuffle (one file, one
+    row group — a fixture artifact no 100 TB table has) is
+    unsplittable no matter how skewed.
+    """
+    lineitem = _multifile_lineitem(spark, sf_dir)
+    fact = lineitem.select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 997)
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(997).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 0, "hot").otherwise("cold").alias("label"),
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_COMPACT_CACHE: dict[str, tuple[str, int, int]] = {}
+_COMPACT_TARGET = 4
+
+
+def _compacted_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """events written as 64 small files, then compacted to
+    _COMPACT_TARGET; returns (compacted_dir, n_small, n_compacted)."""
+    if sf_dir not in _COMPACT_CACHE:
+        base = tempfile.mkdtemp(prefix="compact_")
+        small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
+        events = load_table(spark, sf_dir, "events")
+        events.repartition(64).write.mode("overwrite").parquet(small)
+        spark.read.parquet(small).repartition(_COMPACT_TARGET).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+        count_files = lambda d: sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        _COMPACT_CACHE[sf_dir] = (compacted, count_files(small), count_files(compacted))
+    return _COMPACT_CACHE[sf_dir]
+
+
+@register(
+    "op_sink_compaction",
+    tags=("sink", "scale"),
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def op_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: 64 fragment files rewritten as
+    _COMPACT_TARGET right-sized files (repartition + rewrite), values
+    proven unchanged against the source oracle; the file-count drop is
+    pinned in tests/test_plans.py.
+
+    The maintenance job every 100 TB lake needs: streaming and
+    per-partition writers accumulate kilobyte files whose per-file
+    open/footer cost comes to dominate scans. Compaction is a pure
+    rewrite — no dedup, no reorder semantics — sized so each output
+    approaches the 128 MB parquet sweet spot (here scaled down to the
+    fixture); at scale, run it per partition-directory and swap
+    directories atomically.
+    """
+    compacted, _, _ = _compacted_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -247,3 +247,49 @@ def test_bloom_filter_injected_in_shuffle_join_regime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """op_join_skew_aqe: force the shuffle-join regime with tiny skew
+    thresholds and assert AQE's OptimizeSkewedJoin marks the hot
+    partition split (skew=true) in the final adaptive plan."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = SPECS["op_join_skew_aqe"].fn(spark, SF)
+        df.collect()  # AQE finalizes the plan only after execution
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan[-2000:]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_compaction_reduces_file_count(spark):
+    """op_sink_compaction: 64 fragment files in, <= target files out,
+    zero row loss."""
+    from game_data_etl_pipeline_spark.operators import scale
+
+    _, n_small, n_compacted = scale._compacted_dir(spark, SF)
+    assert n_small == 64, n_small
+    assert n_compacted <= scale._COMPACT_TARGET, n_compacted
