@@ -334,3 +334,142 @@ def op_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "op_scalar_hash",
+    tags=("scalar", "hash"),
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               md5(CONCAT(lang, '|', source)) AS partition_key_md5
+        FROM documents
+        WHERE doc_id < 2000
+    """,
+)
+def op_scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface: md5 / sha2-256 over document text.
+
+    Content hashes are the backbone of the dedup + deterministic-
+    sampling family (llmdata/dedup.py, llmdata/corpus.py): stable
+    across engines and cluster shapes, unlike xxhash64, which is
+    engine-specific and therefore deliberately kept OUT of any
+    cross-engine contract (it appears only inside Spark-local
+    operators such as SimHash bit sampling).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 2000).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws("|", "lang", "source")).alias("partition_key_md5"),
+    )
+
+
+@register(
+    "op_scalar_bitwise",
+    tags=("scalar",),
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS key_low_byte,
+               o_orderkey | 1   AS key_odd,
+               xor(o_orderkey, 21845) AS key_xor,
+               o_orderkey << 2  AS key_shl,
+               o_orderkey >> 3  AS key_shr,
+               CAST(bit_count(o_orderkey) AS INT) AS key_popcount
+        FROM orders
+        WHERE o_orderkey < 4000
+    """,
+)
+def op_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND/OR/XOR, shifts, popcount — all codegen'd
+    integer ops. These are the primitives the engine's own bit-packed
+    operators build on (SimHash sign-pack, z-order interleave)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.filter(k < 4000).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("key_odd"),
+        k.bitwiseXOR(F.lit(21845)).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+        F.bit_count(k).cast("int").alias("key_popcount"),
+    )
+
+
+@register(
+    "op_scalar_conditional",
+    tags=("scalar",),
+    oracle="""
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_bucket,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS balance_band,
+               IF(c_nationkey < 12, 'west', 'east') AS hemisphere,
+               GREATEST(c_acctbal, 0.0) AS balance_floor0,
+               LEAST(CAST(c_nationkey AS INT), 10) AS nation_cap10
+        FROM customer
+    """,
+)
+def op_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional surface: nullif/coalesce, CASE WHEN ladder,
+    if-expr, greatest/least. All stay inside whole-stage codegen;
+    CASE branches short-circuit so no wasted evaluation at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias("segment_bucket"),
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("high").alias("balance_band"),
+        F.when(F.col("c_nationkey") < 12, "west").otherwise("east").alias("hemisphere"),
+        F.greatest(bal, F.lit(0.0)).alias("balance_floor0"),
+        F.least(F.col("c_nationkey").cast("int"), F.lit(10)).alias("nation_cap10"),
+    )
+
+
+@register(
+    "op_scalar_url",
+    tags=("scalar", "text"),
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   CONCAT('https://', source, '.example.com/', lang, '/doc/',
+                          CAST(doc_id AS VARCHAR), '?chars=', CAST(n_chars AS VARCHAR)) AS url
+            FROM documents WHERE doc_id < 1000
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, 'chars=([0-9]+)', 1) AS chars_param,
+               regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+        FROM urls
+    """,
+)
+def op_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: host/path/query-param extraction via parse_url —
+    the per-domain triage primitive of web-corpus pipelines (domain
+    allowlists, per-host dedup scopes, crawl-source attribution).
+    JVM-side parse_url beats regexp for real URLs (handles ports,
+    userinfo, fragments); the oracle uses regexps because DuckDB has
+    no parse_url, which also pins parse_url's semantics to the
+    documented grammar on this fixture's synthetic URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?chars="), F.col("n_chars").cast("string"),
+    )
+    return (
+        docs.filter(F.col("doc_id") < 1000)
+        .withColumn("url", url)
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("chars")).alias("chars_param"),
+            F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        )
+    )

@@ -509,3 +509,52 @@ def op_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("bigint").alias("est_count"),
     )
+
+
+@register(
+    "op_agg_mode",
+    tags=("agg",),
+    oracle="""
+        WITH counted AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+            FROM orders
+            GROUP BY o_orderpriority, o_orderstatus
+        ), ranked AS (
+            SELECT o_orderpriority, o_orderstatus, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY n DESC, o_orderstatus ASC
+                   ) AS rn
+            FROM counted
+        )
+        SELECT o_orderpriority,
+               o_orderstatus AS modal_status,
+               CAST(n AS BIGINT) AS modal_count
+        FROM ranked WHERE rn = 1
+    """,
+)
+def op_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    Spark's native ``mode()`` (and DuckDB's) returns an ARBITRARY
+    value under frequency ties, so it can never sit behind a
+    cross-engine contract. The engine instead pins the tie-break
+    explicitly: count per (group, value) — a partial-aggregable hash
+    agg, shuffle O(distinct pairs) — then row_number ordered by
+    (count DESC, value ASC). Same two-shuffle shape mode() itself
+    needs, with reproducible output on any engine and cluster shape.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("n").desc(), F.col("o_orderstatus").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            F.col("n").cast("bigint").alias("modal_count"),
+        )
+    )

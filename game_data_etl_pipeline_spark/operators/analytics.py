@@ -922,3 +922,133 @@ def op_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "op_plan_exchange_reuse",
+    tags=("analytics", "scale"),
+    oracle="""
+        WITH agg AS (
+            SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        top AS (
+            SELECT 'top' AS bucket, l_suppkey, total_qty FROM agg
+            ORDER BY total_qty DESC, l_suppkey ASC LIMIT 3
+        ),
+        bottom AS (
+            SELECT 'bottom' AS bucket, l_suppkey, total_qty FROM agg
+            ORDER BY total_qty ASC, l_suppkey ASC LIMIT 3
+        )
+        SELECT * FROM top UNION ALL SELECT * FROM bottom
+    """,
+)
+def op_plan_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-subplan reuse: top-3 and bottom-3 suppliers by shipped
+    quantity branch off ONE aggregation. Spark's ReuseExchange rule
+    spots the two identical shuffle subtrees and runs the scan +
+    partial agg + exchange once, feeding both TakeOrderedAndProject
+    branches (ReusedExchange pinned in tests/test_plans.py).
+
+    The 100 TB point: self-referential queries (top/bottom, share-of-
+    total, vs-median comparisons) are everywhere in analytics; an
+    engine that re-executes the common subplan doubles the dominant
+    cost. Express both branches over the SAME DataFrame object —
+    semantically identical subtrees the optimizer can unify — rather
+    than re-reading the table. Explicit tie-breaks keep the limit
+    deterministic across engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+    top = (
+        agg.orderBy(F.col("total_qty").desc(), F.col("l_suppkey").asc())
+        .limit(3)
+        .select(F.lit("top").alias("bucket"), "l_suppkey", "total_qty")
+    )
+    bottom = (
+        agg.orderBy(F.col("total_qty").asc(), F.col("l_suppkey").asc())
+        .limit(3)
+        .select(F.lit("bottom").alias("bucket"), "l_suppkey", "total_qty")
+    )
+    return top.unionByName(bottom)
+
+
+@register(
+    "op_profile_table",
+    tags=("analytics", "quality"),
+    oracle="""
+        SELECT 'o_custkey' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        FROM orders
+    """,
+)
+def op_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column row/null/distinct counts and
+    min/max, long-form (one row per column) so the output shape is
+    independent of table width.
+
+    The admission check every ingest pipeline runs before promoting a
+    drop into the lake. One scan computes all columns' profiles
+    simultaneously (a single multi-aggregate, not one pass per column
+    — the SQL UNION oracle spells the naive per-column form); exact
+    countDistinct is the deliberate choice at audit time, with
+    op_agg_approx_distinct as the O(1)-state monitoring variant.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    profiled = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c, t in (
+                ("o_custkey", "bigint"),
+                ("o_orderstatus", "string"),
+                ("o_totalprice", "decimal(18,2)"),
+            )
+            for a in (
+                F.count(c).alias(f"{c}__cnt"),
+                F.countDistinct(c).alias(f"{c}__dst"),
+                F.min(F.col(c).cast(t)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c).cast(t)).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    cols = ("o_custkey", "o_orderstatus", "o_totalprice")
+    stacked = profiled.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").cast("bigint").alias("n_rows"),
+                        (F.col("n_rows") - F.col(f"{c}__cnt")).cast("bigint").alias("n_nulls"),
+                        F.col(f"{c}__dst").cast("bigint").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

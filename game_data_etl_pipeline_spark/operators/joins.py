@@ -233,3 +233,54 @@ def op_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey < 200
         """
     )
+
+
+@register(
+    "op_join_null_safe",
+    tags=("join",),
+    oracle="""
+        WITH e AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE CAST(json_extract(props, '$.k') AS INT) END AS k
+            FROM events WHERE event_id < 2000
+        ), d AS (
+            SELECT CASE WHEN g = 10 THEN NULL ELSE g END AS k,
+                   CASE WHEN g = 10 THEN 'missing' ELSE CONCAT('grp_', CAST(g AS VARCHAR)) END AS k_label
+            FROM (SELECT UNNEST(range(0, 11)) AS g)
+        )
+        SELECT d.k_label, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+        GROUP BY d.k_label
+    """,
+)
+def op_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping, so the 'missing'
+    bucket survives the join — the semantics audits need when NULL is
+    a real category (unparseable props, unknown cohort).
+
+    Scale notes: eqNullSafe stays a HASH join key (NULL hashes like
+    any value), so this costs the same as a plain equi-join — but ALL
+    null-keyed rows co-locate in one partition, making a null-heavy
+    column the canonical skew case: op_join_salted is the companion
+    fix. The dim side here broadcasts, sidestepping skew entirely.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    e = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.get_json_object("props", "$.k").cast("int"))
+        .alias("k"),
+    )
+    dim = spark.range(0, 11).select(
+        F.when(F.col("id") == 10, F.lit(None)).otherwise(F.col("id").cast("int")).alias("k"),
+        F.when(F.col("id") == 10, F.lit("missing"))
+        .otherwise(F.concat(F.lit("grp_"), F.col("id").cast("string")))
+        .alias("k_label"),
+    )
+    return (
+        e.join(F.broadcast(dim), e.k.eqNullSafe(dim.k))
+        .groupBy("k_label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

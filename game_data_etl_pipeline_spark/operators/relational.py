@@ -480,3 +480,38 @@ def op_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     arr = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.split(F.lower("text"), " "))
     return docs.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+@register(
+    "op_sample_tablesample",
+    tags=("relational", "sampling"),
+    oracle="""
+        SELECT TRUE AS within_band, TRUE AS reproducible
+    """,
+)
+def op_sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE, verified as a contract: the
+    sampled fraction lands within +/-3pp of the requested 10% and the
+    same seed reproduces the same rows within one layout. The oracle
+    asserts the booleans (the sampled row SET is engine-specific RNG,
+    so the contract — not the rows — is the cross-engine invariant).
+
+    Scale notes: ``sample`` is a per-task filter over a seeded RNG —
+    zero shuffle, no driver involvement, streams at scan speed. The
+    caveat the engine documents (and why llmdata/corpus.py uses
+    content-hash draws instead when reproducibility must survive
+    repartitioning): the drawn set depends on partition layout, so a
+    compaction or split-size change re-rolls the sample. Use
+    TABLESAMPLE for cheap approximate stats, hash-draws for corpus
+    membership decisions.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    total = lineitem.count()
+    s1 = lineitem.sample(fraction=0.1, seed=42)
+    s2 = lineitem.sample(fraction=0.1, seed=42)
+    n1 = s1.count()
+    within = abs(n1 / total - 0.1) < 0.03
+    reproducible = s1.exceptAll(s2).isEmpty() and s2.exceptAll(s1).isEmpty()
+    return spark.createDataFrame(
+        [(bool(within), bool(reproducible))], "within_band boolean, reproducible boolean"
+    )

@@ -690,3 +690,96 @@ def op_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_ZORDER_CACHE: dict[str, str] = {}
+_ZORDER_BITS = 10  # 10 bits per dimension -> 20-bit z-value
+_ZORDER_FILES = 16
+
+
+def _minute_of_day(col: object) -> F.Column:
+    ts = F.col(col) if isinstance(col, str) else col
+    return (F.hour(ts) * 60 + F.minute(ts)).cast("long")
+
+
+def zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events re-laid-out z-order-clustered on (user_id, minute-of-day).
+
+    Layout recipe (all standard DataFrame ops):
+      1. one tiny agg collects per-dimension min/max (the same stats a
+         table format keeps anyway) to scale each key to a 10-bit int;
+      2. the z-value interleaves the two keys' bits with shift/and/or
+         expressions — pure codegen, no UDF;
+      3. repartitionByRange over z + sortWithinPartitions(z) writes
+         _ZORDER_FILES files, each covering one contiguous z-interval,
+         i.e. a RECTANGLE-ish region of (user, time) space.
+    Result: parquet footer min/max on BOTH columns are narrow per
+    file, so a selective filter on either dimension (or both) skips
+    most files — the multi-dimensional generalization of sorting that
+    single-column clustering can't give you. File-span contraction and
+    footer-level pruning are pinned in tests/test_plans.py.
+    """
+    if sf_dir not in _ZORDER_CACHE:
+        events = load_table(spark, sf_dir, "events")
+        lo_u, hi_u = events.agg(F.min("user_id"), F.max("user_id")).first()
+        mod = _minute_of_day("ts")
+        scale = (1 << _ZORDER_BITS) - 1
+        xb = ((F.col("user_id") - lo_u) * scale / F.lit(max(hi_u - lo_u, 1))).cast("long")
+        yb = (mod * scale / F.lit(1439)).cast("long")
+        z = F.lit(0).cast("long")
+        for i in range(_ZORDER_BITS):
+            z = z + F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+            z = z + F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        out = os.path.join(tempfile.mkdtemp(prefix="events_zorder_"), "events")
+        # INT96 (Spark's legacy parquet timestamp encoding) carries NO
+        # footer min/max stats, which would defeat the whole layout;
+        # TIMESTAMP_MICROS is the modern encoding every stats-based
+        # skipper understands.
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                events.withColumn("_z", z)
+                .repartitionByRange(_ZORDER_FILES, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        _ZORDER_CACHE[sf_dir] = out
+    return _ZORDER_CACHE[sf_dir]
+
+
+@register(
+    "op_sink_zorder",
+    tags=("sink", "scale"),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        WHERE user_id BETWEEN 10 AND 25
+          AND (date_part('hour', CAST(ts AS TIMESTAMP)) * 60
+               + date_part('minute', CAST(ts AS TIMESTAMP))) BETWEEN 60 AND 299
+        GROUP BY event_type
+    """,
+)
+def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered sink + two-dimensional selective scan: filter
+    a narrow (user_id, time-of-day) rectangle over the re-clustered
+    layout; values proven identical to the unclustered source by the
+    oracle, while footer stats let the scan skip files that can't
+    match either bound (see zorder_events_dir)."""
+    path = zorder_events_dir(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("user_id").between(10, 25) & _minute_of_day("ts").between(60, 299))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -276,3 +276,48 @@ def op_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_with_value"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_TEXT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "op_scan_text",
+    tags=("source", "llmdata"),
+    oracle="""
+        SELECT doc_id, text, LENGTH(text) AS n_chars
+        FROM documents
+        WHERE doc_id < 500
+    """,
+)
+def op_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source: the rawest corpus ingest shape (one
+    document per line, id-prefixed), read with ``spark.read.text`` and
+    split JVM-side. The round-trip is value-oracled against the
+    structured source it was derived from.
+
+    Scale notes: text files split by line at HDFS-block granularity,
+    so a 100 TB crawl dump parallelizes without any format cooperation;
+    the split + cast projection is whole-stage codegen. The first
+    structured write should land it in parquet — this operator is the
+    front door, not the steady state.
+    """
+    if sf_dir not in _TEXT_CACHE:
+        from game_data_etl_pipeline_spark.catalog import load_table
+
+        out = os.path.join(tempfile.mkdtemp(prefix="textlines_"), "docs.txt")
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select(F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(os.path.dirname(out))
+        )
+        _TEXT_CACHE[sf_dir] = os.path.dirname(out)
+    lines = spark.read.text(_TEXT_CACHE[sf_dir])
+    tab = F.instr("value", "\t")
+    return lines.select(
+        F.substring("value", 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))

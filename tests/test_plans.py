@@ -293,3 +293,76 @@ def test_compaction_reduces_file_count(spark):
     _, n_small, n_compacted = scale._compacted_dir(spark, SF)
     assert n_small == 64, n_small
     assert n_compacted <= scale._COMPACT_TARGET, n_compacted
+
+
+def test_zorder_layout_narrows_file_spans(spark):
+    """op_sink_zorder: after z-order clustering, each parquet file's
+    footer [min, max] covers a small fraction of BOTH dimensions, so
+    a selective 2-D filter can skip most files on stats alone. The
+    unclustered source (written in event order ~ ts order) has
+    near-full user_id span in every file — the layout is the win."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from game_data_etl_pipeline_spark.operators import scale
+
+    zdir = scale.zorder_events_dir(spark, SF)
+    files = [os.path.join(zdir, f) for f in os.listdir(zdir) if f.endswith(".parquet")]
+    assert len(files) >= scale._ZORDER_FILES // 2, files
+
+    spans_u, spans_m, bounds = [], [], []
+    glob_lo, glob_hi = None, None
+    for path in files:
+        md = pq.read_metadata(path)
+        lo_u = hi_u = lo_m = hi_m = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None:
+                    continue
+                if col.path_in_schema == "user_id":
+                    lo_u = st.min if lo_u is None else min(lo_u, st.min)
+                    hi_u = st.max if hi_u is None else max(hi_u, st.max)
+                if col.path_in_schema == "ts":
+                    mn = st.min.hour * 60 + st.min.minute
+                    mx = st.max.hour * 60 + st.max.minute
+                    lo_m = mn if lo_m is None else min(lo_m, mn)
+                    hi_m = mx if hi_m is None else max(hi_m, mx)
+        assert lo_u is not None and lo_m is not None
+        spans_u.append(hi_u - lo_u)
+        spans_m.append(hi_m - lo_m)
+        bounds.append((lo_u, hi_u))
+        glob_lo = lo_u if glob_lo is None else min(glob_lo, lo_u)
+        glob_hi = hi_u if glob_hi is None else max(glob_hi, hi_u)
+
+    full_u = max(glob_hi - glob_lo, 1)
+    avg_u = sum(spans_u) / len(spans_u) / full_u
+    avg_m = sum(spans_m) / len(spans_m) / 1439
+    # 16 z-range files over a 20-bit z-value: ~2 leading bits per
+    # dimension -> each file should cover well under the full range
+    assert avg_u < 0.6, f"user_id spans not narrowed: {avg_u:.2f}"
+    assert avg_m < 0.6, f"minute spans not narrowed: {avg_m:.2f}"
+
+    # footer-level pruning: a 1/4-range user_id predicate must be
+    # excludable (no [min,max] overlap) for at least half the files
+    q_lo, q_hi = glob_lo, glob_lo + full_u // 4
+    skipped = sum(1 for lo, hi in bounds if hi < q_lo or lo > q_hi)
+    assert skipped >= len(files) // 2, f"only {skipped}/{len(files)} files skippable"
+
+
+def test_exchange_reuse_unifies_shared_subplan(spark):
+    """op_plan_exchange_reuse: the top-3 and bottom-3 branches must
+    share ONE aggregation exchange — the final (AQE) plan contains a
+    ReusedExchange, proving the scan + partial agg ran once."""
+    import contextlib
+    import io
+
+    df = SPECS["op_plan_exchange_reuse"].fn(spark, SF)
+    df.collect()  # AQE finalizes the plan at execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ReusedExchange" in plan, plan
