@@ -397,3 +397,86 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
     )
+
+
+MIX_ALPHA = 0.5  # temperature exponent: alpha<1 flattens the source mix
+
+
+@register(
+    "op_corpus_temperature_mix",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n) AS total FROM counts),
+        weighted AS (
+            SELECT source, n, pow(n / total, {MIX_ALPHA}) / (n / total) AS ratio
+            FROM counts, tot
+        ),
+        keepfrac AS (
+            SELECT source, n, ratio / (SELECT MAX(ratio) FROM weighted) AS f
+            FROM weighted
+        ),
+        thresholds AS (
+            SELECT source, n,
+                   lpad(lower(to_hex(CAST(floor(f * 4294967296) AS BIGINT))), 8, '0') AS thr
+            FROM keepfrac
+        )
+        SELECT d.source,
+               CAST(t.n AS BIGINT) AS n_source,
+               t.thr AS keep_threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d
+        JOIN thresholds t ON d.source = t.source
+        WHERE {_duck_draw('mix:')} < t.thr
+        GROUP BY d.source, t.n, t.thr
+    """,
+)
+def op_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-training
+    reweighting recipe): target mixture q_s ∝ p_s^alpha with
+    alpha=0.5, realized by pure subsampling — per-source keep
+    fraction f_s ∝ q_s/p_s, normalized so the most-upweighted source
+    keeps everything (no upsampling, no duplicated docs).
+
+    Dataflow: one tiny per-source aggregate → keep-fraction dim
+    (broadcast back, never a shuffle of documents) → per-row
+    content-hash draw against the source's threshold. Thresholds are
+    materialized as 8-hex-digit strings with an explicit floor()
+    (Spark's double→bigint cast truncates, DuckDB's rounds — the
+    floor pins one semantic in both engines), and emitted in the
+    output so the mixture decision is auditable. Reproducibility
+    follows from the corpus module's hash-draw rule: a doc's fate
+    never depends on partitioning or cluster shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    weighted = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n",
+        (F.pow(F.col("n") / F.col("total"), F.lit(MIX_ALPHA)) / (F.col("n") / F.col("total"))).alias("ratio"),
+    )
+    max_ratio = weighted.agg(F.max("ratio").alias("max_ratio"))
+    thresholds = weighted.crossJoin(F.broadcast(max_ratio)).select(
+        "source",
+        "n",
+        F.lpad(
+            F.lower(F.hex(F.floor((F.col("ratio") / F.col("max_ratio")) * F.lit(4294967296.0)).cast("bigint"))),
+            8,
+            "0",
+        ).alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(_draw("mix:") < F.col("thr"))
+        .groupBy("source", "n", "thr")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_source"),
+            F.col("thr").alias("keep_threshold"),
+            F.col("n_kept").cast("bigint"),
+        )
+    )
