@@ -473,3 +473,184 @@ def op_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
         )
     )
+
+
+@register(
+    "op_scalar_interval",
+    tags=("scalar",),
+    oracle="""
+        SELECT o_orderkey,
+               STRFTIME(CAST(date_add(o_orderdate, INTERVAL 3 MONTH) AS DATE), '%Y-%m-%d') AS due_quarter,
+               STRFTIME(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_30d,
+               STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), last_day(CAST(o_orderdate AS DATE))) AS INT) AS days_left_in_month,
+               CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS order_dow
+        FROM orders
+        WHERE o_orderkey < 4000
+    """,
+)
+def op_scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: add_months (month-end clamped,
+    e.g. Jan 31 + 1 month = Feb 29), fixed-day offsets, last_day,
+    remaining-days, quarter, day-of-week. SLA/retention logic —
+    "delete 90 days after month end", "due next quarter" — compiles
+    to these; all codegen'd date math on the INT32 date type, no
+    timezone traps because DATE is timezone-free.
+
+    The oracle pins the subtle cross-engine seams: DuckDB's
+    date_add(DATE, INTERVAL) returns TIMESTAMP (cast back), and its
+    dayofweek is 0-indexed from Sunday while Spark's is 1-indexed
+    (offset spelled in SQL so both engines' semantics are explicit).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") < 4000).select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("due_quarter"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_30d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.last_day(d), d).alias("days_left_in_month"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofweek(d).alias("order_dow"),
+    )
+
+
+@register(
+    "op_map_fns",
+    tags=("scalar", "map"),
+    oracle="""
+        WITH per_type AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events WHERE user_id < 40
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS INT) AS n_types,
+               array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+               CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS purchase_count,
+               CAST(MAX(n) AS BIGINT) AS max_type_count
+        FROM per_type
+        GROUP BY user_id
+    """,
+)
+def op_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type histogram built as a real
+    map column (map_from_entries over collected structs), then
+    consumed with map_keys / element_at / map_values + higher-order
+    array ops. The oracle computes identical values without a map
+    type (DuckDB's MAP literals aren't hash-comparable), which also
+    demonstrates the map column is information-preserving. DuckDB's
+    array_to_string maps [] to NULL (unlike Spark's concat_ws → ''),
+    hence the COALESCEs in this family's oracles.
+
+    Scale notes: the map stays bounded by the event-type vocabulary
+    (5 keys), so per-user state is O(1) — the safe MapType pattern.
+    Unbounded-key maps (e.g. per-URL counters) belong in long format,
+    not a map column.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = (
+        events.filter(F.col("user_id") < 40)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("hist")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys("hist")).alias("n_types"),
+        F.concat_ws(",", F.sort_array(F.map_keys("hist"))).alias("types_csv"),
+        F.coalesce(F.element_at("hist", "purchase"), F.lit(0).cast("bigint")).alias("purchase_count"),
+        F.array_max(F.map_values("hist")).cast("bigint").alias("max_type_count"),
+    )
+
+
+@register(
+    "op_scalar_try",
+    tags=("scalar", "quality"),
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                        ELSE CONCAT('id-', CAST(doc_id AS VARCHAR)) END AS id_text,
+                   CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 7 END AS denom
+            FROM documents WHERE doc_id < 1000
+        )
+        SELECT doc_id,
+               TRY_CAST(id_text AS BIGINT) AS id_parsed,
+               CASE WHEN denom = 0 THEN NULL
+                    ELSE ROUND(CAST(doc_id AS DOUBLE) / denom, 6) END AS safe_ratio,
+               TRY_CAST(id_text AS BIGINT) IS NULL AS is_malformed
+        FROM raw
+    """,
+)
+def op_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant expression surface: try_cast turns malformed
+    input into NULL instead of a task failure; try_divide absorbs
+    division by zero. On a 100 TB ingest one bad cell must never
+    kill a 10-hour job — parse defensively, emit an is_malformed
+    flag, and quarantine flagged rows for audit (the same
+    verdict-not-silent-drop policy as op_quality_filter).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .otherwise(F.concat(F.lit("id-"), F.col("doc_id").cast("string")))
+        .alias("id_text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0)).otherwise(F.col("doc_id") % 7).alias("denom"),
+    )
+    parsed = F.try_to_number("id_text", F.lit("999999999999")).cast("bigint")
+    return raw.select(
+        "doc_id",
+        parsed.alias("id_parsed"),
+        F.round(F.try_divide(F.col("doc_id").cast("double"), F.col("denom")), 6).alias("safe_ratio"),
+        parsed.isNull().alias("is_malformed"),
+    )
+
+
+@register(
+    "op_array_setops",
+    tags=("scalar", "array"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS terms
+            FROM documents WHERE doc_id < 200
+        ), kw AS (
+            SELECT ['spark', 'table', 'join', 'quasar'] AS keywords
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(list_sort(list_intersect(terms, keywords)), ','), '') AS hit_terms,
+               CAST(len(list_distinct(list_concat(terms, keywords))) AS INT) AS union_size,
+               CAST(len(list_filter(terms, t -> NOT list_contains(keywords, t))) AS INT) AS miss_size,
+               CAST(len(terms) AS INT) > CAST(len(list_filter(terms, t -> NOT list_contains(keywords, t))) AS INT) AS any_hit
+        FROM toks, kw
+    """,
+)
+def op_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect / union / except / membership
+    between a document's distinct term set and a keyword list —
+    the allowlist/blocklist primitive of corpus filtering, entirely
+    JVM-side (no explode, no shuffle; one narrow pass).
+
+    Cross-engine seams pinned here: DuckDB's list_intersect /
+    list_distinct return in ARBITRARY order (Spark's keep first-array
+    order), so every array output is sorted and csv-joined — which is
+    also the driver-canonicalizer-safe shape (array cells are
+    unhashable in a pandas lexsort; strings are not).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kw = F.array(*[F.lit(k) for k in ("spark", "table", "join", "quasar")])
+    terms = F.array_distinct(F.split(F.col("text"), " "))
+    miss = F.array_except(terms, kw)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", F.sort_array(F.array_intersect(terms, kw))).alias("hit_terms"),
+        F.size(F.array_distinct(F.array_union(terms, kw))).alias("union_size"),
+        F.size(miss).alias("miss_size"),
+        (F.size(terms) > F.size(miss)).alias("any_hit"),
+    )

@@ -502,3 +502,70 @@ def op_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.round(F.max("total_value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "op_stream_checkpoint_restart",
+    tags=("streaming",),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        WHERE event_id < 6000
+    GROUP BY event_type
+    """,
+)
+def op_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a restart: run a file-source stream to a
+    parquet sink with a checkpoint, land MORE data, then restart the
+    SAME query on the SAME checkpoint. The committed offsets make the
+    second run process only the new file; the oracle equality
+    (count == distinct count over the union of both landings) proves
+    zero duplication and zero loss across the restart.
+
+    This is the operational property that makes streaming deployable:
+    a crashed/redeployed job resumes from the WAL instead of
+    reprocessing or skipping. The parquet sink commits atomically via
+    the checkpoint's file-sink log, so the guarantee holds end to end
+    (source offsets AND sink manifest), not just in the engine.
+    """
+    work = os.path.join("/tmp", "spark_graft_ckpt", sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "incoming")
+    ckpt = os.path.join(work, "checkpoint")
+    out = os.path.join(work, "out")
+    os.makedirs(stage)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    half = events.filter(F.col("event_id") < 3000)
+    rest = events.filter((F.col("event_id") >= 3000) & (F.col("event_id") < 6000))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("event_id long, event_type string, value double").parquet(stage)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half.coalesce(1).write.mode("append").parquet(stage)
+    run_once()
+    rest.coalesce(1).write.mode("append").parquet(stage)
+    run_once()  # restart from the same checkpoint: only the new file runs
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

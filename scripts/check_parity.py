@@ -1,6 +1,9 @@
 """Run the driver-style oracle sweep at an arbitrary scale factor.
 
-Usage: python scripts/check_parity.py [sf_dir]
+Usage: python scripts/check_parity.py [sf_dir] [query_name ...]
+
+With query names given, only those registry entries are checked
+(substring match allowed) — the fast loop while iterating on one op.
 """
 
 from __future__ import annotations
@@ -18,10 +21,13 @@ from tests.oracle import compare
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
     spark = get_spark("parity")
     duck = make_duck(sf_dir)
     failures = 0
     for name, spec in sorted(registry.all_specs().items()):
+        if only and not any(pat in name for pat in only):
+            continue
         try:
             if spec.oracle is None:
                 n = spec.fn(spark, sf_dir).count()

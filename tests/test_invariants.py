@@ -112,3 +112,43 @@ def test_dedup_clusters_are_consistent_components(spark, sf_dir):
         members.setdefault(cl, []).append(doc)
     for cl, docs in members.items():
         assert cl == min(docs), f"cluster {cl} is not the min of {sorted(docs)[:5]}..."
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """op_graph_pagerank: the DataFrame loop must reproduce the same
+    recurrence computed densely in numpy on the collected edge list —
+    and ranks must behave like a (damped) distribution: positive,
+    summing to ~1 when every node has out-edges."""
+    import numpy as np
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.operators.graph import _DAMPING, _ITERS
+
+    got = {
+        r.event_type: r.pagerank
+        for r in SPECS["op_graph_pagerank"].fn(spark, sf_dir).collect()
+    }
+    assert all(v > 0 for v in got.values())
+
+    events = load_table(spark, sf_dir, "events")
+    w = F.lead("event_type").over(
+        __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("user_id").orderBy("event_id")
+    )
+    seq = events.select("event_type", w.alias("next_type")).filter(F.col("next_type").isNotNull())
+    edges = seq.groupBy("event_type", "next_type").count().collect()
+
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for e in edges:
+        m[idx[e.event_type], idx[e.next_type]] = e["count"]
+    out = m.sum(axis=1, keepdims=True)
+    p = np.divide(m, out, where=out > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(_ITERS):
+        r = (1 - _DAMPING) / n + _DAMPING * (r @ p)
+    for name in nodes:
+        assert abs(got[name] - r[idx[name]]) < 1e-6, (name, got[name], r[idx[name]])
+    if (out > 0).all():
+        assert abs(sum(got.values()) - 1.0) < 1e-3
