@@ -1,0 +1,320 @@
+"""Behavioral / product analytics over the events stream.
+
+The reference's analytics story ends at "query the SQLite tables"
+(reference README.md:130-140); a game-telemetry pipeline's actual
+read-side workload is behavioral: funnels, cohort retention, RFM
+segmentation, path mining. Each op here is the Spark-native shape of
+one of those, value-oracled against DuckDB.
+
+Scale notes (100 TB of events): every op aggregates per user first —
+the per-user intermediate is ~|users| rows, orders of magnitude
+smaller than the event log — then analyzes the reduced table. All
+shuffles are on user_id (one partitioning reused across stages; AQE
+coalesces the tiny tails). Nothing here materializes per-event state
+on the driver.
+
+Event ordering uses event_id, the generator's arrival order, rather
+than raw ts: parquet stores ts at ns which Spark truncates to us —
+event_id is engine-identical and totally ordered, so sequential
+semantics ("view AFTER signup") can't be flipped by a precision seam.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.registry import register
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "op_funnel_steps",
+    tags=("behavior", "agg"),
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(event_id) AS eid FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.event_id) AS eid FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.event_id > s1.eid GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.event_id) AS eid FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'click' AND e.event_id > s2.eid GROUP BY e.user_id
+        ), s4 AS (
+            SELECT e.user_id, MIN(e.event_id) AS eid FROM events e
+            JOIN s3 ON e.user_id = s3.user_id
+            WHERE e.event_type = 'purchase' AND e.event_id > s3.eid GROUP BY e.user_id
+        ), steps AS (
+            SELECT 1 AS step_idx, 'signup' AS step, COUNT(*) AS n_users FROM s1
+            UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+            UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+            UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+        )
+        SELECT CAST(step_idx AS INT) AS step_idx, step,
+               CAST(n_users AS BIGINT) AS n_users,
+               ROUND(n_users * 100.0 / FIRST_VALUE(n_users) OVER (ORDER BY step_idx), 2) AS pct_of_first
+        FROM steps
+    """,
+)
+def op_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel (signup -> view -> click -> purchase):
+    a user reaches step k only via an event of that type occurring
+    AFTER their qualifying step-(k-1) event — the standard
+    product-analytics funnel, not the weaker min-per-type ordering.
+
+    Shape: four cascaded filtered aggregates. Stage k joins one
+    event-type slice of the log against the previous stage's per-user
+    row and takes min(event_id). Each stage's output is one row per
+    surviving user, so at 100 TB the chain is 4 equi-joins whose right
+    sides shrink monotonically (broadcastable after stage 1); the
+    event log itself is scanned once per step with the type filter
+    pushed to parquet.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+
+    def next_stage(prev: DataFrame, step: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("eid").alias("prev_eid")), "user_id")
+            .filter(F.col("event_id") > F.col("prev_eid"))
+            .groupBy("user_id")
+            .agg(F.min("event_id").alias("eid"))
+        )
+
+    stages = [
+        events.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("eid"))
+    ]
+    for step in _FUNNEL_STEPS[1:]:
+        stages.append(next_stage(stages[-1], step))
+
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"), F.lit(name).alias("step"), "n_users"
+        )
+        for i, (name, s) in enumerate(zip(_FUNNEL_STEPS, stages))
+    ]
+    steps = reduce(DataFrame.unionByName, counts)
+    w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return steps.withColumn(
+        "pct_of_first", F.round(F.col("n_users") * 100.0 / F.first("n_users").over(w), 2)
+    )
+
+
+@register(
+    "op_cohort_retention",
+    tags=("behavior", "agg"),
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT f.user_id,
+                   STRFTIME(date_trunc('week', f.first_day), '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', date_trunc('week', f.first_day),
+                                  date_trunc('week', CAST(e.ts AS DATE))) / 7 AS INT) AS week_offset
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        ), cells AS (
+            SELECT cohort_week, week_offset, COUNT(*) AS n_active
+            FROM activity GROUP BY cohort_week, week_offset
+        )
+        SELECT cohort_week, week_offset, CAST(n_active AS BIGINT) AS n_active,
+               ROUND(n_active * 100.0 / FIRST_VALUE(n_active) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset), 2) AS retention_pct
+        FROM cells
+    """,
+)
+def op_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are assigned to the week
+    of their first event; each cell counts distinct cohort members
+    active k weeks later, as a percentage of the cohort's size
+    (offset 0 — every member is active in their own first week, so
+    the base is exact, not a separate query).
+
+    Shape: one min-aggregate per user, one join back to the log on
+    user_id (same partitioning, no second shuffle under AQE reuse),
+    distinct on (cohort, offset, user), then a count. The matrix
+    itself is O(weeks^2) rows — driver-safe forever. Week boundaries
+    are date-level (Monday-truncated in both engines), so the ns/us
+    timestamp seam can't move a row across cells.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    activity = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", "first_day"), "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", "day"), F.date_trunc("week", "first_day")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cells = activity.groupBy("cohort_week", "week_offset").agg(F.count(F.lit(1)).alias("n_active"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.withColumn(
+        "retention_pct", F.round(F.col("n_active") * 100.0 / F.first("n_active").over(w), 2)
+    )
+
+
+@register(
+    "op_rfm_scores",
+    tags=("behavior", "window"),
+    oracle="""
+        WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS now_day FROM events),
+        per_user AS (
+            SELECT user_id,
+                   date_diff('day', MAX(CAST(ts AS DATE)), (SELECT now_day FROM anchor)) AS recency_days,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(value), 2) AS monetary
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS INT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS m_score
+        FROM per_user
+    """,
+)
+def op_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-purchaser recency / frequency / monetary,
+    each quintiled 1-5 (5 = best: most recent, most frequent, highest
+    spend). The recency anchor is the dataset's max event date — a
+    deterministic, data-derived "now" instead of wall-clock.
+
+    Every ntile ordering carries an explicit user_id tie-break:
+    ntile over a non-unique key is assignment-arbitrary at bucket
+    boundaries in BOTH engines, so determinism must be spelled, not
+    hoped for. One aggregate shuffle + three global-sort windows over
+    a |users|-sized table; at 100 TB the windows run on the reduced
+    per-user rows, never the raw log (global ntile at true scale
+    would swap to approx percentile boundaries — op_agg_equidepth
+    shows that pattern).
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max(F.col("ts").cast("date")).alias("now_day"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("now_day", "last_day").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "user_id")).alias("m_score"),
+    )
+
+
+@register(
+    "op_event_paths",
+    tags=("behavior", "window"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+                   LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t3
+            FROM events
+        )
+        SELECT event_type || '>' || t2 || '>' || t3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
+)
+def op_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 20 most common 3-step event-type sequences
+    (sliding window over each user's ordered stream via two LEADs —
+    every consecutive triple counts, not just disjoint chunks).
+
+    One shuffle to order per user, one aggregate, TakeOrderedAndProject
+    for the top-k (no global sort). The path vocabulary is bounded by
+    |event_types|^3, so the aggregate state is tiny no matter how
+    large the log; ties are broken by path text for a deterministic
+    top-20 cut.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "event_type", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "op_agg_argmax",
+    tags=("agg",),
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn_top,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id DESC) AS rn_bot
+            FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(CASE WHEN rn_top = 1 THEN event_id END) AS BIGINT) AS top_event_id,
+               ROUND(MAX(value), 2) AS top_value,
+               CAST(MAX(CASE WHEN rn_bot = 1 THEN event_id END) AS BIGINT) AS bottom_event_id,
+               ROUND(MIN(value), 2) AS bottom_value
+        FROM ranked
+        GROUP BY event_type
+    """,
+)
+def op_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin as single-pass aggregates (max_by / arg_max):
+    "which event carried the highest value per type" without a window
+    sort or a self-join — one hash aggregate, partial-aggregable, the
+    O(1)-state shape that replaces the rank()=1 idiom at scale.
+
+    Value ties are resolved toward the largest event_id for max and
+    the largest event_id for min by maximizing/minimizing a composite
+    ordering key — max_by/arg_max on a bare non-unique key is
+    tie-arbitrary in both engines, same determinism discipline as the
+    ntile ops.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.max_by("event_id", F.struct(F.col("value"), F.col("event_id"))).alias("top_event_id"),
+        F.round(F.max("value"), 2).alias("top_value"),
+        F.min_by("event_id", F.struct(F.col("value"), (-F.col("event_id")).alias("neg")))
+        .alias("bottom_event_id"),
+        F.round(F.min("value"), 2).alias("bottom_value"),
+    )
