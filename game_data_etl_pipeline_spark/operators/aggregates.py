@@ -11,7 +11,7 @@ the state O(1) per group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table, register_views
@@ -557,4 +557,48 @@ def op_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("modal_status"),
             F.col("n").cast("bigint").alias("modal_count"),
         )
+    )
+
+
+@register(
+    "op_agg_equidepth",
+    tags=("agg", "window"),
+    oracle="""
+        WITH bucketed AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM bucketed
+        GROUP BY bucket
+    """,
+)
+def op_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: ntile(10) splits orders
+    into ten equally sized buckets by o_totalprice; each row reports
+    the bucket's population and [lo, hi] value span — the boundary
+    set a cost-based optimizer or a skew diagnoser actually wants
+    (equi-WIDTH, op_agg_histogram, starves to empty buckets on
+    skewed data; equi-depth never does).
+
+    The ordering carries an o_orderkey tie-break: ntile over a
+    non-unique sort key assigns boundary ties arbitrarily in both
+    engines. This exact form global-sorts (fine up to ~1e9 rows via
+    range partitioning); beyond that the boundaries come from
+    approx_percentile in one pass — op_agg_percentile is that
+    primitive, and this op is its exact-verification counterpart.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
     )

@@ -129,3 +129,132 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@register(
+    "op_graph_triangles",
+    tags=("graph", "join"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+            FROM events
+        ),
+        und AS (
+            SELECT DISTINCT
+                   LEAST(event_type, next_type) AS a,
+                   GREATEST(event_type, next_type) AS b
+            FROM seq
+            WHERE next_type IS NOT NULL AND event_type <> next_type
+        )
+        SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the undirected event-type co-transition
+    graph: canonicalize every edge to (min, max), then two equi-joins
+    pick ordered triples a<b<c whose three edges all exist — each
+    triangle is emitted exactly once, no orientation double-count.
+
+    This is the standard distributed triangle shape (node-order
+    orientation halves the edge list and bounds join fan-out by the
+    smaller-degree endpoint); at web scale the same two hash joins
+    run over a degree-ordered edge list partitioned by join key.
+    Here the node set is the event-type vocabulary, so the result is
+    small — the op pins the JOIN PATTERN, which is what transfers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull() & (F.col("event_type") != F.col("next_type")))
+    und = seq.select(
+        F.least("event_type", "next_type").alias("a"),
+        F.greatest("event_type", "next_type").alias("b"),
+    ).distinct()
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("n1"), F.col("e1.b").alias("n2"), F.col("e2.b").alias("n3"))
+    )
+
+
+@register(
+    "op_graph_bfs",
+    tags=("graph", "iterative"),
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+            FROM events
+        ),
+        edges AS (
+            SELECT DISTINCT event_type AS src, next_type AS dst
+            FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+        ),
+        walk AS (
+            SELECT 'signup' AS node, 0 AS hops
+            UNION
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < 8
+        ),
+        dist AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node)
+        SELECT n.event_type, CAST(COALESCE(d.hops, -1) AS INT) AS hops
+        FROM (SELECT DISTINCT event_type FROM events) n
+        LEFT JOIN dist d ON d.node = n.event_type
+    """,
+)
+def op_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (hop distance from 'signup') over the directed
+    event-type transition graph, as a driver loop of frontier
+    expansions: each iteration joins the current distance set against
+    the edge list, keeps newly reached nodes, and unions them in.
+    Unreachable nodes surface as hops = -1, not silently dropped.
+
+    The iteration count is bounded by the graph diameter and each
+    step is one hash join + one min-aggregate — the Pregel BFS shape.
+    The frontier (small side) broadcasts; the edge list is the
+    loop-invariant big side, checkpointed once. Value-oracled against
+    a DuckDB recursive CTE computing the identical fixpoint — the
+    iterative-op-with-full-oracle pattern shared with
+    op_graph_pagerank.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull() & (F.col("event_type") != F.col("next_type")))
+    edges = (
+        seq.select(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+
+    dist = spark.createDataFrame([("signup", 0)], "node string, hops int")
+    frontier = dist
+    for _ in range(8):
+        reached = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .join(dist.select(F.col("node").alias("seen")), F.col("node") == F.col("seen"), "left_anti")
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+        if reached.isEmpty():
+            break
+        dist = dist.unionByName(reached).localCheckpoint()
+        frontier = reached
+
+    return nodes.join(dist, "node", "left").select(
+        F.col("node").alias("event_type"),
+        F.coalesce(F.col("hops"), F.lit(-1)).cast("int").alias("hops"),
+    )

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.sources.landing",
     "game_data_etl_pipeline_spark.operators.graph",
     "game_data_etl_pipeline_spark.operators.behavior",
+    "game_data_etl_pipeline_spark.operators.quality",
     "game_data_etl_pipeline_spark.operators.analytics",
     "game_data_etl_pipeline_spark.operators.relational",
     "game_data_etl_pipeline_spark.operators.joins",
