@@ -654,3 +654,53 @@ def op_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(miss).alias("miss_size"),
         (F.size(terms) > F.size(miss)).alias("any_hit"),
     )
+
+
+@register(
+    "op_scalar_struct",
+    tags=("scalar", "struct"),
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority AS priority,
+               CAST(FLOOR(o_totalprice / 50000) AS INT) AS price_bucket,
+               ROUND(o_totalprice, 2) AS price,
+               (o_totalprice, o_orderkey) > (100000.0, CAST(0 AS BIGINT)) AS above_mark
+        FROM orders
+        WHERE o_orderkey < 3000
+    """,
+)
+def op_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: build a struct, extend it with withField,
+    nest it, read fields back with dotted access, and compare structs
+    lexicographically (field-order comparison — the typed composite
+    key primitive under max_by/min_by and multi-column ordering).
+
+    The struct round-trips through construction -> withField ->
+    nesting -> field extraction with no information loss; the oracle
+    computes the same scalars directly, proving the struct plumbing
+    is transparent. Output stays flat (the driver canonicalizer
+    hashes scalar cells), same discipline as the array ops' csv-join.
+    Structs are Tungsten-columnar all the way — a nested field access
+    is a pointer offset, not a deserialization, and parquet pushes
+    nested-field pruning (ReadSchema shows the pruned subtree).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    base = F.struct(
+        F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("price")
+    )
+    enriched = base.withField("bucket", F.floor(F.col("o_totalprice") / 50000).cast("int"))
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(F.col("o_orderkey").alias("key"), enriched.alias("ord")).alias("n"),
+        F.struct(F.col("o_totalprice"), F.col("o_orderkey")).alias("mark_key"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("n.ord.priority").alias("priority"),
+        F.col("n.ord.bucket").alias("price_bucket"),
+        F.round(F.col("n.ord.price"), 2).alias("price"),
+        (
+            F.col("mark_key")
+            > F.struct(F.lit(100000.0).alias("o_totalprice"), F.lit(0).cast("bigint").alias("o_orderkey"))
+        ).alias("above_mark"),
+    )

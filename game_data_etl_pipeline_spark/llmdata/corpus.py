@@ -480,3 +480,61 @@ def op_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept").cast("bigint"),
         )
     )
+
+
+@register(
+    "op_sample_weighted",
+    tags=("corpus", "sample"),
+    oracle="""
+        WITH draws AS (
+            SELECT doc_id, lang, n_chars,
+                   (CAST(CONCAT('0x', substr(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                       / 4294967296.0 AS u
+            FROM documents WHERE n_chars > 0
+        ),
+        keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   power(u, 1.0 / n_chars) AS k
+            FROM draws
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+            FROM keyed
+        )
+        SELECT lang, CAST(rank AS INT) AS rank, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars, ROUND(k, 6) AS sample_key
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each doc draws u ~ Uniform(0,1) and is ranked by key = u^(1/w)
+    with w = n_chars; the top-k per language is an exact weighted
+    sample — longer documents proportionally likelier, no rejection
+    loop, no sequential pass.
+
+    The draw is the registry's deterministic-hash discipline
+    (md5(salt || doc_id) → first 8 hex chars → uniform, +0.5 offset
+    so u is never exactly 0 for the log/pow), NOT rand(seed): the
+    sample is a pure function of the row, reproducible across any
+    cluster shape or partition count, and therefore fully
+    value-oracled — including the per-language rank order. One
+    narrow pass to key, one per-group top-k (TakeOrdered shape, no
+    global sort); the E-S key also supports distributed streaming
+    merges (keep each partition's top-k, merge keys) at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws1"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", F.col("rank").cast("int"), "doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
+    )

@@ -783,3 +783,77 @@ def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "op_timeseries_ewma",
+    tags=("timeseries", "udf"),
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS daily_value
+            FROM events WHERE event_type = 'purchase' AND user_id < 40
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
+            FROM daily
+        ),
+        coeff AS (
+            SELECT *, CASE WHEN i = 0 THEN daily_value
+                           ELSE 0.3 * daily_value * power(0.7, -i) END AS ci
+            FROM idx
+        ),
+        cum AS (
+            SELECT user_id, day, i, daily_value,
+                   SUM(ci) OVER (PARTITION BY user_id ORDER BY i) AS cs
+            FROM coeff
+        )
+        SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, daily_value,
+               ROUND(power(0.7, i) * cs, 4) AS ewma
+        FROM cum
+    """,
+)
+def op_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.3, adjust=False:
+    y_t = 0.3*x_t + 0.7*y_{t-1}) over each user's daily purchase
+    series — the smoothing primitive behind anomaly baselines and
+    trend features. The recurrence is inherently sequential, so this
+    is the engine's canonical applyInPandas use: Arrow-batched
+    per-group vectorized numpy, one shuffle on user_id, state
+    O(series) per group and zero driver involvement — the stateful
+    path the brief reserves for UDFs (built-in window frames can't
+    express a recurrence whose coefficient decays per step).
+
+    The oracle defeats "iterative/stateful can't be oracled": the
+    recursion unrolled to its closed form y_t = 0.7^t * cumsum(c_i)
+    with c_0 = x_0, c_i = 0.3 * x_i * 0.7^(-i) — pure window SQL
+    DuckDB can run. The UDF evaluates the SAME closed form: it equals
+    pandas ``ewm(alpha=.3, adjust=False)`` to ~1e-9 float noise
+    (pinned in tests/test_invariants.py), but the recursive form
+    rounds differently at 4dp boundaries, so cross-engine exactness
+    demands expression-identical arithmetic on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("daily_value"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        x = pdf["daily_value"].to_numpy()
+        i = np.arange(len(x), dtype=float)
+        c = np.where(i == 0, x, 0.3 * x * np.power(0.7, -i))
+        pdf["ewma"] = np.round(np.power(0.7, i) * np.cumsum(c), 4)
+        return pdf
+
+    out = daily.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, day date, daily_value double, ewma double"
+    )
+    return out.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "daily_value", "ewma"
+    )

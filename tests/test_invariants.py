@@ -152,3 +152,18 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         assert abs(got[name] - r[idx[name]]) < 1e-6, (name, got[name], r[idx[name]])
     if (out > 0).all():
         assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_ewma_closed_form_matches_pandas_recursion(spark, sf_dir):
+    """op_timeseries_ewma's closed-form evaluation must equal the
+    textbook recursion (pandas ewm adjust=False) to float noise —
+    the closed form exists for cross-engine rounding stability, not
+    as a different definition."""
+    import pandas as pd
+
+    out = SPECS["op_timeseries_ewma"].fn(spark, sf_dir).toPandas()
+    for _, grp in out.groupby("user_id"):
+        grp = grp.sort_values("day")
+        ref = grp["daily_value"].ewm(alpha=0.3, adjust=False).mean()
+        # ewma is rounded to 4dp on output; half-ulp there is 5e-5
+        assert (grp["ewma"] - ref).abs().max() < 6e-5
