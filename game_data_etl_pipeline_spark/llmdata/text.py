@@ -370,3 +370,58 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top_c") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
         )
     )
+
+
+@register(
+    "op_text_unigram_logprob",
+    tags=("text", "quality"),
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        vocab AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+        total AS (SELECT SUM(n) AS t FROM vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-LN(vocab.n / (SELECT t FROM total)) / LN(2)), 4) AS avg_bits_per_token
+        FROM words JOIN vocab USING (w)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= 5
+    """,
+)
+def op_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model scoring: estimate
+    p(word) from the corpus itself, then score every document by its
+    average -log2 p — bits per token under the unigram model. The
+    cheap end of the perplexity-based quality ladder (CCNet et al.
+    rank web text exactly this way, with a KenLM n-gram model in
+    place of the unigram): anomalously high bits = gibberish/rare-
+    token soup, anomalously low = boilerplate repetition. Docs under
+    5 tokens are withheld from scoring (an average over 1-4 tokens is
+    noise, and the same floor is what quality pipelines apply).
+
+    Two scans of the tokenized corpus (one trains the vocab, one
+    scores), vocab joined back — broadcast when the vocabulary fits
+    (it's Zipf-bounded), shuffle join otherwise. Both engines
+    tokenize with the same split-on-space and compute the same
+    ln-ratio, so the score is value-oracled, not band-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("t"))
+    scored = (
+        words.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("n") / F.col("t"))), 4).alias("avg_bits_per_token"),
+        )
+        .filter(F.col("n_tokens") >= 5)
+    )
+    return scored

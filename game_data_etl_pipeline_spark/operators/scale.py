@@ -857,3 +857,127 @@ def op_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "daily_value", "ewma"
     )
+
+
+@register(
+    "op_merge_upsert",
+    tags=("scale", "join"),
+    oracle="""
+        WITH changes AS (
+            SELECT c_custkey AS key,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'update'
+                        ELSE 'delete' END AS op,
+                   ROUND(c_acctbal + 100, 2) AS new_acctbal
+            FROM customer WHERE c_custkey % 10 IN (0, 1)
+            UNION ALL
+            SELECT c_custkey + 1000000 AS key, 'insert' AS op,
+                   ROUND(c_acctbal, 2) AS new_acctbal
+            FROM customer WHERE c_custkey % 10 = 2
+        )
+        SELECT COALESCE(s.c_custkey, ch.key) AS c_custkey,
+               CASE WHEN ch.op = 'update' THEN ch.new_acctbal
+                    WHEN ch.op = 'insert' THEN ch.new_acctbal
+                    ELSE ROUND(s.c_acctbal, 2) END AS c_acctbal,
+               COALESCE(ch.op, 'keep') AS merge_action
+        FROM customer s
+        FULL OUTER JOIN changes ch ON s.c_custkey = ch.key
+        WHERE ch.op IS DISTINCT FROM 'delete'
+    """,
+)
+def op_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (upsert + delete) without a table format: apply a
+    change batch — updates, deletes, brand-new keys — onto a snapshot
+    via ONE full outer join on the key, emitting the next snapshot
+    plus an auditable merge_action per row. This is the semantics of
+    Delta/Iceberg MERGE INTO expressed as a pure DataFrame op; with a
+    parquet warehouse the result overwrites the snapshot dir
+    (etl/load.py's pattern), and with a real lakehouse format the
+    same plan runs underneath MERGE.
+
+    Scale: one shuffle on the merge key for each side (or zero for
+    the snapshot if it's bucketed by key — op_join_bucketed's
+    layout); the change batch is typically tiny and broadcasts. The
+    change set here is derived deterministically from the snapshot
+    itself (mod-10 bands) so the op needs no side fixture and stays
+    value-oracled.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("update").alias("op"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("new_acctbal"),
+    )
+    deletes = customer.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("delete").alias("op"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("new_acctbal"),
+    )
+    inserts = customer.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("key"),
+        F.lit("insert").alias("op"),
+        F.round(F.col("c_acctbal"), 2).alias("new_acctbal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = customer.join(changes, customer.c_custkey == changes.key, "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "delete")
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.col("key")).alias("c_custkey"),
+        F.when(F.col("op").isin("update", "insert"), F.col("new_acctbal"))
+        .otherwise(F.round(F.col("c_acctbal"), 2))
+        .alias("c_acctbal"),
+        F.coalesce(F.col("op"), F.lit("keep")).alias("merge_action"),
+    )
+
+
+@register(
+    "op_skew_diagnose",
+    tags=("scale", "agg"),
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey AS key, COUNT(*) AS n
+            FROM orders GROUP BY o_custkey
+        ),
+        heavy AS (
+            SELECT key FROM per_key ORDER BY n DESC, key LIMIT 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_per_key,
+               ROUND(AVG(n), 4) AS mean_per_key,
+               ROUND(quantile_cont(n, 0.99), 4) AS p99_per_key,
+               ROUND(MAX(n) / AVG(n), 4) AS skew_ratio,
+               (SELECT array_to_string(list_sort(list(key)), ',') FROM heavy) AS heaviest_keys
+        FROM per_key
+    """,
+)
+def op_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a prospective join/agg key: per-key
+    cardinality profile (max, mean, p99, max/mean ratio) plus the
+    identities of the heaviest keys — the numbers that decide between
+    a plain shuffle, AQE skew-split (op_join_skew_aqe), or manual
+    salting (op_join_salted) BEFORE burning a 1000-executor hour.
+
+    Two aggregation passes over key counts (the first is the same
+    shuffle the real join would do, so this doubles as a dry run);
+    the summary is one row, heavy keys surfaced as a sorted csv
+    scalar. The exact p99 here swaps to approx_percentile at true
+    scale — op_agg_percentile is that primitive; max/mean/count are
+    already single-pass mergeable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    heavy = (
+        per_key.orderBy(F.col("n").desc(), "key")
+        .limit(3)
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("key"))).alias("heaviest_keys"))
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.avg("n"), 4).alias("mean_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_per_key"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+    return summary.join(F.broadcast(heavy))
