@@ -366,3 +366,43 @@ def test_exchange_reuse_unifies_shared_subplan(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "ReusedExchange" in plan, plan
+
+
+def test_fuzzy_blocked_join_is_hash_not_cross(spark):
+    """op_join_fuzzy_blocked: the blocking key must make the pair
+    generation an equi (hash/sort-merge) join — a nested-loop or
+    cartesian plan means blocking regressed to all-pairs."""
+    f = I.facts(SPECS["op_join_fuzzy_blocked"].fn(spark, SF))
+    assert f.joins, "no joins in plan"
+    assert "BroadcastNestedLoopJoin" not in f.joins, f.joins
+    assert "CartesianProduct" not in f.joins, f.joins
+
+
+def test_triangle_join_is_equi_not_cross(spark):
+    """op_graph_triangles: both closing joins are equi-joins on the
+    oriented edge endpoints."""
+    f = I.facts(SPECS["op_graph_triangles"].fn(spark, SF))
+    assert "CartesianProduct" not in f.joins, f.joins
+
+
+def test_funnel_pushes_type_filters(spark):
+    """op_funnel_steps: each stage scans one event-type slice — the
+    type predicate must reach the parquet scan."""
+    f = I.facts(SPECS["op_funnel_steps"].fn(spark, SF))
+    assert any("event_type" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_merge_upsert_no_nested_loop(spark):
+    """op_merge_upsert: the snapshot/changes full outer join must stay
+    a keyed join (SMJ/SHJ) — BNLJ on a 100 TB snapshot is fatal."""
+    f = I.facts(SPECS["op_merge_upsert"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in f.joins, f.joins
+    assert "CartesianProduct" not in f.joins, f.joins
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """op_text_unigram_logprob: the Zipf-bounded vocab joins back to
+    the token stream by broadcast — reshuffling the whole token
+    stream to meet the vocab would double the corpus shuffle."""
+    f = I.facts(SPECS["op_text_unigram_logprob"].fn(spark, SF))
+    assert f.broadcasts >= 1, f.joins
