@@ -704,3 +704,73 @@ def op_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.struct(F.lit(100000.0).alias("o_totalprice"), F.lit(0).cast("bigint").alias("o_orderkey"))
         ).alias("above_mark"),
     )
+
+
+@register(
+    "op_scalar_binary",
+    tags=("scalar", "binary"),
+    oracle="""
+        SELECT p_partkey,
+               base64(CAST(p_name AS BLOB)) AS name_b64,
+               hex(CAST(p_name AS BLOB)) AS name_hex,
+               CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS n_bytes,
+               CAST(from_base64(base64(CAST(p_name AS BLOB))) AS VARCHAR) = p_name AS roundtrip_ok
+        FROM part WHERE p_partkey < 500
+    """,
+)
+def op_scalar_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType scalar surface: string<->bytes cast, base64 and hex
+    encodings, octet length, and an asserted encode->decode round
+    trip. This is the boundary layer under the multimodal columns
+    (llmdata/multimodal.py stores payloads as BinaryType) and under
+    any wire format that ships bytes in JSON — all JVM-side codegen,
+    no UDFs.
+
+    DuckDB seam pinned by the oracle: Spark's hex() uppercases and
+    DuckDB's hex() matches; base64 padding is RFC-identical in both.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    as_bytes = F.col("p_name").cast("binary")
+    return part.select(
+        "p_partkey",
+        F.base64(as_bytes).alias("name_b64"),
+        F.hex(as_bytes).alias("name_hex"),
+        F.octet_length(as_bytes).alias("n_bytes"),
+        (F.unbase64(F.base64(as_bytes)).cast("string") == F.col("p_name")).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "op_scalar_regexp",
+    tags=("scalar", "string"),
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+               regexp_matches(p_name, '(ring|bolt)$') AS is_fastener,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        FROM part WHERE p_partkey < 500
+    """,
+)
+def op_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: anchored group extraction, global match
+    counting, boolean rlike, global replacement — the workhorse
+    functions of log parsing and corpus scrubbing (op_text_redact is
+    this surface applied to PII patterns). All JVM-side codegen;
+    regexp_count/regexp_extract compile the pattern once per task,
+    not per row.
+
+    Oracle seam: DuckDB regexp_replace needs the explicit 'g' flag
+    to match Spark's replace-all default, and both engines agree on
+    RE2-compatible character classes/anchors used here.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("int").alias("n_vowels"),
+        F.col("p_name").rlike(r"(ring|bolt)$").alias("is_fastener"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+    )

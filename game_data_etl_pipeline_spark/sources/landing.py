@@ -321,3 +321,75 @@ def op_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("value", 1, tab - 1).cast("bigint").alias("doc_id"),
         F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
     ).withColumn("n_chars", F.length("text").cast("bigint"))
+
+
+_JSON_CORRUPT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "op_scan_json_corrupt",
+    tags=("source", "quality"),
+    oracle="""
+        WITH scoped AS (
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM scoped WHERE doc_id % 7 <> 3
+        GROUP BY lang
+        UNION ALL
+        SELECT '_corrupt' AS lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS total_chars
+        FROM scoped WHERE doc_id % 7 = 3
+    """,
+)
+def op_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record-tolerant JSON ingest: a JSONL landing file
+    where every 7th record is truncated garbage, read in PERMISSIVE
+    mode with ``columnNameOfCorruptRecord`` — bad lines surface as
+    rows carrying the raw text in the corrupt column instead of
+    killing the scan, and are counted into an explicit '_corrupt'
+    bucket (the quarantine-not-crash policy of op_scalar_try at the
+    source boundary).
+
+    On 100 TB of scraped JSON some records ARE broken; FAILFAST turns
+    one bad byte into a dead 10-hour job, while silent DROPMALFORMED
+    loses data unaccountably. PERMISSIVE + corrupt-column + audit
+    count is the only shape that is both survivable and auditable.
+    The fixture derives deterministically from ``documents`` (same
+    mod-7 rule in the oracle), so the whole path is value-checked.
+    """
+    if sf_dir not in _JSON_CORRUPT_CACHE:
+        from game_data_etl_pipeline_spark.catalog import load_table
+
+        out = os.path.join(tempfile.mkdtemp(prefix="json_corrupt_"), "docs_jsonl")
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                F.when(
+                    F.col("doc_id") % 7 == 3,
+                    F.concat(F.lit('{"doc_id":'), F.col("doc_id").cast("string"), F.lit(',"lang":')),
+                )
+                .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+                .alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(out)
+        )
+        _JSON_CORRUPT_CACHE[sf_dir] = out
+    parsed = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(_JSON_CORRUPT_CACHE[sf_dir])
+    )
+    labeled = parsed.select(
+        F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt")).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("_corrupt").isNotNull(), F.lit(0)).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    return labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
