@@ -447,3 +447,43 @@ def op_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "op_dedup_normalized",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                           ' +', ' ', 'g'))) AS norm_md5
+            FROM documents
+        )
+        SELECT norm_md5,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM norm
+        GROUP BY norm_md5
+    """,
+)
+def op_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-exact dedup (RefinedWeb-style): normalize the text first —
+    lowercase, strip non-alphanumerics, collapse whitespace — so that
+    case/punctuation/formatting variants of the same page collapse to
+    one md5 bucket, then keep the smallest doc_id per bucket as the
+    canonical survivor. Catches the large family of near-identical
+    crawl duplicates that byte-exact dedup (op_dedup_exact_docs)
+    misses, at exactly the same cost.
+
+    Same 100 TB shape as exact dedup: text is normalized and hashed
+    once in a narrow map (all JVM regexp, whole-stage codegen), and
+    the only shuffle carries (hash, doc_id) pairs — never bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return (
+        docs.select("doc_id", F.md5(clean).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_members"))
+    )

@@ -425,3 +425,122 @@ def op_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") >= 5)
     )
     return scored
+
+
+@register(
+    "op_text_chunk",
+    tags=("llm", "text"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(0, len(toks) - 1, 24)) AS gs
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(gs / 24 AS INT) AS chunk_index,
+               CAST(gs AS INT) AS start_token,
+               CAST(len(list_slice(toks, gs + 1, gs + 32)) AS INT) AS chunk_tokens,
+               array_to_string(list_slice(toks, gs + 1, gs + 32), ' ') AS chunk_text
+        FROM s
+    """,
+)
+def op_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (RAG / context-window prep):
+    32-token chunks on a 24-token stride, so consecutive chunks share
+    8 tokens of overlap and no token is ever lost at a boundary.
+
+    Pure generate: tokenize once, build the start-offset list with
+    ``sequence`` and ``posexplode`` it — a narrow, zero-shuffle map
+    whose output rows stay co-partitioned with their source document.
+    At 100 TB this is the shape you want: chunking fuses into the
+    scan, and downstream embedding/indexing stages consume the chunk
+    rows without any repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _terms()
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(24))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 32)
+    return (
+        docs.select("doc_id", toks.alias("toks"), starts.alias("starts"))
+        .select("doc_id", "toks", F.posexplode("starts").alias("chunk_index", "start"))
+        .select(
+            "doc_id",
+            "chunk_index",
+            F.col("start").alias("start_token"),
+            F.size(chunk).alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "op_text_bigram_logprob",
+    tags=("text", "quality"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(0, len(toks) - 2, 1)) AS i
+            FROM t WHERE len(toks) >= 2
+        ),
+        bigrams AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM idx
+        ),
+        bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+        ug AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+        vocab AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM bigrams)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-LN((bg.c12 + 0.5) / (ug.c1 + 0.5 * (SELECT v FROM vocab))) / LN(2)), 4)
+                   AS avg_bits_per_token
+        FROM bigrams JOIN bg USING (w1, w2) JOIN ug USING (w1)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= 4
+    """,
+)
+def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language model with add-k smoothing
+    (k=0.5): p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V), scored as average
+    bits per transition per document — one rung up the CCNet-style
+    perplexity quality ladder from the unigram model
+    (op_text_unigram_logprob), sharper at spotting shuffled-word
+    gibberish that unigram statistics cannot see.
+
+    One tokenize pass feeds both training counts and scoring: the
+    bigram table is an exploded pair stream aggregated twice (pair
+    counts and left-context counts), joined back broadcast — the
+    bigram vocabulary is Zipf-bounded, so at 100 TB the count tables
+    remain broadcastable after a frequency floor (the standard KenLM
+    pruning move)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"), F.element_at(toks, i + 2).alias("w2")
+        ),
+    )
+    bigrams = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bigrams.agg(F.countDistinct("w2").cast("double").alias("v"))
+    logp = -F.log2((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (
+        bigrams.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(ug), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_bits_per_token"),
+        )
+        .filter(F.col("n_bigrams") >= 4)
+    )
