@@ -59,7 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for fld in df.schema.fields:
         if fld.name == "ts" and fld.dataType.typeName() in ("long", "bigint"):
+            # ns-precision fixture era: surfaces as long under nanosAsLong
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif fld.name == "ts" and fld.dataType.typeName() == "timestamp_ntz":
+            # µs-precision fixture era: parquet without tz infers NTZ;
+            # cast to LTZ (session tz is UTC, so the micros are identical)
+            # so ts-consuming ops see one timestamp type across eras
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -26,9 +26,26 @@ from pyspark.sql import functions as F
 _MEM_COUNTER = itertools.count()
 
 
-def events_schema_ddl() -> str:
-    # ts is long-nanos under the nanosAsLong read path (see catalog.load_table)
-    return "event_id long, ts long, user_id long, event_type string, value double, props string"
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.ts is TIMESTAMP(NANOS) in the parquet footer.
+
+    The fixture generator has shipped both ns- and µs-precision ts
+    across rounds, so the stream schema must be sniffed, not assumed:
+    ns surfaces as long under nanosAsLong (needs div-1000 rebuild),
+    µs reads natively as TimestampType.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        typ = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema_arrow.field("ts").type
+        return getattr(typ, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
+def events_schema_ddl(sf_dir: str) -> str:
+    ts_type = "long" if _events_ts_is_nanos(sf_dir) else "timestamp"
+    return f"event_id long, ts {ts_type}, user_id long, event_type string, value double, props string"
 
 
 def events_stream(spark: SparkSession, sf_dir: str, *, extra_copies: int = 0) -> DataFrame:
@@ -37,15 +54,17 @@ def events_stream(spark: SparkSession, sf_dir: str, *, extra_copies: int = 0) ->
     extra_copies > 0 unions the stream with itself — the fixture for
     dedup/upsert operators that need duplicate arrivals.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    nanos = _events_ts_is_nanos(sf_dir)
+    if nanos:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     # the file source wants a directory; select just events.parquet from
     # the fixture dir via glob filter
     def one() -> DataFrame:
         return (
-            spark.readStream.schema(events_schema_ddl())
+            spark.readStream.schema(events_schema_ddl(sf_dir))
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
@@ -53,7 +72,9 @@ def events_stream(spark: SparkSession, sf_dir: str, *, extra_copies: int = 0) ->
     stream = one()
     for _ in range(extra_copies):
         stream = stream.unionByName(one())
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def run_to_memory(result: DataFrame, *, output_mode: str) -> DataFrame:
