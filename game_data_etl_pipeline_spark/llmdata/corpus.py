@@ -538,3 +538,175 @@ def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("lang", F.col("rank").cast("int"), "doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
     )
+
+
+@register(
+    "op_corpus_domain_cap",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS rank
+            FROM documents
+        )
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 15
+    """,
+)
+def op_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (Common-Crawl-style domain capping):
+    keep at most 15 docs per source, preferring the longest, with a
+    deterministic doc_id tie-break.
+
+    Web corpora are Zipf-distributed over domains; without a cap a
+    handful of hosts dominate training data. The plan is one shuffle
+    on source + a streaming row_number per key. A pathological
+    mega-domain concentrates on one task; the mitigation at 100 TB is
+    a two-phase cap (pre-cap each map partition to 15 per source
+    before the shuffle — the final top-15 is a subset of every
+    partial top-15, so partial TakeOrdered per partition is lossless
+    and bounds shuffle volume by 15 x sources x partitions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("source", "doc_id", "n_chars", F.col("rank").cast("int"))
+    )
+
+
+@register(
+    "op_corpus_shard_shuffle",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        )
+        SELECT CAST(CONCAT('0x', substr(k, 1, 1)) AS INT) AS shard_id,
+               doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id
+               ) AS INT) AS pos
+        FROM keyed
+    """,
+)
+def op_corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    serving: order docs by md5('shard:' || doc_id) and split into 16
+    shards on the first hex nibble. Every epoch reader sees the same
+    pseudo-random order regardless of cluster shape, task retries, or
+    partition count — the property rand(seed) does NOT have.
+
+    At 100 TB this is the write-side layout op: repartition by
+    shard_id, sortWithinPartitions(key), one file per shard; training
+    jobs then read shards sequentially with zero further shuffling.
+    Here the shard assignment + intra-shard position are the oracled
+    output (pos via one window per shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    nib = F.substring("k", 1, 1)
+    w = Window.partitionBy(nib).orderBy("k", "doc_id")
+    return keyed.select(
+        F.conv(nib, 16, 10).cast("int").alias("shard_id"),
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+@register(
+    "op_anonymize_ids",
+    tags=("llm", "corpus"),
+    oracle="""
+        SELECT substr(md5('pepper1:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_source_ids,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def op_anonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization: replace user_id with a peppered-hash
+    pseudonym (first 16 hex of md5(pepper || id)) that is consistent
+    across rows — joins and group-bys still work on the pseudonym —
+    while the raw id never leaves the projection. n_source_ids == 1
+    per pseudonym is the collision audit, checked by the oracle.
+
+    Pure per-row expression (no shuffle until the audit group-by), so
+    it composes with any downstream op at 100 TB. In production the
+    pepper comes from a secret store and rotates per release; a
+    truncated hash trades collision probability (16 hex = 64 bits)
+    for storage."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.substring(
+                F.md5(F.concat(F.lit("pepper1:"), F.col("user_id").cast("string"))), 1, 16
+            ).alias("pseudo_id"),
+            "user_id",
+            "value",
+        )
+        .groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_source_ids"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "op_length_filter_quantile",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH bounds AS (
+            SELECT quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_kept,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               ROUND(ANY_VALUE(lo), 2) AS p05,
+               ROUND(ANY_VALUE(hi), 2) AS p95
+        FROM documents, bounds
+        WHERE n_chars >= lo AND n_chars <= hi
+        GROUP BY lang
+    """,
+)
+def op_length_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band length filter: drop documents outside the global
+    [p05, p95] of n_chars (too short = boilerplate/fragments, too
+    long = concatenation junk), report survivors per language.
+
+    The exact percentiles are ONE tiny aggregate (2 doubles) that
+    broadcasts into the filter — a classic scalar-subquery-as-
+    broadcast plan, no second shuffle of the data. At 100 TB swap
+    percentile() for approx_percentile: the bound computation becomes
+    a mergeable sketch with the same downstream plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), F.lit(True))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.first("lo"), 2).alias("p05"),
+            F.round(F.first("hi"), 2).alias("p95"),
+        )
+    )

@@ -10,7 +10,7 @@ document: no shuffle except for the explicitly-aggregating ones
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
@@ -543,4 +543,55 @@ def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 4).alias("avg_bits_per_token"),
         )
         .filter(F.col("n_bigrams") >= 4)
+    )
+
+
+@register(
+    "op_text_ngrams",
+    tags=("text",),
+    oracle="""
+        WITH t AS (
+            SELECT string_split(text, ' ') AS toks FROM documents
+        ),
+        idx AS (
+            SELECT toks, UNNEST(generate_series(0, len(toks) - 3, 1)) AS i
+            FROM t WHERE len(toks) >= 3
+        ),
+        tri AS (
+            SELECT toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS trigram
+            FROM idx
+        )
+        SELECT trigram, n_occurrences, CAST(rank AS INT) AS rank FROM (
+            SELECT trigram, COUNT(*) AS n_occurrences,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, trigram) AS rank
+            FROM tri GROUP BY trigram
+        ) WHERE rank <= 20
+    """,
+)
+def op_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word trigram counts, top-20: the building block for
+    contamination screens, boilerplate detection, and LM training
+    counts. Trigrams are generated JVM-side with higher-order array
+    expressions (sequence + transform + slice — a lateral flatten, no
+    UDF), then counted with an ordinary partial-aggregating group-by.
+
+    At 100 TB the trigram stream is ~L tokens per doc wide but the
+    aggregation is mergeable and Zipf-skewed — map-side combine
+    absorbs the head, and a frequency floor (HAVING n >= f) prunes
+    the hapax tail before it shuffles (the KenLM pruning move)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    trigrams = F.when(F.size(w) < 3, F.array()).otherwise(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"
+        )
+    )
+    win = Window.orderBy(F.col("n_occurrences").desc(), "trigram")
+    return (
+        docs.select(F.explode(trigrams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= 20)
     )

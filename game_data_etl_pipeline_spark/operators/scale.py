@@ -981,3 +981,63 @@ def op_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
     )
     return summary.join(F.broadcast(heavy))
+
+
+@register(
+    "op_snapshot_diff",
+    tags=("scale", "cdc"),
+    oracle="""
+        WITH old AS (
+            SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+            FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+            GROUP BY user_id
+        ),
+        new AS (
+            SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+               o.n AS old_n, n.n AS new_n,
+               CASE WHEN o.user_id IS NULL THEN 'added'
+                    WHEN n.user_id IS NULL THEN 'removed'
+                    WHEN o.n != n.n OR o.v != n.v THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    """,
+)
+def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC without a log): compare per-user aggregate
+    state between an old snapshot (events before Jan 16) and the
+    current one; classify every key added / removed / changed /
+    unchanged via one full outer join on the key.
+
+    This is how you incrementalize a pipeline over sources with no
+    changelog: aggregate both snapshots down to (key, fingerprint)
+    — here (count, sum) — and join those REDUCED forms, so the wide
+    rows never shuffle twice. At 100 TB both sides partial-aggregate
+    map-side before one shuffle each, and the join is between two
+    key-sized relations; downstream processing touches only
+    status != 'unchanged' keys."""
+    ev = load_table(spark, sf_dir, "events")
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+        )
+    old = snap(ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))).select(
+        F.col("user_id").alias("o_uid"), F.col("n").alias("old_n"), F.col("v").alias("old_v")
+    )
+    new = snap(ev).select(
+        F.col("user_id").alias("n_uid"), F.col("n").alias("new_n"), F.col("v").alias("new_v")
+    )
+    joined = old.join(new, F.col("o_uid") == F.col("n_uid"), "full_outer")
+    status = (
+        F.when(F.col("o_uid").isNull(), "added")
+        .when(F.col("n_uid").isNull(), "removed")
+        .when((F.col("old_n") != F.col("new_n")) | (F.col("old_v") != F.col("new_v")), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("o_uid"), F.col("n_uid")).alias("user_id"),
+        "old_n", "new_n", status.alias("status"),
+    )

@@ -406,3 +406,32 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     stream to meet the vocab would double the corpus shuffle."""
     f = I.facts(SPECS["op_text_unigram_logprob"].fn(spark, SF))
     assert f.broadcasts >= 1, f.joins
+
+
+def test_sim_rerank_is_hash_join_not_bnlj(spark):
+    """Two-stage retrieval: probes meet candidates on a cell-id
+    equi-join — hash join plan, never an all-pairs nested loop
+    (the centroid-assignment broadcast NLJ over the tiny centroid
+    set is the one allowed exception)."""
+    f = I.facts(SPECS["op_sim_rerank"].fn(spark, SF))
+    assert any("BroadcastHashJoin" in j or "ShuffledHashJoin" in j or "SortMergeJoin" in j for j in f.joins), f.joins
+    # the candidate join must not be cartesian; only the k-centroid
+    # assignment pass may use a nested loop
+    assert not any("Cartesian" in j for j in f.joins), f.joins
+
+
+def test_quantize_and_snapshot_diff_shapes(spark):
+    """Quantization is a pure per-row map: zero exchanges. Snapshot
+    diff joins two key-sized aggregates: every wide row shuffles at
+    most once into its snapshot aggregate."""
+    f = I.facts(SPECS["op_embedding_quantize"].fn(spark, SF))
+    assert f.exchanges == 0, f"quantize shuffles {f.exchanges}x"
+    f2 = I.facts(SPECS["op_snapshot_diff"].fn(spark, SF))
+    assert f2.partial_agg, "snapshot aggregates must combine map-side"
+
+
+def test_length_filter_broadcasts_bounds(spark):
+    """The [p05, p95] bounds are a 2-double aggregate that must reach
+    the filter as a broadcast, not a shuffle of documents."""
+    f = I.facts(SPECS["op_length_filter_quantile"].fn(spark, SF))
+    assert any("BroadcastHashJoin" in j or "BroadcastNestedLoopJoin" in j for j in f.joins), f.joins
