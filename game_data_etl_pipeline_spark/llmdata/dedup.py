@@ -487,3 +487,66 @@ def op_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_md5")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_members"))
     )
+
+
+@register(
+    "op_dedup_containment",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 60),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS shingles
+            FROM toks
+        ),
+        exd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id != b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common * 1.0 / sa.n, 6) AS containment
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        WHERE n_common * 1.0 / sa.n >= 0.8
+    """,
+)
+def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A∩B| / |A| — the ASYMMETRIC near-dup
+    signal Jaccard misses: a short doc fully embedded in a longer one
+    (quote, mirror page, concatenation) scores containment ~1 while
+    its Jaccard stays low because the union is large. Emitted as
+    ordered pairs (doc_a contained in doc_b) at >= 0.8.
+
+    Same scale shape as op_dedup_ngram_jaccard: shingles meet on an
+    EQUI-join (never all-pairs), intersection counts aggregate, and
+    only |A| (not the union) normalizes — one fewer join than
+    Jaccard. At 100 TB the shingle join keys are Zipf-skewed;
+    op_dedup_minhash_banded is the sublinear prefilter and this is
+    the exact verifier inside candidate buckets."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    terms = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(terms) - 3),
+        lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
+    )
+    exd = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+    sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = exd.alias("a")
+    b = exd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common") / F.col("sa.n")
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .filter(containment >= 0.8)
+        .select("doc_a", "doc_b", "n_common", F.round(containment, 6).alias("containment"))
+    )

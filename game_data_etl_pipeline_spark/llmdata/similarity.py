@@ -300,6 +300,7 @@ def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sim_rerank",
     tags=("llm", "similarity"),
+    headline=True,
     oracle="""
         WITH cents AS (
             SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce

@@ -602,3 +602,85 @@ def op_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "op_agg_countmin",
+    tags=("agg", "scale", "sketch"),
+    oracle="""
+        WITH terms AS (
+            SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+        ),
+        hashes AS (
+            SELECT term, j,
+                   CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 8)) AS BIGINT) % 128 AS bucket
+            FROM terms, UNNEST([0, 1, 2, 3]) AS u(j)
+        ),
+        sketch AS (
+            SELECT j, bucket, COUNT(*) AS cell_n FROM hashes GROUP BY j, bucket
+        ),
+        exact AS (
+            SELECT term, COUNT(*) AS exact_n FROM terms GROUP BY term
+        ),
+        heavy AS (
+            SELECT term, exact_n,
+                   ROW_NUMBER() OVER (ORDER BY exact_n DESC, term) AS rank
+            FROM exact QUALIFY rank <= 10
+        ),
+        qcells AS (
+            SELECT h.term, h.exact_n, h.rank, u.j,
+                   CAST(CONCAT('0x', substr(md5(CAST(u.j AS VARCHAR) || ':' || h.term), 1, 8)) AS BIGINT) % 128 AS bucket
+            FROM heavy h, UNNEST([0, 1, 2, 3]) AS u(j)
+        )
+        SELECT q.term, q.exact_n, CAST(q.rank AS INT) AS rank,
+               MIN(s.cell_n) AS cm_est,
+               MIN(s.cell_n) - q.exact_n AS overcount
+        FROM qcells q JOIN sketch s ON s.j = q.j AND s.bucket = q.bucket
+        GROUP BY q.term, q.exact_n, q.rank
+    """,
+)
+def op_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus term stream (depth 4 x width
+    128, md5-derived hash family), audited against exact counts for
+    the top-10 heavy hitters: estimate = min over rows of the hashed
+    cell count, and overcount = est - exact is provably >= 0.
+
+    The sketch is the 100 TB answer to "frequencies of an unbounded
+    key space in bounded memory": each partition folds its term
+    stream into a d x w integer grid (map-side combinable — the grid
+    is a sum of per-partition grids), and only d*w cells ever
+    shuffle. The deterministic md5 hash family makes the whole
+    estimate value-oracled, not just shape-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+
+    def bucket(j, term_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), term_col)), 1, 8), 16, 10)
+            .cast("bigint") % 128
+        )
+
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"), bucket(j, F.col("term")).alias("bucket"))
+        for j in range(4)
+    ])
+    sketch = (
+        terms.select(F.explode(rows).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), "term")
+    heavy = exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    qcells = heavy.select(
+        "term", "exact_n", "rank", F.explode(rows).alias("c")
+    ).select("term", "exact_n", "rank", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    return (
+        qcells.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("term", "exact_n", "rank")
+        .agg(F.min("cell_n").alias("cm_est"))
+        .select(
+            "term", "exact_n", F.col("rank").cast("int"),
+            "cm_est", (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -134,3 +134,53 @@ def test_ivf_matches_exact_topk_on_probed_cell(spark, sf_dir):
     assert set(by_q) == {1, 2, 3}
     for q, cosines in by_q.items():
         assert cosines == sorted(cosines, reverse=True), f"query {q} ordering broken"
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Int8 min/max quantization: every reconstruction error is at most
+    scale/2 = (max-min)/510 per component, so the per-vector MEAN
+    must respect the same bound."""
+    rows = SPECS["op_embedding_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        half_step = (r.q_max - r.q_min) / 510.0
+        assert r.mean_abs_err <= half_step + 1e-9, (r.vec_id, r.mean_abs_err, half_step)
+
+
+def test_rerank_recall_at_least_single_probe(spark, sf_dir):
+    """Multi-probe (top-2 cells) candidate generation is a superset of
+    single-probe IVF, so rerank's top-3 agreement with exact top-3
+    must be >= op_sim_ivf's for the same queries."""
+    exact = SPECS["op_sim_cosine_topk"].fn(spark, sf_dir).collect()
+    truth = {q: set() for q in (1, 2, 3)}
+    for r in exact:
+        if r.query_id in truth and r.rank <= 3:
+            truth[r.query_id].add(r.neighbor_id)
+
+    def hits(name):
+        got = {}
+        for r in SPECS[name].fn(spark, sf_dir).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth)
+
+    assert hits("op_sim_rerank") >= hits("op_sim_ivf")
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """The count-min estimate is a min over hashed cell sums, each of
+    which includes every occurrence of the term — overcount >= 0
+    always, and estimates are exact when no collision lands in all
+    four rows."""
+    rows = SPECS["op_agg_countmin"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overcount >= 0, (r.term, r.exact_n, r.cm_est)
+
+
+def test_containment_catches_asymmetric_overlap(spark, sf_dir):
+    """Containment pairs must include the known near-dup pairs in BOTH
+    directions (symmetric near-dups are mutually contained)."""
+    rows = SPECS["op_dedup_containment"].fn(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    for a, b in NEAR_DUP_PAIRS:
+        assert (a, b) in pairs and (b, a) in pairs, (a, b, sorted(pairs)[:10])
