@@ -1052,3 +1052,48 @@ def op_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+@register(
+    "op_recursive_cte",
+    tags=("sql", "hierarchy"),
+    oracle="""
+        WITH RECURSIVE walk(node, cur, depth) AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+            UNION ALL
+            SELECT node, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+            FROM walk WHERE cur > 1
+        )
+        SELECT node AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS chain_len
+        FROM walk GROUP BY node
+    """,
+)
+def op_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk every customer up a
+    synthetic binary-tree hierarchy (parent(k) = floor(k/2)) to the
+    root and report depth + visited-chain length — the transitive-
+    closure query shape (org charts, BOM explosion, folder trees)
+    that pre-4.0 Spark required a driver loop for (op_graph_bfs is
+    that manual fixpoint; this is the declarative form).
+
+    Each iteration is one self-join of the frontier against a
+    per-row expression — Catalyst plans the loop as a union of
+    bounded steps (depth <= log2(max key), ~18 for a 150k-customer
+    tree), and every step is an ordinary shuffle-free projection
+    here since the parent is computed, not looked up. Cite:
+    recursion depth is data-bounded, not config-bounded, so the 100
+    TB risk is cycle bugs — the WHERE cur > 1 guard is the
+    termination proof."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        WITH RECURSIVE walk(node, cur, depth) AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+            UNION ALL
+            SELECT node, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+            FROM walk WHERE cur > 1
+        )
+        SELECT node AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS chain_len
+        FROM walk GROUP BY node
+    """)

@@ -318,3 +318,69 @@ def op_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bottom_event_id"),
         F.round(F.min("value"), 2).alias("bottom_value"),
     )
+
+
+@register(
+    "op_attribution_last_touch",
+    tags=("behavior",),
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ),
+        attributed AS (
+            SELECT p.user_id, p.event_id AS purchase_id, t.event_id AS touch_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY t.ts DESC, t.event_id DESC
+                   ) AS rn
+            FROM purchases p JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts <= p.ts
+             AND t.ts >= p.ts - INTERVAL '72 hours'
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed,
+               CAST(MIN(purchase_id) AS BIGINT) AS first_purchase_id
+        FROM attributed WHERE rn = 1
+        GROUP BY user_id
+    """,
+)
+def op_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    click/view by the same user within a 72-hour lookback. The pair
+    matching is the as-of-join shape (op_join_asof) expressed as a
+    per-user equi-join + time-band residual + row_number — the join
+    key is user_id, so the plan is a hash join plus one window, never
+    a cross product.
+
+    At 100 TB the lookback bound is what caps the pair fan-out: a
+    user's touches within 72 h of a purchase, not their full history.
+    For heavy users the banded-interval rewrite (op_join_range_binned:
+    join on (user_id, time_bucket)) bounds it further; the aggregate
+    output per user stays one row."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_uid"), F.col("ts").alias("t_ts"), F.col("event_id").alias("touch_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_uid") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 72 HOURS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.min("purchase_id").alias("first_purchase_id"),
+        )
+    )

@@ -1041,3 +1041,59 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o_uid"), F.col("n_uid")).alias("user_id"),
         "old_n", "new_n", status.alias("status"),
     )
+
+
+@register(
+    "op_cache_reuse",
+    tags=("scale", "cache"),
+    oracle="""
+        WITH enriched AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        by_segment AS (
+            SELECT c_mktsegment AS grp, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM enriched GROUP BY 1
+        ),
+        by_priority AS (
+            SELECT o_orderpriority AS grp, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM enriched GROUP BY 1
+        )
+        SELECT 'segment:' || grp AS grp, n_orders, revenue FROM by_segment
+        UNION ALL
+        SELECT 'priority:' || grp AS grp, n_orders, revenue FROM by_priority
+    """,
+)
+def op_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit materialization of a shared subplan: the orders ⋈
+    customer enrichment is computed ONCE into the block-manager cache
+    (columnar, spillable) and both downstream aggregations read the
+    InMemoryRelation instead of re-running the join.
+
+    This is the manual counterpart to ReuseExchange
+    (op_plan_exchange_reuse): exchange reuse only fires when Catalyst
+    sees identical subtrees in one plan; .cache() extends the same
+    economics across SEPARATE actions and non-identical consumers.
+    At 100 TB the cache spills partition-by-partition (MEMORY_AND_
+    DISK), so the win degrades gracefully from RAM-speed to
+    one-recompute-avoided. unpersist() releases executors' memory —
+    leaked cache entries are the classic long-session OOM."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "c_mktsegment")
+        .cache()  # lives until session end or explicit unpersist(); a
+        # long-lived service would unpersist after the consuming
+        # actions complete — unpersisting HERE would drop the entry
+        # before the caller's action ever materializes it
+    )
+    by_segment = enriched.groupBy(F.col("c_mktsegment").alias("g")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    ).select(F.concat(F.lit("segment:"), F.col("g")).alias("grp"), "n_orders", "revenue")
+    by_priority = enriched.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    ).select(F.concat(F.lit("priority:"), F.col("g")).alias("grp"), "n_orders", "revenue")
+    return by_segment.unionByName(by_priority)

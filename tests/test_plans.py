@@ -435,3 +435,28 @@ def test_length_filter_broadcasts_bounds(spark):
     the filter as a broadcast, not a shuffle of documents."""
     f = I.facts(SPECS["op_length_filter_quantile"].fn(spark, SF))
     assert any("BroadcastHashJoin" in j or "BroadcastNestedLoopJoin" in j for j in f.joins), f.joins
+
+
+def test_cache_reuse_reads_in_memory_relation(spark):
+    """Both aggregation branches must consume the cached join — the
+    plan shows InMemoryTableScan, and the join executes zero times in
+    the aggregate subtrees."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = SPECS["op_cache_reuse"].fn(spark, SF)
+    df.count()  # materialize the cache
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "InMemoryTableScan" in buf.getvalue()
+
+
+def test_recursive_cte_executes(spark):
+    """WITH RECURSIVE terminates at the data-bounded depth: max depth
+    == floor(log2(max custkey))."""
+    import math
+
+    rows = SPECS["op_recursive_cte"].fn(spark, SF).collect()
+    max_key = max(r.c_custkey for r in rows)
+    assert max(r.depth for r in rows) == int(math.log2(max_key))
