@@ -710,3 +710,82 @@ def op_length_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("hi"), 2).alias("p95"),
         )
     )
+
+
+@register(
+    "q_corpus_pipeline_v2",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH capped AS (
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY n_chars DESC, doc_id
+                ) AS rnk
+                FROM documents
+            ) WHERE rnk <= 20
+        ),
+        bounds AS (
+            SELECT quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM capped
+        ),
+        banded AS (
+            SELECT doc_id, text, lang FROM capped, bounds
+            WHERE n_chars >= lo AND n_chars <= hi
+        ),
+        dedup AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(LOWER(TRIM(text))) ORDER BY doc_id
+                ) AS rn FROM banded
+            ) WHERE rn = 1
+        )
+        SELECT CAST(CONCAT('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) % 8 AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM dedup
+        GROUP BY 1
+    """,
+)
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 composed curation pipeline: per-source domain cap ->
+    global [p05,p95] length band -> normalized-text exact dedup ->
+    deterministic 8-way shard assignment -> per-shard doc/lang/token
+    budget. Chains the stages op_corpus_domain_cap,
+    op_length_filter_quantile, op_dedup_normalized and
+    op_corpus_shard_shuffle pin individually, as ONE lazy DataFrame.
+
+    Shuffle ledger at 100 TB: cap window (shuffle on source), dedup
+    window (shuffle on normalized hash), final shard aggregate — the
+    length band is a broadcast scalar and the shard id a pure row
+    expression, so 3 wide stages total and every one is keyed on
+    something high-cardinality (no skew funnel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_cap = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    capped = (
+        docs.withColumn("rnk", F.row_number().over(w_cap))
+        .filter(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+    bounds = capped.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    banded = capped.join(F.broadcast(bounds), F.lit(True)).filter(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    )
+    w_dedup = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    dedup = (
+        banded.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 1), 16, 10)
+        .cast("int") % 8
+    )
+    return dedup.groupBy(shard.alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+    )
