@@ -164,21 +164,27 @@ def op_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query work drops from O(n) to O(n/k). At 100 TB: centroids
     from KMeans sampling, cells hash-partitioned so each probe is a
     partition-pruned scan."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm_expr(F.col("embedding"))
     )
-    sim_to_cent = cosine_expr(F.col("embedding"), F.col("ce"))
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    # norms precomputed per side: inlining cosine_expr would redo the
+    # vector norm once per centroid (k×) and once per candidate pair
+    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
     assigned = (
         emb.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "label", "embedding", "cent_id", sim_to_cent.alias("cs"))
+        .select("vec_id", "label", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cent_id")
+        .select("vec_id", "label", "embedding", "vnorm", "cent_id")
     )
     queries = assigned.filter(F.col("vec_id").isin(1, 2, 3)).select(
-        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"),
+        F.col("embedding").alias("qe"), F.col("vnorm").alias("qnorm"),
     )
     hits = (
         assigned.join(
@@ -189,7 +195,7 @@ def op_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            cosine_expr(F.col("qe"), F.col("embedding")).alias("cos"),
+            (dot_expr(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm"))).alias("cos"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -351,27 +357,33 @@ def op_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    # precompute each side's norm ONCE before the pair join: inlining
+    # cosine_expr would recompute the vector norm k times per vector
+    # (once per centroid) — same doubles, k× the flops
+    emb_n = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
+    cents_n = cents.withColumn("cnorm", norm_expr(F.col("ce")))
     scored = (
-        emb.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "label", "embedding", "cent_id",
-                cosine_expr(F.col("embedding"), F.col("ce")).alias("cs"))
+        emb_n.join(F.broadcast(cents_n), F.lit(True))
+        .select("vec_id", "label", "embedding", "vnorm", "cent_id",
+                (dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))).alias("cs"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
-    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "label", "embedding", "cent_id")
+    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "label", "embedding", "vnorm", "cent_id")
     probes = scored.filter(F.col("vec_id").isin(1, 2, 3) & (F.col("rn") <= 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"),
+        F.col("embedding").alias("qe"), F.col("vnorm").alias("qnorm"),
     )
     hits = (
         assigned.join(
             F.broadcast(probes),
             (F.col("cent_id") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "label", "qe", "embedding")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "label", "qe", "qnorm", "embedding", "vnorm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     reranked = hits.select(
         "query_id", "neighbor_id", "label",
-        cosine_expr(F.col("qe"), F.col("embedding")).alias("cos"),
+        (dot_expr(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm"))).alias("cos"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

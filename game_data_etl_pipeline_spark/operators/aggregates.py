@@ -684,3 +684,41 @@ def op_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cm_est", (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+@register(
+    "op_grouping_id",
+    tags=("agg",),
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def op_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id disambiguation for multi-level
+    aggregates: a rollup row where l_returnflag is NULL-because-
+    aggregated carries gid bit 2, distinguishing it from a NULL data
+    value — the correctness detail every ROLLUP consumer needs before
+    COALESCE-labelling subtotal rows.
+
+    Same single-pass expand-then-aggregate plan as op_rollup; the
+    grouping id is a zero-cost virtual column of the expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
