@@ -240,3 +240,74 @@ def op_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "win": out_win, "n_samples": out_n, "rms": out_rms})
 
     return docs.mapInPandas(rms_windows, "doc_id long, win int, n_samples long, rms double")
+
+
+@register(
+    "op_multimodal_chunk_hash",
+    tags=("llm", "multimodal", "dedup"),
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, text, CAST(CEIL(LENGTH(text) / 256.0) AS INT) AS n_chunks
+            FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0
+        ),
+        chunks AS (
+            SELECT DISTINCT doc_id, n_chunks,
+                   md5(substring(text, i * 256 + 1, 256)) AS chunk_hash
+            FROM docs, UNNEST(generate_series(0, n_chunks - 1, 1)) AS u(i)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared,
+                   ANY_VALUE(a.n_chunks) AS chunks_a
+            FROM chunks a JOIN chunks b
+              ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared,
+               ROUND(n_shared * 1.0 / chunks_a, 4) AS shared_frac
+        FROM pairs WHERE n_shared >= 2
+    """,
+)
+def op_multimodal_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-hash payload dedup (the rsync/CAS move applied to opaque
+    payloads): split each payload into fixed 256-char chunks, hash
+    every chunk, and find payload pairs sharing >= 2 chunk hashes —
+    catches partial duplication (shared headers, embedded segments,
+    truncated re-uploads) that whole-payload checksums
+    (op_multimodal_meta) miss entirely.
+
+    Chunks meet on an EQUI-join over the hash — the byte-level twin
+    of the shingle join in op_dedup_ngram_jaccard, and the same 100 TB
+    shape: no all-pairs comparison, shuffle keyed on content hashes.
+    Production upgrade: content-defined chunking (rolling-hash cut
+    points) makes the chunks shift-invariant; the join and everything
+    downstream are unchanged."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select(
+            "doc_id", "text",
+            F.ceil(F.length("text") / 256.0).cast("int").alias("n_chunks"),
+        )
+    )
+    chunk = F.md5(F.encode(F.expr("substring(text, i * 256 + 1, 256)"), "UTF-8"))
+    chunks = (
+        docs.select(
+            "doc_id", "n_chunks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+            "text",
+        )
+        .select("doc_id", "n_chunks", chunk.alias("chunk_hash"))
+        .dropDuplicates(["doc_id", "chunk_hash"])
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk_hash") == F.col("b.chunk_hash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"), F.first(F.col("a.n_chunks")).alias("chunks_a"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_shared",
+        F.round(F.col("n_shared") / F.col("chunks_a"), 4).alias("shared_frac"),
+    )

@@ -32,7 +32,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Identity projection shared by every endpoint: (endpoint, uuid, name).
 _COMMON_SCHEMA = "endpoint string, uuid string, name string"
@@ -83,3 +88,62 @@ class GameApiDataSource(DataSource):
 
     def reader(self, schema) -> GameApiReader:  # noqa: ARG002 — schema fixed by source
         return GameApiReader(self.options)
+
+
+class GameApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming replay of the landed endpoints: one endpoint per
+    micro-batch, offset = index into the endpoint list. After the last
+    endpoint the offset stops advancing, which is how a finite replay
+    signals drained to availableNow/processAllAvailable triggers.
+
+    The production swap keeps this exact shape: offset = (page cursor,
+    timestamp) against a live paged API, read() fetches one page, and
+    recovery replays from the checkpointed offset — executor-free
+    simple reader for modest rates, partition-planned DataSourceStream
+    Reader when one batch needs parallel fetches."""
+
+    def __init__(self, options: dict):
+        self.landing_dir = options["landing_dir"]
+        eps = options.get("endpoints", ",".join(_ENDPOINTS))
+        self.endpoints = tuple(e.strip() for e in eps.split(",") if e.strip())
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, endpoint: str) -> list[tuple]:
+        path = os.path.join(self.landing_dir, f"{endpoint}.json")
+        try:
+            with open(path, encoding="utf-8") as f:
+                envelope = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return []
+        if envelope.get("status") != 200:
+            return []
+        return [
+            (endpoint, r.get("uuid"), r.get("displayName"))
+            for r in envelope.get("data") or []
+        ]
+
+    def read(self, start: dict):
+        i = start["i"]
+        if i >= len(self.endpoints):
+            return iter([]), start
+        return iter(self._rows(self.endpoints[i])), {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list[tuple] = []
+        for i in range(start["i"], min(end["i"], len(self.endpoints))):
+            out.extend(self._rows(self.endpoints[i]))
+        return iter(out)
+
+
+class GameApiStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "game_api_stream"
+
+    def schema(self) -> str:
+        return _COMMON_SCHEMA
+
+    def simpleStreamReader(self, schema) -> GameApiStreamReader:  # noqa: ARG002
+        return GameApiStreamReader(self.options)

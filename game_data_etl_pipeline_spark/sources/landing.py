@@ -393,3 +393,51 @@ def op_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "op_source_python_api_stream",
+    tags=("source", "streaming"),
+    oracle="""
+        SELECT endpoint, n_records FROM (VALUES
+            ('agents', 5), ('weapons', 3), ('maps', 2), ('gamemodes', 2)
+        ) AS t(endpoint, n_records)
+    """,
+)
+def op_source_python_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001 — fixture-driven
+    """The REST source as a STREAMING Python data source (PySpark 4
+    SimpleDataSourceStreamReader): endpoints replay one per
+    micro-batch through readStream, aggregated per endpoint in
+    complete mode — a genuine incremental-ingest surface over the
+    same envelope contract as the batch source (non-200/missing ->
+    zero rows, never a failed batch).
+
+    The offset is checkpointable state: a restarted query resumes at
+    the recorded endpoint index via readBetweenOffsets, the exactly-
+    once recovery path the batch source cannot offer."""
+    from game_data_etl_pipeline_spark.sources.api_source import GameApiStreamDataSource
+
+    spark.dataSource.register(GameApiStreamDataSource)
+    stream = (
+        spark.readStream.format("game_api_stream")
+        .option("landing_dir", _landing_dir())
+        .load()
+    )
+    agg = stream.groupBy("endpoint").agg(F.count(F.lit(1)).alias("n_records"))
+    # availableNow snapshots the CURRENT offset for simple stream
+    # readers, which drains only one endpoint; processAllAvailable
+    # keeps firing micro-batches until the offset stops advancing —
+    # the drain-a-finite-replay idiom for this source shape
+    name = "api_stream_result"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -50,3 +50,48 @@ def test_endpoint_subset_option(spark):
     df = _read(spark, d, endpoints="maps,gamemodes")
     assert df.rdd.getNumPartitions() == 2
     assert df.count() == 4
+
+
+def test_stream_reader_replays_one_endpoint_per_batch():
+    """Offsets advance one endpoint per read(); a drained reader
+    returns its start offset unchanged (the stop signal)."""
+    d = tempfile.mkdtemp(prefix="api_src_stream_")
+    fixtures.write_landing(d)
+    from game_data_etl_pipeline_spark.sources.api_source import GameApiStreamReader
+
+    r = GameApiStreamReader({"landing_dir": d})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(10):
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if nxt == off:
+            break
+        seen.append({t[0] for t in rows})
+        off = nxt
+    assert [s.pop() for s in seen] == ["agents", "weapons", "maps", "gamemodes"]
+
+
+def test_stream_reader_recovery_replays_offset_range():
+    """readBetweenOffsets reproduces exactly the records of the
+    skipped range — the checkpoint-recovery contract."""
+    d = tempfile.mkdtemp(prefix="api_src_recov_")
+    fixtures.write_landing(d)
+    from game_data_etl_pipeline_spark.sources.api_source import GameApiStreamReader
+
+    r = GameApiStreamReader({"landing_dir": d})
+    replay = list(r.readBetweenOffsets({"i": 1}, {"i": 3}))
+    eps = {t[0] for t in replay}
+    assert eps == {"weapons", "maps"}
+    assert len(replay) == 5  # 3 weapons + 2 maps
+
+
+def test_stream_reader_broken_endpoint_empty_batch():
+    d = tempfile.mkdtemp(prefix="api_src_sbroken_")
+    fixtures.write_landing(d, broken={"weapons"})
+    from game_data_etl_pipeline_spark.sources.api_source import GameApiStreamReader
+
+    r = GameApiStreamReader({"landing_dir": d})
+    rows, nxt = r.read({"i": 1})  # weapons
+    assert list(rows) == []
+    assert nxt == {"i": 2}  # offset still advances past the broken endpoint
