@@ -558,3 +558,44 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= 0.8)
         .select("doc_a", "doc_b", "n_common", F.round(containment, 6).alias("containment"))
     )
+
+
+@register(
+    "op_dedup_cross_snapshot",
+    tags=("llm", "dedup", "cdc"),
+    oracle="""
+        WITH reference AS (
+            SELECT DISTINCT md5(LOWER(TRIM(text))) AS h FROM documents WHERE doc_id < 250
+        ),
+        incoming AS (
+            SELECT doc_id, lang, md5(LOWER(TRIM(text))) AS h FROM documents WHERE doc_id >= 250
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM incoming i LEFT JOIN reference r ON i.h = r.h
+        GROUP BY lang
+    """,
+)
+def op_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: screen an incoming batch (doc_id >= 250)
+    against the reference corpus's normalized-content hash set
+    (doc_id < 250) and report novel-vs-seen per language — the
+    incremental-crawl admission check that runs BEFORE any expensive
+    near-dup pass.
+
+    Only 16-byte hashes cross the wire: the reference side reduces to
+    DISTINCT hashes (partial-aggregated), the incoming side joins on
+    the hash — text bodies never shuffle. At 100 TB the reference
+    hash set lives as a bucketed table (or a bloom filter for the
+    in-memory fast path, op_join_bloom) and the join prunes to
+    matching buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    reference = docs.filter(F.col("doc_id") < 250).select(h.alias("h")).distinct()
+    incoming = docs.filter(F.col("doc_id") >= 250).select("doc_id", "lang", h.alias("h"))
+    joined = incoming.join(reference.withColumnRenamed("h", "rh"), F.col("h") == F.col("rh"), "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(F.col("rh").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )

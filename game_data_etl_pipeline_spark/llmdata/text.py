@@ -595,3 +595,86 @@ def op_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(win).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@register(
+    "op_text_sentences",
+    tags=("text",),
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(text, '[.!?]+'),
+                                   x -> LENGTH(TRIM(x)) > 0)) AS n_sentences,
+                   LENGTH(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_sentences AS INT) AS n_sentences,
+               ROUND(CASE WHEN n_sentences = 0 THEN 0.0
+                          ELSE n_chars * 1.0 / n_sentences END, 4) AS chars_per_sentence
+        FROM s
+    """,
+)
+def op_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (regex terminator split, empty
+    segments dropped): sentence counts and mean sentence length per
+    doc — the unit RAG chunkers (op_text_chunk) and readability-style
+    quality gates consume.
+
+    Pure per-row JVM regexp + higher-order filter, no shuffle; at
+    100 TB this fuses into whatever scan already touches text."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = F.split(F.col("text"), "[.!?]+")
+    n_sent = F.size(F.filter(segs, lambda x: F.length(F.trim(x)) > 0))
+    return docs.select(
+        "doc_id", "lang",
+        n_sent.cast("int").alias("n_sentences"),
+        F.round(
+            F.when(n_sent == 0, F.lit(0.0)).otherwise(F.length("text") / n_sent), 4
+        ).alias("chars_per_sentence"),
+    )
+
+
+@register(
+    "op_text_boilerplate",
+    tags=("text", "dedup"),
+    oracle="""
+        WITH segs AS (
+            SELECT DISTINCT doc_id, TRIM(seg) AS sentence
+            FROM (
+                SELECT doc_id, UNNEST(string_split_regex(text, '[.!?]+')) AS seg
+                FROM documents
+            ) WHERE LENGTH(TRIM(seg)) >= 20
+        )
+        SELECT sentence, CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT sentence, COUNT(*) AS n_docs,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, sentence) AS rank
+            FROM segs GROUP BY sentence
+        ) WHERE n_docs >= 2 AND rank <= 20
+    """,
+)
+def op_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection, CCNet-style: segment every doc into
+    sentences, count how many DISTINCT docs each sentence appears in,
+    surface the top repeated ones (>= 2 docs) — cookie banners,
+    license headers, and nav text show up here long before any
+    doc-level dedup fires, and removal happens at the segment level.
+
+    One explode + distinct + count: the shuffle is keyed on the
+    sentence text (high cardinality, Zipf head = the boilerplate
+    itself); at 100 TB hash the sentence first (as
+    op_dedup_cross_snapshot does) so only digests shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "[.!?]+")).alias("seg"))
+        .select("doc_id", F.trim("seg").alias("sentence"))
+        .filter(F.length("sentence") >= 20)
+        .dropDuplicates(["doc_id", "sentence"])
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), "sentence")
+    return (
+        segs.groupBy("sentence")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter((F.col("n_docs") >= 2) & (F.col("rank") <= 20))
+    )

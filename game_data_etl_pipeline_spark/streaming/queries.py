@@ -569,3 +569,50 @@ def op_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "op_stream_sliding_topk",
+    tags=("streaming",),
+    oracle="""
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY w ORDER BY n_events DESC, event_type
+            ) AS rank FROM counts
+        )
+        SELECT strftime(w, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+               event_type, n_events, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def op_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: streaming windowed counts (genuine stateful
+    aggregation, complete mode) then top-3 event types per window —
+    the trending-hashtags shape. The per-window rank runs over the
+    emitted window counts, NOT the raw stream: state stays
+    O(windows x types), and the rank input is already
+    aggregate-sized.
+
+    At 100 TB-rate streams the windowed count is the only stateful
+    stage; ranking its output is a trivially small batch per trigger
+    (foreachBatch in production, the memory-sink table here)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window").orderBy(F.col("n_events").desc(), "event_type")
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(_fmt("window.start", "window_start"), "event_type", "n_events", "rank")
+    )
