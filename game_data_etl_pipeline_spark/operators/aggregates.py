@@ -722,3 +722,45 @@ def op_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n", "sum_qty",
         )
     )
+
+
+@register(
+    "op_agg_bitmap_distinct",
+    tags=("agg", "scale", "sketch"),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_distinct_bitmap,
+               COUNT(DISTINCT l_orderkey) AS n_distinct_exact
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (Spark 3.5+
+    bitmap_* functions): keys bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), each group
+    aggregates OR-merged bitmap chunks, and the distinct count is the
+    sum of per-bucket popcounts.
+
+    This sits between countDistinct and HLL on the 100 TB menu:
+    exact like countDistinct, but the shuffle carries fixed-size
+    bitmap chunks instead of every distinct raw value, and — unlike
+    countDistinct — partial results MERGE (OR is associative), so
+    it composes with rollup-merge incrementality
+    (op_agg_rollup_merge). Cost model: ~4 KB per occupied 32k-key
+    bucket per group; wins when distinct values per group dwarf the
+    occupied-bucket count. The query also emits the plain
+    countDistinct so the oracle pins bitmap == exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select("l_returnflag", F.col("l_orderkey").alias("k"))
+        .groupBy("l_returnflag", F.expr("bitmap_bucket_number(k)").alias("bk"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("b"))
+    )
+    bitmap_counts = per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(b)")).alias("n_distinct_bitmap")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_distinct_exact")
+    )
+    return bitmap_counts.join(exact, "l_returnflag")
