@@ -179,3 +179,113 @@ def op_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
         """
     )
+
+
+def _arrow_discount_batches(batches):
+    """mapInArrow body: operate on pyarrow.RecordBatch directly — no
+    pandas materialization, columnar in/out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        ext = batch.column(batch.schema.get_field_index("l_extendedprice"))
+        disc = batch.column(batch.schema.get_field_index("l_discount"))
+        net = pc.round(pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)), ndigits=4)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(batch.schema.get_field_index("l_orderkey")),
+             batch.column(batch.schema.get_field_index("l_linenumber")),
+             net],
+            names=["l_orderkey", "l_linenumber", "net_price"],
+        )
+
+
+@register(
+    "op_udf_map_in_arrow",
+    tags=("udf",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+        FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def op_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy rung of the Python UDF ladder — the
+    function receives pyarrow RecordBatches and computes with Arrow
+    kernels, skipping the Arrow->pandas->Arrow conversion mapInPandas
+    pays (which also perturbs types: pandas nullability coercions,
+    datetime64 truncation). Use when the Python logic is itself
+    columnar (Arrow compute, numpy over buffers, tokenizers with
+    Arrow bindings).
+
+    Same distribution contract as mapInPandas: per-partition batch
+    iterator, output schema declared up front, no shuffle introduced.
+    (This op's arithmetic would of course stay JVM-side in real code
+    — it exists to pin the surface's semantics against the oracle.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        _arrow_discount_batches,
+        schema="l_orderkey long, l_linenumber int, net_price double",
+    )
+
+
+def _cogroup_conversion(purchases: pd.DataFrame, touches: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas cogroup body: per-user conversion stats from two
+    SEPARATELY-grouped inputs delivered side by side."""
+    uid = (purchases["user_id"].iloc[0] if len(purchases) else touches["user_id"].iloc[0])
+    n_p, n_t = len(purchases), len(touches)
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_purchases": [n_p],
+            "n_touches": [n_t],
+            "touch_per_purchase": [round(n_t / n_p, 4) if n_p else None],
+        }
+    )
+
+
+@register(
+    "op_udf_cogroup",
+    tags=("udf",),
+    oracle="""
+        WITH p AS (
+            SELECT user_id, COUNT(*) AS n_purchases FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        t AS (
+            SELECT user_id, COUNT(*) AS n_touches FROM events
+            WHERE event_type IN ('click', 'view') GROUP BY user_id
+        )
+        SELECT COALESCE(p.user_id, t.user_id) AS user_id,
+               COALESCE(n_purchases, 0) AS n_purchases,
+               COALESCE(n_touches, 0) AS n_touches,
+               CASE WHEN COALESCE(n_purchases, 0) > 0
+                    THEN ROUND(COALESCE(n_touches, 0) * 1.0 / n_purchases, 4) END AS touch_per_purchase
+        FROM p FULL OUTER JOIN t ON p.user_id = t.user_id
+    """,
+)
+def op_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: purchases and touches group
+    INDEPENDENTLY on user_id and arrive as two aligned pandas frames
+    per key — the surface for per-key logic that needs both sides
+    whole (as-of merges, per-entity reconciliation, trajectory vs
+    label alignment) without pre-joining them row-by-row.
+
+    Both sides shuffle once on the cogroup key and meet
+    partition-aligned; an absent side arrives as an empty frame (the
+    outer-join semantics the oracle mirrors). At 100 TB the caveat is
+    per-key materialization: each user's BOTH frames must fit in
+    worker memory — heavy keys want the windowed/banded rewrites
+    (op_attribution_last_touch) instead."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select("user_id", "event_id")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(touches.groupBy("user_id"))
+        .applyInPandas(
+            _cogroup_conversion,
+            schema="user_id long, n_purchases long, n_touches long, touch_per_purchase double",
+        )
+    )
