@@ -599,3 +599,111 @@ def op_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new"),
         F.sum(F.when(F.col("rh").isNull(), 1).otherwise(0)).alias("n_novel"),
     )
+
+
+@register(
+    "op_dedup_fuzzy_pipeline",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH terms AS (
+            SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 200
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   MIN(CAST(('0x' || substring(md5(term || '#0'), 1, 8)) AS BIGINT)) AS s0,
+                   MIN(CAST(('0x' || substring(md5(term || '#1'), 1, 8)) AS BIGINT)) AS s1,
+                   MIN(CAST(('0x' || substring(md5(term || '#2'), 1, 8)) AS BIGINT)) AS s2,
+                   MIN(CAST(('0x' || substring(md5(term || '#3'), 1, 8)) AS BIGINT)) AS s3,
+                   MIN(CAST(('0x' || substring(md5(term || '#4'), 1, 8)) AS BIGINT)) AS s4,
+                   MIN(CAST(('0x' || substring(md5(term || '#5'), 1, 8)) AS BIGINT)) AS s5,
+                   MIN(CAST(('0x' || substring(md5(term || '#6'), 1, 8)) AS BIGINT)) AS s6,
+                   MIN(CAST(('0x' || substring(md5(term || '#7'), 1, 8)) AS BIGINT)) AS s7
+            FROM terms GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band, s0 || '_' || s1 AS bv FROM sigs
+            UNION ALL SELECT doc_id, 1, s2 || '_' || s3 FROM sigs
+            UNION ALL SELECT doc_id, 2, s4 || '_' || s5 FROM sigs
+            UNION ALL SELECT doc_id, 3, s6 || '_' || s7 FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM terms GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN terms ta ON ta.doc_id = c.doc_a
+            JOIN terms tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+)
+def op_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical two-stage fuzzy dedup, composed end to end and
+    value-oracled: banded MinHash candidate generation (same md5
+    family and b=4/r=2 banding as op_dedup_minhash_banded) followed by
+    exact Jaccard verification computed ONLY for candidate pairs,
+    keeping J >= 0.5.
+
+    The verify join is the stage-2 scale story: candidates x A's
+    terms (equi-join on doc_a), then an equi-join on (doc_b, term) —
+    intersection counting costs O(candidates x |A|) instead of the
+    all-pairs O(n^2 x |A|) the standalone verifier pays. Candidate
+    volume is governed by the band/row split; false positives die at
+    the threshold, false negatives are the banding recall tradeoff
+    pinned in tests/test_llmdata.py for the same family."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    terms = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    h = lambda j: F.min(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#{j}"))), 1, 8), 16, 10).cast("bigint")
+    ).alias(f"s{j}")
+    sigs = terms.groupBy("doc_id").agg(*[h(j) for j in range(8)])
+    banded = sigs.select(
+        "doc_id",
+        *[F.concat_ws("_", F.col(f"s{2*b}"), F.col(f"s{2*b+1}")).alias(f"b{b}") for b in range(4)],
+    )
+    bands = None
+    for b in range(4):
+        part = banded.select("doc_id", F.lit(b).alias("band"), F.col(f"b{b}").alias("bv"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = terms.select(F.col("doc_id").alias("ta_doc"), F.col("term").alias("ta_term"))
+    tb = terms.select(F.col("doc_id").alias("tb_doc"), F.col("term").alias("tb_term"))
+    inter = (
+        cand.join(ta, F.col("doc_a") == F.col("ta_doc"))
+        .join(tb, (F.col("doc_b") == F.col("tb_doc")) & (F.col("tb_term") == F.col("ta_term")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )

@@ -678,3 +678,72 @@ def op_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter((F.col("n_docs") >= 2) & (F.col("rank") <= 20))
     )
+
+
+@register(
+    "op_text_gopher_rules",
+    tags=("text", "quality"),
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_words,
+                   CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                        ELSE LENGTH(REPLACE(text, ' ', '')) * 1.0 / len(string_split(text, ' '))
+                   END AS mean_word_len,
+                   CASE WHEN LENGTH(text) = 0 THEN 0.0
+                        ELSE (LENGTH(text) - LENGTH(regexp_replace(text, '[#*=_~|]', '', 'g'))) * 1.0 / LENGTH(text)
+                   END AS symbol_ratio,
+                   CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                        ELSE len(list_filter(string_split(text, ' '), w -> w IN ('the','be','to','of','and','that','have','with')))
+                             * 1.0 / len(string_split(text, ' '))
+                   END AS stop_ratio
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               (n_words BETWEEN 50 AND 100000)          AS ok_word_count,
+               (mean_word_len BETWEEN 3 AND 10)          AS ok_mean_word_len,
+               (symbol_ratio <= 0.1)                     AS ok_symbol_ratio,
+               (stop_ratio >= 0.01)                      AS ok_stopwords,
+               ((n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3 AND 10)
+                AND (symbol_ratio <= 0.1)
+                AND (stop_ratio >= 0.01))                AS keep
+        FROM feats
+    """,
+)
+def op_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021, public): word-count
+    band, mean-word-length band, symbol-to-char ratio cap, stopword
+    floor — each rule emitted as its OWN boolean plus the conjunction,
+    so curation is auditable per rule (which gate killed the doc)
+    rather than a single opaque keep bit.
+
+    All four features come from one narrow projection of text — zero
+    shuffles, fuses into any scan already touching the column. The
+    per-rule booleans are what you aggregate for drift dashboards
+    (rule kill-rates per source/language over time)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wl = F.when(n_words == 0, 0.0).otherwise(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words
+    )
+    sym_ratio = F.when(F.length("text") == 0, 0.0).otherwise(
+        (F.length("text") - F.length(F.regexp_replace("text", r"[#*=_~|]", ""))) / F.length("text")
+    )
+    stops = F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")])
+    stop_ratio = F.when(n_words == 0, 0.0).otherwise(
+        F.size(F.filter(words, lambda w: F.array_contains(stops, w))) / n_words
+    )
+    ok_wc = (n_words >= 50) & (n_words <= 100000)
+    ok_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_sym = sym_ratio <= 0.1
+    ok_stop = stop_ratio >= 0.01
+    return docs.select(
+        "doc_id", "lang",
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_sym & ok_stop).alias("keep"),
+    )

@@ -1097,3 +1097,61 @@ def op_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS chain_len
         FROM walk GROUP BY node
     """)
+
+
+@register(
+    "op_anomaly_mad",
+    tags=("analytics", "quality"),
+    oracle="""
+        WITH med AS (
+            SELECT event_type, MEDIAN(value) AS med_v
+            FROM events GROUP BY event_type
+        ),
+        devs AS (
+            SELECT e.event_type, e.event_id, e.value, m.med_v,
+                   ABS(e.value - m.med_v) AS dev
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type, MEDIAN(dev) AS mad_v
+            FROM devs GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN m.mad_v > 0
+                              AND ABS(d.value - d.med_v) / (1.4826 * m.mad_v) > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               ROUND(ANY_VALUE(d.med_v), 4) AS median_value,
+               ROUND(ANY_VALUE(m.mad_v), 4) AS mad
+        FROM devs d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    """,
+)
+def op_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: modified z-score
+    |x - median| / (1.4826 * MAD) > 3.5 (the Iglewicz–Hoaglin rule,
+    public) — median/MAD resist exactly the outliers that wreck a
+    mean/stddev z-score, which is why data-quality monitors use them
+    over op_agg_stats' moments.
+
+    Two grouped exact medians (per-type, group count is small) plus
+    broadcast-sized joins back; at 100 TB both medians swap to
+    approx_percentile sketches with the same two-pass shape and the
+    per-row score unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med_v"))
+    devs = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("dev"),
+    )
+    mad = devs.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad_v"))
+    scored = devs.join(F.broadcast(mad), "event_type")
+    is_anom = (F.col("mad_v") > 0) & (
+        F.abs(F.col("value") - F.col("med_v")) / (1.4826 * F.col("mad_v")) > 3.5
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+        F.round(F.first("med_v"), 4).alias("median_value"),
+        F.round(F.first("mad_v"), 4).alias("mad"),
+    )
