@@ -1097,3 +1097,90 @@ def op_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
     ).select(F.concat(F.lit("priority:"), F.col("g")).alias("grp"), "n_orders", "revenue")
     return by_segment.unionByName(by_priority)
+
+
+@register(
+    "op_join_asof_nearest",
+    tags=("scale", "join"),
+    oracle="""
+        WITH uni AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        w AS (
+            SELECT *,
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+            FROM uni
+        )
+        SELECT event_id, user_id,
+               CAST(CASE WHEN prev_p IS NULL THEN date_diff('second', ts, next_p)
+                         WHEN next_p IS NULL THEN date_diff('second', prev_p, ts)
+                         WHEN ts - prev_p <= next_p - ts THEN date_diff('second', prev_p, ts)
+                         ELSE date_diff('second', ts, next_p) END AS BIGINT) AS nearest_gap_secs,
+               CASE WHEN prev_p IS NULL THEN 'forward'
+                    WHEN next_p IS NULL THEN 'backward'
+                    WHEN ts - prev_p <= next_p - ts THEN 'backward'
+                    ELSE 'forward' END AS direction
+        FROM w
+        WHERE event_type = 'click' AND (prev_p IS NOT NULL OR next_p IS NOT NULL)
+    """,
+)
+def op_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join, either direction: for every click,
+    the closest purchase by the same user — backward OR forward,
+    whichever is nearer (backward wins ties). Completes the as-of
+    family: op_join_asof is the backward-only variant.
+
+    Same ZERO-JOIN shape as op_join_asof: union both event sets, one
+    shuffle on (user_id), one sorted window pass computing running
+    last-purchase and next-purchase timestamps — never a pairwise
+    join, so a hot user costs one sorted partition scan instead of
+    clicks x purchases pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    uni = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = uni.select(
+        "*",
+        F.max(pts).over(w_back).alias("prev_p"),
+        F.min(pts).over(w_fwd).alias("next_p"),
+    )
+    back_gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_p")
+    fwd_gap = F.unix_timestamp("next_p") - F.unix_timestamp("ts")
+    back_nearer = (F.col("ts").cast("double") - F.col("prev_p").cast("double")) <= (
+        F.col("next_p").cast("double") - F.col("ts").cast("double")
+    )
+    gap = (
+        F.when(F.col("prev_p").isNull(), fwd_gap)
+        .when(F.col("next_p").isNull(), back_gap)
+        .when(back_nearer, back_gap)
+        .otherwise(fwd_gap)
+    )
+    direction = (
+        F.when(F.col("prev_p").isNull(), "forward")
+        .when(F.col("next_p").isNull(), "backward")
+        .when(back_nearer, "backward")
+        .otherwise("forward")
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "click")
+            & (F.col("prev_p").isNotNull() | F.col("next_p").isNotNull())
+        )
+        .select("event_id", "user_id", gap.cast("bigint").alias("nearest_gap_secs"),
+                direction.alias("direction"))
+    )

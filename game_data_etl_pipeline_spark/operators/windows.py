@@ -303,3 +303,62 @@ def op_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+@register(
+    "op_scd2_asof_lookup",
+    tags=("window", "warehouse"),
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                   ROUND(value, 4) AS dim_val
+            FROM events WHERE event_type = 'purchase' AND user_id < 50
+        ),
+        fact AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click' AND user_id < 50
+        )
+        SELECT f.event_id, f.user_id, d.dim_val
+        FROM fact f JOIN dim d
+          ON d.user_id = f.user_id
+         AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def op_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 validity intervals:
+    each fact row (clicks) joins the dimension version (purchase
+    state) that was current AT ITS OWN timestamp — the query every
+    SCD2 warehouse exists to answer, and the one a full-refresh sink
+    (reference etl/pipeline.py:280) structurally cannot.
+
+    Interval membership [from, to) is expressed as an equi-join on
+    the entity key plus residual time-band predicates — a hash join
+    with per-key interval filtering, not a BNLJ, because each fact
+    matches EXACTLY ONE version (intervals partition the timeline per
+    key). The binned rewrite (op_join_range_binned) takes over when
+    keys are so hot that per-key interval lists blow up."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select(
+            F.col("user_id").alias("d_uid"), F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+            F.round("value", 4).alias("dim_val"),
+        )
+    )
+    fact = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 50)).select(
+        "event_id", "user_id", F.col("ts").alias("f_ts")
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("d_uid") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("f_ts"))
+            & (F.col("valid_to").isNull() | (F.col("f_ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "dim_val")
+    )
