@@ -391,3 +391,72 @@ def op_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "label", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+@register(
+    "op_sim_matryoshka",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   CAST(embedding[1:16] AS DOUBLE[]) AS e16
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe, e16 AS qe16 FROM d WHERE vec_id < 5),
+        full_rank AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS r
+            FROM q, d WHERE vec_id != query_id
+        ),
+        trunc_rank AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe16, e16) DESC, vec_id) AS r
+            FROM q, d WHERE vec_id != query_id
+        )
+        SELECT f.query_id,
+               CAST(COUNT(*) FILTER (WHERE t.r <= 10) AS INT) AS overlap_at_10
+        FROM full_rank f
+        JOIN trunc_rank t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        WHERE f.r <= 10
+        GROUP BY f.query_id
+    """,
+)
+def op_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-embedding retrieval audit (the Matryoshka/MRL idea,
+    public): rank neighbors by cosine over only the FIRST 16
+    dimensions and measure top-10 overlap against full-dimension
+    ranking per query — the measurement that tells you whether the
+    cheap prefilter preserves enough order to front a full-precision
+    rerank (op_sim_rerank's stage-2).
+
+    Truncation is a per-row slice (free at scan time — 8× less
+    vector I/O and flops); both rankings share one broadcast of the
+    query set. At 100 TB you'd store the prefix as its own column
+    (or leading Parquet pages) and never read the tail until
+    rerank."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.slice("embedding", 1, 16).alias("e16")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"), F.col("e16").alias("qe16"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("qe"), F.col("embedding")).alias("cos_full"),
+        cosine_expr(F.col("qe16"), F.col("e16")).alias("cos_trunc"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "neighbor_id")
+    w_trunc = Window.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), "neighbor_id")
+    ranked = pairs.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_trunc).alias("r_trunc"),
+    )
+    return (
+        ranked.filter(F.col("r_full") <= 10)
+        .groupBy("query_id")
+        .agg(F.sum(F.when(F.col("r_trunc") <= 10, 1).otherwise(0)).cast("int").alias("overlap_at_10"))
+    )

@@ -362,3 +362,45 @@ def op_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "dim_val")
     )
+
+
+@register(
+    "op_window_moving_median",
+    tags=("window", "timeseries"),
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(MEDIAN(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ), 4) AS med5,
+               ROUND(value - MEDIAN(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ), 4) AS residual
+        FROM events
+    """,
+)
+def op_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (5-row trailing frame per user): the robust
+    smoother for spiky telemetry — one outlier shifts a moving mean
+    by outlier/n but leaves the median untouched, which is why
+    medfilt precedes anomaly scoring (op_anomaly_mad is its global
+    cousin).
+
+    Spark evaluates aggregate `percentile` over a ROWS frame — one
+    shuffle on user_id, one sorted pass, O(frame) state per row. At
+    100 TB the frame bound (not the partition) caps memory; for wide
+    frames swap in approx_percentile with the identical call
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    med5 = F.round(F.expr("percentile(value, 0.5)").over(w), 4)
+    return ev.select(
+        "event_id", "user_id",
+        med5.alias("med5"),
+        F.round(F.col("value") - F.expr("percentile(value, 0.5)").over(w), 4).alias("residual"),
+    )
