@@ -747,3 +747,51 @@ def op_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_sym & ok_stop).alias("keep"),
     )
+
+
+@register(
+    "op_text_word_entropy",
+    tags=("text", "quality"),
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w
+        ),
+        tot AS (SELECT doc_id, SUM(n) AS total FROM counts GROUP BY doc_id)
+        SELECT c.doc_id,
+               CAST(ANY_VALUE(t.total) AS BIGINT) AS n_words,
+               ROUND(-SUM((c.n * 1.0 / t.total) * LN(c.n * 1.0 / t.total)), 6) AS word_entropy
+        FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+        GROUP BY c.doc_id
+    """,
+)
+def op_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-distribution Shannon entropy: low entropy flags
+    repetition loops and keyword stuffing (one word dominating);
+    entropy near ln(n_words) flags random-token gibberish — the
+    unigram-statistics rung between raw repetition counts
+    (op_text_repetition) and the trained LM scores
+    (op_text_unigram_logprob / _bigram_logprob) on the quality
+    ladder.
+
+    Explode → two stacked key-local aggregates (word counts per doc,
+    entropy fold per doc) — both partial-aggregable, shuffle keyed on
+    doc_id throughout (no global state at any width)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(w_tot)
+    return (
+        counts.select("doc_id", "n", p.alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("word_entropy"),
+        )
+    )

@@ -447,3 +447,48 @@ def op_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs").alias("min_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+@register(
+    "op_user_profile",
+    tags=("behavior",),
+    oracle="""
+        WITH mix AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, SUM(n) AS total FROM mix GROUP BY user_id
+        )
+        SELECT m.user_id,
+               CAST(ANY_VALUE(t.total) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_event_types,
+               ROUND(-SUM((m.n * 1.0 / t.total) * LN(m.n * 1.0 / t.total)), 6) AS mix_entropy
+        FROM mix m JOIN tot t ON m.user_id = t.user_id
+        GROUP BY m.user_id
+    """,
+)
+def op_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile with event-mix Shannon entropy:
+    H = -Σ p·ln p over the user's event-type distribution — 0 for
+    single-behavior users (bots retrying one action), ln(k) for a
+    uniform mix; the one-number segmentation feature RFM scores
+    (op_rfm_scores) don't capture.
+
+    Two stacked aggregates over the same key (type counts, then the
+    entropy fold) — both map-side combinable, the second input
+    already key-sized. The per-key distribution entropy pattern is
+    the same one corpus source auditing uses at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    mix = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(w_tot)
+    return (
+        mix.select("user_id", "n", p.alias("p"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_event_types"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("mix_entropy"),
+        )
+    )
