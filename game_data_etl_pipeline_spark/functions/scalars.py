@@ -774,3 +774,34 @@ def op_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike(r"(ring|bolt)$").alias("is_fastener"),
         F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
     )
+
+
+@register(
+    "op_scalar_format",
+    tags=("scalar",),
+    oracle="""
+        SELECT c_custkey,
+               printf('%.2f', ROUND(c_acctbal, 2)) AS bal_formatted,
+               printf('%08d', c_custkey) AS key_padded,
+               lpad(c_mktsegment, 12, '.') AS seg_lpad,
+               rpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_rpad,
+               repeat('-', 5) || c_name AS name_ruled
+        FROM customer WHERE c_custkey <= 500
+    """,
+)
+def op_scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting surface: fixed-precision money rendering and
+    zero-padded fixed-width keys (format_string/printf),
+    lpad/rpad alignment, repeat — the report/export rendering layer.
+    All JVM codegen expressions; formatting belongs at the EDGE of a
+    pipeline (sink adapters), never on join keys, where it destroys
+    pushdown and statistics."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.format_string("%.2f", F.round("c_acctbal", 2)).alias("bal_formatted"),
+        F.format_string("%08d", "c_custkey").alias("key_padded"),
+        F.lpad("c_mktsegment", 12, ".").alias("seg_lpad"),
+        F.rpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_rpad"),
+        F.concat(F.repeat(F.lit("-"), 5), F.col("c_name")).alias("name_ruled"),
+    )

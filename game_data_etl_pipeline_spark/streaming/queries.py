@@ -616,3 +616,36 @@ def op_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select(_fmt("window.start", "window_start"), "event_type", "n_events", "rank")
     )
+
+
+@register(
+    "op_stream_global_agg",
+    tags=("streaming",),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(MAX(value), 4) AS max_value,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+    """,
+)
+def op_stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwindowed GLOBAL streaming aggregate (complete mode): running
+    totals over the whole stream — the live-counter/dashboard shape,
+    distinct from every windowed op because state is ONE row that
+    never evicts (no watermark needed; nothing is ever late for an
+    all-time total).
+
+    Count/sum/max/avg are the mergeable aggregates streaming allows;
+    EXACT distinct is rejected by Spark on streams (unbounded per-key
+    state) — the engine itself enforces the 100 TB rule, and
+    approx_count_distinct (HLL, O(1) state) is the sanctioned
+    substitute when a distinct term is needed."""
+    stream = events_stream(spark, sf_dir)
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
