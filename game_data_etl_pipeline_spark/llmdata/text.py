@@ -795,3 +795,75 @@ def op_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("word_entropy"),
         )
     )
+
+
+@register(
+    "op_text_jsd_drift",
+    tags=("text", "quality"),
+    oracle="""
+        WITH words AS (
+            SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+        ),
+        src AS (
+            SELECT source, w, COUNT(*) AS n FROM words GROUP BY source, w
+        ),
+        src_tot AS (SELECT source, SUM(n) AS tot FROM src GROUP BY source),
+        gcounts AS (SELECT w, SUM(n) AS gn FROM src GROUP BY w),
+        gtotal AS (SELECT SUM(gn) AS gtot FROM gcounts),
+        joined AS (
+            SELECT s.source,
+                   s.n * 1.0 / st.tot AS p,
+                   g.gn * 1.0 / gt.gtot AS q
+            FROM src s
+            JOIN src_tot st ON s.source = st.source
+            JOIN gcounts g ON s.w = g.w
+            CROSS JOIN gtotal gt
+        )
+        SELECT source,
+               ROUND(SUM(0.5 * p * LN(p / ((p + q) / 2))
+                         + 0.5 * q * LN(q / ((p + q) / 2))), 6) AS jsd_vs_corpus
+        FROM joined
+        GROUP BY source
+    """,
+)
+def op_text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the corpus: Jensen-Shannon
+    divergence between each source's word distribution P and the
+    global distribution Q — the monitoring number behind "did source
+    X's content shift this crawl" and the input temperature mixing
+    (op_corpus_temperature_mix) should react to. (Terms absent from a
+    source contribute only through Q's mass in the full JSD; this
+    implementation sums over the source's support, the standard
+    monitoring variant, identically in both engines.)
+
+    One tokenize pass feeds both distributions (per-source counts
+    re-aggregate into global — the rollup-merge property), the global
+    table joins back broadcast-sized, and the divergence is a per-
+    source fold. Zipf pruning (drop hapax terms) bounds the term
+    table at 100 TB without moving the number materially."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("source")
+    glob = src.groupBy("w").agg(F.sum("n").alias("gn"))
+    gtot = glob.agg(F.sum("gn").alias("gtot"))
+    joined = (
+        src.withColumn("tot", F.sum("n").over(w_src))
+        .join(glob, "w")
+        .join(F.broadcast(gtot), F.lit(True))
+        .select(
+            "source",
+            (F.col("n") / F.col("tot")).alias("p"),
+            (F.col("gn") / F.col("gtot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return joined.groupBy("source").agg(
+        F.round(
+            F.sum(0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(F.col("q") / m)),
+            6,
+        ).alias("jsd_vs_corpus")
+    )
