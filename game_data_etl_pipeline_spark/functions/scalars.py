@@ -805,3 +805,39 @@ def op_scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_rpad"),
         F.concat(F.repeat(F.lit("-"), 5), F.col("c_name")).alias("name_ruled"),
     )
+
+
+@register(
+    "op_scalar_deterministic_id",
+    tags=("scalar",),
+    oracle="""
+        SELECT o_orderkey,
+               substr(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 1, 8) || '-' ||
+               substr(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 9, 4) || '-' ||
+               substr(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 13, 4) || '-' ||
+               substr(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 17, 4) || '-' ||
+               substr(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 21, 12) AS surrogate_id
+        FROM orders WHERE o_orderkey < 500
+    """,
+)
+def op_scalar_deterministic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-ID minting (UUIDv5-style): a namespaced
+    content hash formatted 8-4-4-4-12 — the same input always mints
+    the same id, across runs, retries, and cluster shapes. Spark's
+    uuid() is none of those things (per-row random), which breaks
+    joins between independently-produced outputs; content-addressed
+    ids are the reproducible alternative for keys that must agree
+    between pipeline stages produced at different times.
+
+    Pure per-row expression (md5 + substrings), codegen'd, zero
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("ord:"), F.col("o_orderkey").cast("string")))
+    return orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+            F.substring(h, 17, 4), F.substring(h, 21, 12),
+        ).alias("surrogate_id"),
+    )

@@ -764,3 +764,45 @@ def op_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_distinct_exact")
     )
     return bitmap_counts.join(exact, "l_returnflag")
+
+
+@register(
+    "op_agg_pivot_multi",
+    tags=("agg",),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS o_qty,
+               CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_items,
+               ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS f_qty,
+               CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value: each
+    (value, aggregate) pair becomes its own output column — the
+    wide-report shape single-agg pivot (op_agg_pivot) can't emit in
+    one pass. Spark names pivot columns `<value>_<alias>`; they're
+    re-aliased to the oracle's names.
+
+    Still ONE scan and one partial+final hash aggregate: the pivot
+    column list is declared (no distinct-discovery pre-pass, which at
+    100 TB is a full extra scan), and every aggregate is map-side
+    combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0)), 2).alias("qty"),
+            F.count(F.lit(1)).alias("items"),
+        )
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O_qty"), F.lit(0)).alias("o_qty"),
+            F.coalesce(F.col("O_items"), F.lit(0)).alias("o_items"),
+            F.coalesce(F.col("F_qty"), F.lit(0)).alias("f_qty"),
+            F.coalesce(F.col("F_items"), F.lit(0)).alias("f_items"),
+        )
+    )
