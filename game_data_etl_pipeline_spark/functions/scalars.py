@@ -161,7 +161,7 @@ def op_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_contains(terms, 'spark') AS has_spark,
                list_sort(terms)[1] AS first_term_sorted,
                terms[1] AS first_term,
-               list_transform(terms[1:2], t -> UPPER(t)) AS head_upper,
+               array_to_string(list_transform(terms[1:2], t -> UPPER(t)), ',') AS head_upper,
                CAST(len(list_filter(terms, t -> LENGTH(t) > 4)) AS INT) AS n_long_terms
         FROM toks
     """,
@@ -179,7 +179,12 @@ def op_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains(terms, "spark").alias("has_spark"),
             F.sort_array(terms)[0].alias("first_term_sorted"),
             terms[0].alias("first_term"),
-            F.transform(F.slice(terms, 1, 2), lambda t: F.upper(t)).alias("head_upper"),
+            # array_join scalarizes the transform() output: the driver's
+            # canonicalizer lexsorts pandas cells and cannot hash raw
+            # array columns (registry convention: no raw collection outputs).
+            F.array_join(
+                F.transform(F.slice(terms, 1, 2), lambda t: F.upper(t)), ","
+            ).alias("head_upper"),
             F.size(F.filter(terms, lambda t: F.length(t) > 4)).alias("n_long_terms"),
         )
     )

@@ -16,7 +16,13 @@ that make the driver's order-insensitive value-hash comparison work:
 - round floating aggregates in BOTH engines (summation order differs);
 - cast DuckDB's HUGEINT sums / ns timestamps to BIGINT / microseconds;
 - never return a raw TimestampType column — date_format it to a string
-  (or cast to DATE) on both sides.
+  (or cast to DATE) on both sides;
+- never return a raw array/map/struct output column — the driver
+  canonicalizer lexsorts pandas cells and dies on unhashable values
+  (``TypeError: unhashable type: 'list'``). Scalarize with
+  ``array_join`` / ``to_json`` in Spark and ``array_to_string`` /
+  ``to_json`` in DuckDB (see op_agg_collect_set, op_array_map_fns).
+  ``tests/test_invariants.py`` enforces this over the whole registry.
 """
 
 from __future__ import annotations

@@ -44,6 +44,20 @@ def normalize(df: pd.DataFrame) -> tuple[tuple[str, ...], list[tuple]]:
 def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
+    # The driver's canonicalizer lexsorts pandas cells and crashes on
+    # unhashable values (list/dict) — registry convention bans raw
+    # array/map/struct output columns. Enforce it here so every oracled
+    # query fails locally before it can fail a driver window.
+    from pyspark.sql import types as T
+
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            problems.append(
+                f"{name}: raw collection output column '{f.name}' "
+                f"({f.dataType.simpleString()}) — scalarize with array_join/to_json"
+            )
+    if problems:
+        return problems
     spark_pdf = spark_df.toPandas()
     if len(spark_pdf) != len(duck_df):
         problems.append(f"{name}: row count spark={len(spark_pdf)} duck={len(duck_df)}")
