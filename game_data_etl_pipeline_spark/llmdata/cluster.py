@@ -21,7 +21,7 @@ dominates and stripes linearly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
@@ -81,16 +81,49 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> list[tuple[int, DataF
 @register(
     "op_kmeans_lloyd",
     tags=("llm", "cluster", "iterative"),
-    doc="""Lloyd's k-means, 3 iterations, deterministic init (first k
-    vec_ids). Rows-only: per-cluster float means depend on summation
-    order. Convergence (monotone inertia) and partition invariants are
-    pinned in tests/test_llmdata.py.""",
+    oracle="""
+        SELECT CAST(8 AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS full_assignment,
+               TRUE AS sim_monotone
+        FROM embeddings
+    """,
 )
 def op_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final-iteration cluster profile: size and mean similarity to the
-    centroid per cluster."""
-    _, assigned = kmeans_iterations(spark, sf_dir)[-1]
-    return assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("sim_to_centroid"), 4).alias("avg_sim"),
+    """Self-validating Lloyd's k-means convergence audit (per-cluster
+    float means depend on summation order, so the registered output is
+    the deterministic corpus count + oracle-assertable booleans — the
+    op_agg_approx_distinct pattern).
+
+    - ``n_vectors``: corpus size, hash-compared against DuckDB.
+    - ``full_assignment``: every iteration assigned every vector
+      exactly once.
+    - ``sim_monotone``: mean similarity-to-centroid never decreases
+      across Lloyd iterations (beyond 1e-9 float noise) — the
+      convergence property tests/test_llmdata.py pins."""
+    iters = kmeans_iterations(spark, sf_dir)
+    per_iter = None
+    for it, assigned in iters:
+        row = assigned.agg(
+            F.lit(it).alias("iteration"),
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.avg("sim_to_centroid").alias("mean_sim"),
+        )
+        per_iter = row if per_iter is None else per_iter.unionByName(row)
+    total = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vectors")
     )
+    w = Window.orderBy("iteration")
+    checked = per_iter.crossJoin(F.broadcast(total)).select(
+        "n_vectors",
+        (F.col("n_assigned") == F.col("n_vectors")).alias("iter_full"),
+        (
+            F.col("mean_sim")
+            >= F.coalesce(F.lag("mean_sim").over(w), F.lit(float("-inf"))) - 1e-9
+        ).alias("iter_monotone"),
+    )
+    return checked.groupBy("n_vectors").agg(
+        F.lit(K).alias("k"),
+        F.bool_and("iter_full").alias("full_assignment"),
+        F.bool_and("iter_monotone").alias("sim_monotone"),
+    ).select("k", "n_vectors", "full_assignment", "sim_monotone")

@@ -114,20 +114,14 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_dedup_minhash",
-    tags=("llm", "dedup"),
-    doc="""MinHash-LSH near-dup candidates (MLlib, fixed seed): shingle ->
-    HashingTF sparse vectors -> MinHash signatures -> banded
-    approxSimilarityJoin. Rows-only (signature hashes are
-    engine-specific); candidate quality asserted in
-    tests/test_llmdata.py against exact Jaccard.""",
-)
-def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs at Jaccard distance <= 0.95.
 
     This is the 100 TB-scale dedup filter: signatures are fixed-width
     per doc, the banded join only materializes hash-bucket collisions.
+    Output: (doc_a, doc_b, approx_jaccard) — the detail form; the
+    registered ``op_dedup_minhash`` wraps it in a self-validating
+    recall audit so the driver can value-oracle it.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -151,6 +145,94 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(1 - F.col("jaccard_dist"), 6).alias("approx_jaccard"),
+        )
+    )
+
+
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str, max_doc: int) -> DataFrame:
+    """Exact 3-gram Jaccard over docs below max_doc: (doc_a, doc_b, jaccard).
+
+    Shingle equi-join (no cross product) — the deterministic ground
+    truth both the MinHash audit and DuckDB can agree on."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
+    terms = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(terms) - 3),
+        lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
+    )
+    exd = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+    sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        exd.alias("a")
+        .join(exd.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@register(
+    "op_dedup_minhash",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS shingles
+            FROM toks
+        ),
+        exd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               TRUE AS all_true_pairs_caught,
+               TRUE AS candidates_pruned
+        FROM truth
+    """,
+)
+def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validating MinHash-LSH recall audit (the op_agg_approx_distinct
+    pattern: compute the quality bound in-query, emit oracle-assertable
+    booleans — signature hashes are engine-specific, recall is not).
+
+    - ``n_true_pairs``: exact 3-gram Jaccard >= 0.8 pairs in the 200-doc
+      window — deterministic, hash-compared against DuckDB.
+    - ``all_true_pairs_caught``: every truth pair appears among the LSH
+      candidates. P(miss) per pair = (1 - 0.8)^8 ≈ 2.6e-6 with 8 hash
+      tables, so TRUE is stable across testdata regeneration.
+    - ``candidates_pruned``: the candidate set is far below the 19 900
+      possible pairs — it is a filter, not a disguised cross join.
+    """
+    cands = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _exact_jaccard_pairs(spark, sf_dir, 200).filter(F.col("jaccard") >= 0.8)
+    missed = truth.join(cands, ["doc_a", "doc_b"], "left_anti")
+    summary = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return (
+        summary.crossJoin(F.broadcast(missed.agg(F.count(F.lit(1)).alias("n_missed"))))
+        .crossJoin(F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_cands"))))
+        .select(
+            "n_true_pairs",
+            (F.col("n_missed") == 0).alias("all_true_pairs_caught"),
+            (F.col("n_cands") < 5000).alias("candidates_pruned"),
         )
     )
 
@@ -604,6 +686,7 @@ def op_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_dedup_fuzzy_pipeline",
     tags=("llm", "dedup"),
+    headline=True,
     oracle="""
         WITH terms AS (
             SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term

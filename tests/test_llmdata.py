@@ -25,7 +25,9 @@ NEAR_DUP_PAIRS = [(8, 12), (0, 50)]
 def test_minhash_finds_known_near_dups(spark, sf_dir):
     """MinHash-LSH candidate set must contain every high-Jaccard pair —
     recall on true near-dups is the whole point of the filter."""
-    rows = SPECS["op_dedup_minhash"].fn(spark, sf_dir).collect()
+    from game_data_etl_pipeline_spark.llmdata.dedup import minhash_candidate_pairs
+
+    rows = minhash_candidate_pairs(spark, sf_dir).collect()
     candidates = {(r.doc_a, r.doc_b) for r in rows}
     for pair in NEAR_DUP_PAIRS:
         assert pair in candidates, f"near-dup pair {pair} missed by MinHash-LSH"
@@ -35,12 +37,24 @@ def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     """Candidates' approx Jaccard must track exact Jaccard: the known
     near-dup pairs score high, and the candidate list stays small
     (it's a filter, not a cross join)."""
-    rows = SPECS["op_dedup_minhash"].fn(spark, sf_dir).collect()
+    from game_data_etl_pipeline_spark.llmdata.dedup import minhash_candidate_pairs
+
+    rows = minhash_candidate_pairs(spark, sf_dir).collect()
     by_pair = {(r.doc_a, r.doc_b): r.approx_jaccard for r in rows}
     for pair in NEAR_DUP_PAIRS:
         assert by_pair[pair] >= 0.8, f"{pair}: approx jaccard {by_pair[pair]} too low"
     # 200-doc window -> 19900 possible pairs; the filter must prune hard
     assert len(rows) < 200
+
+
+def test_minhash_audit_is_green(spark, sf_dir):
+    """The registered self-validating form: all truth pairs caught,
+    candidate set pruned — the booleans the driver oracle pins."""
+    rows = SPECS["op_dedup_minhash"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].all_true_pairs_caught
+    assert rows[0].candidates_pruned
+    assert rows[0].n_true_pairs >= 1
 
 
 def test_simhash_near_dups_have_close_signatures(spark, sf_dir):
@@ -57,7 +71,9 @@ def test_simhash_near_dups_have_close_signatures(spark, sf_dir):
 def test_lsh_ann_recall_vs_exact(spark, sf_dir, duck):
     """Random-projection LSH top-5 for query vec_id=1 must recall >= 3
     of the exact Euclidean top-5 (measured: 5/5 with seed 42)."""
-    approx = [r.neighbor_id for r in SPECS["op_sim_lsh"].fn(spark, sf_dir).collect()]
+    from game_data_etl_pipeline_spark.llmdata.similarity import lsh_topk
+
+    approx = [r.neighbor_id for r in lsh_topk(spark, sf_dir).collect()]
     exact = [
         r[0]
         for r in duck.execute(
