@@ -233,14 +233,23 @@ def op_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cogroup_conversion(purchases: pd.DataFrame, touches: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas cogroup body: per-user conversion stats from two
     SEPARATELY-grouped inputs delivered side by side."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     uid = (purchases["user_id"].iloc[0] if len(purchases) else touches["user_id"].iloc[0])
     n_p, n_t = len(purchases), len(touches)
+    # Half-UP to match DuckDB ROUND / Spark F.round; Python's round()
+    # is half-to-even and diverges at exact .xxxx5 boundaries.
+    ratio = (
+        float((Decimal(n_t) / Decimal(n_p)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        if n_p
+        else None
+    )
     return pd.DataFrame(
         {
             "user_id": [uid],
             "n_purchases": [n_p],
             "n_touches": [n_t],
-            "touch_per_purchase": [round(n_t / n_p, 4) if n_p else None],
+            "touch_per_purchase": [ratio],
         }
     )
 

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from game_data_etl_pipeline_spark.catalog import load_table
 from game_data_etl_pipeline_spark.registry import register
 
+# op_cache_reuse: the previous invocation's cached DataFrame, released
+# on the next call so repeated registry sweeps never accumulate
+# InMemoryRelation entries (at most one live per session).
+_CACHE_REUSE_LIVE: list[DataFrame] = []
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -1082,14 +1087,18 @@ def op_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaked cache entries are the classic long-session OOM."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # Unpersisting HERE would drop the entry before the caller's action
+    # materializes it, so instead each invocation releases the previous
+    # one's cache — at most one entry stays live per session (repeated
+    # registry sweeps would otherwise accumulate InMemoryRelations).
+    while _CACHE_REUSE_LIVE:
+        _CACHE_REUSE_LIVE.pop().unpersist()
     enriched = (
         orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_totalprice", "o_orderpriority", "c_mktsegment")
-        .cache()  # lives until session end or explicit unpersist(); a
-        # long-lived service would unpersist after the consuming
-        # actions complete — unpersisting HERE would drop the entry
-        # before the caller's action ever materializes it
+        .cache()
     )
+    _CACHE_REUSE_LIVE.append(enriched)
     by_segment = enriched.groupBy(F.col("c_mktsegment").alias("g")).agg(
         F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
     ).select(F.concat(F.lit("segment:"), F.col("g")).alias("grp"), "n_orders", "revenue")
@@ -1183,4 +1192,45 @@ def op_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", gap.cast("bigint").alias("nearest_gap_secs"),
                 direction.alias("direction"))
+    )
+
+
+@register(
+    "op_timeseries_ohlc",
+    tags=("scale", "timeseries"),
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS bucket,
+               event_type,
+               ROUND(FIRST(value ORDER BY ts, event_id), 4) AS open,
+               ROUND(MAX(value), 4) AS high,
+               ROUND(MIN(value), 4) AS low,
+               ROUND(LAST(value ORDER BY ts, event_id), 4) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def op_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per hour x event_type, the first/max/min/last
+    of `value` in (ts, event_id) order — the canonical lossy compaction
+    for telemetry and market data (hypertable rollup's per-bucket
+    shape).
+
+    min_by/max_by on a (ts, event_id) struct give order-aware open and
+    close inside a plain hash aggregate: single shuffle of O(buckets)
+    partial states, no window sort of the raw stream. That is the
+    100 TB difference — a window formulation would sort every event;
+    this sorts nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
+        .agg(
+            F.round(F.min_by("value", order_key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", order_key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
     )

@@ -69,7 +69,9 @@ def test_stream_reader_replays_one_endpoint_per_batch():
             break
         seen.append({t[0] for t in rows})
         off = nxt
-    assert [s.pop() for s in seen] == ["agents", "weapons", "maps", "gamemodes"]
+    # each batch must be single-endpoint; sorted() keeps an unexpectedly
+    # empty or mixed batch a readable assertion diff, not a KeyError
+    assert [sorted(s) for s in seen] == [["agents"], ["weapons"], ["maps"], ["gamemodes"]]
 
 
 def test_stream_reader_recovery_replays_offset_range():
