@@ -1,14 +1,21 @@
 """Benchmark runner: times the headline queries and prints ONE JSON line.
 
 Usage: python bench.py
-Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-       SPARK_GRAFT_CPUS   (default all cores)
+Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS    (default all cores)
+       SPARK_GRAFT_REPS    (default 5)
 
 Each headline query is executed to completion (count() forces the full
 plan including the sink-side aggregation; no collect of payload rows).
 A warm-up run of the flagship query absorbs session/JIT startup so the
 numbers reflect steady-state execution, which is what matters for
 cluster extrapolation.
+
+Statistical hygiene (round-3 verdict item 4): single runs cannot
+attribute 10-25% swings — every query is timed REPS times and the
+reported per-query number (and the headline total) is the per-query
+MEDIAN; per-query min and max are recorded alongside so run-to-run
+spread is visible in the artifact, not guessed at.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -27,6 +35,7 @@ from game_data_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -45,14 +54,22 @@ def main() -> None:
 
         _bucketed_tables(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+    samples: dict[str, list[float]] = {name: [] for name in specs}
+    # round-robin over queries (not reps-inner-loop) so slow drift in
+    # the JVM (GC pressure, code-cache growth) spreads across queries
+    # instead of biasing later-listed ones
+    for _ in range(reps):
+        for name, spec in sorted(specs.items()):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
+    spread = {
+        name: {"min": round(min(s), 4), "max": round(max(s), 4)}
+        for name, s in samples.items()
+    }
+    total = sum(timings.values())
 
     print(
         json.dumps(
@@ -61,6 +78,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )

@@ -331,6 +331,7 @@ def op_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_corpus_pipeline",
     tags=("llm", "corpus"),
+    headline=True,
     oracle=f"""
         WITH dedup AS (
             SELECT doc_id, text, lang, n_chars
@@ -715,6 +716,7 @@ def op_length_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_corpus_pipeline_v2",
     tags=("llm", "corpus"),
+    headline=True,
     oracle="""
         WITH capped AS (
             SELECT doc_id, text, lang, source, n_chars FROM (
@@ -788,4 +790,35 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "op_corpus_dup_rate_by_source",
+    tags=("llm", "corpus", "dedup"),
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+               ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) AS dup_rate
+        FROM documents
+        GROUP BY source
+    """,
+)
+def op_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard: how much of each source is
+    exact-duplicate content (1 - distinct/total) — the first number a
+    corpus audit reports, and the signal that decides which sources
+    earn the expensive fuzzy-dedup pass.
+
+    Hashes shuffle, text bodies never do: md5 reduces each doc to 16
+    bytes before the distinct-count aggregate (partial distinct maps
+    per partition, merged once). Linear scan + O(sources) output at
+    any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique_texts"),
+        F.round(F.lit(1.0) - F.countDistinct(h) / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
