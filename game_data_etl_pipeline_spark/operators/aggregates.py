@@ -806,3 +806,68 @@ def op_agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("F_items"), F.lit(0)).alias("f_items"),
         )
     )
+
+
+@register(
+    "op_agg_corr",
+    tags=("agg", "stats"),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, population
+    covariance, and the least-squares line (slope/intercept) of price
+    on quantity — the summary-statistics surface a feature-engineering
+    pass runs before model training.
+
+    All four are single-pass mergeable aggregates (sum/sum-of-products
+    moments), so Spark computes them with one shuffle of O(groups)
+    partial states — the same cost as a plain sum at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_at_zero"),
+    )
+
+
+@register(
+    "op_agg_string_agg",
+    tags=("agg", "string"),
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def op_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): concatenate the
+    group's values in a deterministic order — the report-building and
+    label-assembly primitive.
+
+    Spark has no ordered listagg, so the idiom is collect_list ->
+    array_sort -> array_join: collect order is partition-dependent, the
+    sort makes the result deterministic (and hash-comparable). State is
+    O(group payload) — at 100 TB keep it to dimension-sized groups or
+    cap with slice()."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

@@ -404,3 +404,76 @@ def op_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         med5.alias("med5"),
         F.round(F.col("value") - F.expr("percentile(value, 0.5)").over(w), 4).alias("residual"),
     )
+
+
+@register(
+    "op_window_cume_dist",
+    tags=("window",),
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               ROUND(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 6) AS bal_cume,
+               ROUND(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 6) AS bal_pctrank
+        FROM supplier
+    """,
+)
+def op_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: cume_dist (fraction of the
+    partition at-or-below the row) and percent_rank ((rank-1)/(n-1)) —
+    the normalized-ranking surface behind percentile cutoffs and
+    within-segment scoring.
+
+    Both are tie-stable (equal sort keys get equal scores), so no
+    tie-break column is needed for cross-engine determinism. One
+    shuffle on the partition key, one sorted pass — rank-family cost."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pctrank"),
+    )
+
+
+@register(
+    "op_window_islands",
+    tags=("window", "sessionize"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+            FROM events
+        )
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS island_len,
+               MIN(event_id) AS first_event_id
+        FROM seq
+        GROUP BY user_id, event_type, grp
+        HAVING COUNT(*) >= 3
+    """,
+)
+def op_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (runs of >= 3 reported), via the classic two-row_number
+    difference — rows in one run share (user, type, rn_all - rn_type).
+
+    Streak detection without self-joins or iteration: two window passes
+    over the SAME (user_id, ts) sort order — Catalyst reuses the single
+    shuffle+sort for both row_numbers (same partition spec), then one
+    hash aggregate. Scale cost = one shuffle of the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("island_len"), F.min("event_id").alias("first_event_id"))
+        .filter(F.col("island_len") >= 3)
+        .select("user_id", "event_type", "island_len", "first_event_id")
+    )
