@@ -822,3 +822,43 @@ def op_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(h).alias("n_unique_texts"),
         F.round(F.lit(1.0) - F.countDistinct(h) / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "op_corpus_interleave",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH seq AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS BIGINT) AS position,
+               doc_id, source
+        FROM seq
+    """,
+)
+def op_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleave: the training-order
+    construction that prevents a data loader from seeing one source in
+    a long homogeneous block (the complement of op_corpus_shard_shuffle's
+    hash scatter — interleave gives GUARANTEED alternation, shuffle
+    gives statistical mixing).
+
+    Two window passes: per-source sequence numbers, then a global order
+    by (rn, source). The global row_number is the one genuinely serial
+    step — at 100 TB you'd keep (rn, source) as a composite SORT KEY
+    for the writer instead of materializing a global position, which
+    is exactly how this plan executes under a range-partitioned sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    w_all = Window.orderBy("rn", "source", "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w_src))
+        .select(
+            F.row_number().over(w_all).alias("position"),
+            "doc_id",
+            "source",
+        )
+    )

@@ -790,3 +790,47 @@ def op_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "op_dedup_prefix",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH pre AS (
+            SELECT doc_id, md5(substring(text, 1, 200)) AS prefix_hash, md5(text) AS full_hash
+            FROM documents
+        )
+        SELECT prefix_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT full_hash) AS BIGINT) AS n_distinct_full,
+               MIN(doc_id) AS keeper_doc_id
+        FROM pre
+        GROUP BY prefix_hash
+        HAVING COUNT(*) >= 2
+    """,
+)
+def op_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: docs sharing the same first-200-char
+    hash — the truncation/re-crawl duplicate class that exact full-text
+    dedup misses (same head, different tail) and shingle Jaccard only
+    catches when the shared head dominates.
+
+    n_distinct_full > 1 inside a group is the interesting case:
+    same opening, diverging bodies. Both hashes are computed in the
+    scan projection, so only 16-byte digests shuffle — the same
+    never-move-text-bodies rule as op_dedup_exact_docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 200)).alias("prefix_hash"),
+        F.md5("text").alias("full_hash"),
+    )
+    return (
+        pre.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("full_hash").alias("n_distinct_full"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -536,3 +536,37 @@ def op_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.when(F.col("r_trunc") <= 10, 1).otherwise(0)).cast("int").alias("overlap_at_10"))
     )
+
+
+@register(
+    "op_embedding_standardize",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        flat AS (
+            SELECT vec_id, UNNEST(range(len(e))) AS dim, e FROM d
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               ROUND(AVG(e[dim + 1]), 4) AS dim_mean,
+               ROUND(stddev_pop(e[dim + 1]), 4) AS dim_std
+        FROM flat
+        GROUP BY dim
+    """,
+)
+def op_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean, population std) — the
+    fit step of embedding whitening/standardization before clustering
+    or quantization.
+
+    posexplode flattens vectors to (dim, value) pairs, then ONE hash
+    aggregate: what shuffles is O(dims) partial moment states per
+    partition, never the vectors. The transform step is a zip_with
+    against the broadcast stats row — linear, shuffle-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode(_dbl(F.col("embedding"))).alias("dim", "v"))
+    return flat.groupBy("dim").agg(
+        F.round(F.avg("v"), 4).alias("dim_mean"),
+        F.round(F.stddev_pop("v"), 4).alias("dim_std"),
+    )

@@ -871,3 +871,39 @@ def op_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register(
+    "op_agg_histogram2d",
+    tags=("agg", "histogram"),
+    oracle="""
+        SELECT CAST(LEAST(GREATEST(FLOOR(l_quantity / 5), 0), 9) AS INT) AS qty_bin,
+               CAST(LEAST(GREATEST(FLOOR(l_extendedprice / 10000), 0), 9) AS INT) AS price_bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+)
+def op_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D binned co-occurrence grid (quantity x price deciles of the
+    value range) — the joint-distribution heatmap behind drift checks
+    and feature-correlation triage, as one hash aggregate.
+
+    Bin indices are computed in the scan projection (clamped floor
+    division — portable across engines, unlike width_bucket whose edge
+    semantics differ), so the shuffle carries at most 100 group states
+    per partition regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bin_(col, step):
+        return F.least(
+            F.greatest(F.floor(col / step), F.lit(0)), F.lit(9)
+        ).cast("int")
+
+    return (
+        li.groupBy(
+            bin_(F.col("l_quantity"), 5).alias("qty_bin"),
+            bin_(F.col("l_extendedprice"), 10000).alias("price_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

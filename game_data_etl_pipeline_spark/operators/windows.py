@@ -477,3 +477,44 @@ def op_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("island_len") >= 3)
         .select("user_id", "event_type", "island_len", "first_event_id")
     )
+
+
+@register(
+    "op_window_rolling_corr",
+    tags=("window", "stats"),
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(corr(value, CAST(event_id AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+               ), 3) + 0.0 AS trend_corr
+        FROM events
+    """,
+)
+def op_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation over a trailing 20-row frame: corr(value,
+    sequence) per user approximates the local monotone-trend strength —
+    the windowed bivariate-statistics surface (rolling beta, rolling
+    factor exposure are the same call with different columns).
+
+    corr evaluates as a mergeable moment aggregate over the ROWS frame:
+    one shuffle on user_id, one sorted pass, O(1) state per row beyond
+    the frame. Rounded to 3dp — both engines accumulate doubles over a
+    20-row frame, agreeing far beyond that precision."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    # + 0.0 normalizes IEEE negative zero: DuckDB rounds tiny negative
+    # correlations to -0.0 where Spark yields 0.0, and the value hash
+    # distinguishes the two
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.round(F.corr(F.col("value"), F.col("event_id").cast("double")).over(w), 3)
+            + F.lit(0.0)
+        ).alias("trend_corr"),
+    )
