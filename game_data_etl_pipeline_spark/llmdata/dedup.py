@@ -84,6 +84,11 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle-explode -> distinct -> self-join ON THE SHINGLE (equi-join,
     no cross product) -> intersection counts -> |A∪B| = |A|+|B|-|A∩B|.
+
+    The join/dedup key is xxhash64(shingle), not the ~25-byte shingle
+    string: the shuffled rows shrink to (long, long) pairs — the same
+    counts to within collision probability ~|shingles|²/2⁶⁴ (≈1e-15
+    here), which is the standard fingerprint-join tradeoff at scale.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     terms = F.split(F.col("text"), " ")
@@ -92,7 +97,8 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
     )
     exd = (
-        docs.select("doc_id", F.explode(shingles).alias("s"))
+        docs.select("doc_id", F.explode(shingles).alias("s_raw"))
+        .select("doc_id", F.xxhash64("s_raw").alias("s"))
         .dropDuplicates(["doc_id", "s"])
     )
     sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -153,7 +159,9 @@ def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str, max_doc: int) -> Data
     """Exact 3-gram Jaccard over docs below max_doc: (doc_a, doc_b, jaccard).
 
     Shingle equi-join (no cross product) — the deterministic ground
-    truth both the MinHash audit and DuckDB can agree on."""
+    truth both the MinHash audit and DuckDB can agree on. Joins on
+    xxhash64(shingle) fingerprints (8-byte keys, ~1e-15 collision
+    mass) so only (long, long) rows shuffle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
     terms = F.split(F.col("text"), " ")
     shingles = F.transform(
@@ -161,7 +169,8 @@ def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str, max_doc: int) -> Data
         lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
     )
     exd = (
-        docs.select("doc_id", F.explode(shingles).alias("s"))
+        docs.select("doc_id", F.explode(shingles).alias("s_raw"))
+        .select("doc_id", F.xxhash64("s_raw").alias("s"))
         .dropDuplicates(["doc_id", "s"])
     )
     sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -615,7 +624,9 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     only |A| (not the union) normalizes — one fewer join than
     Jaccard. At 100 TB the shingle join keys are Zipf-skewed;
     op_dedup_minhash_banded is the sublinear prefilter and this is
-    the exact verifier inside candidate buckets."""
+    the exact verifier inside candidate buckets. Shingles join as
+    xxhash64 fingerprints (8-byte shuffle keys, ~1e-15 collision
+    mass), the same trick as op_dedup_ngram_jaccard."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     terms = F.split(F.col("text"), " ")
     shingles = F.transform(
@@ -623,7 +634,8 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 3)),
     )
     exd = (
-        docs.select("doc_id", F.explode(shingles).alias("s"))
+        docs.select("doc_id", F.explode(shingles).alias("s_raw"))
+        .select("doc_id", F.xxhash64("s_raw").alias("s"))
         .dropDuplicates(["doc_id", "s"])
     )
     sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -773,8 +785,11 @@ def op_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = terms.select(F.col("doc_id").alias("ta_doc"), F.col("term").alias("ta_term"))
-    tb = terms.select(F.col("doc_id").alias("tb_doc"), F.col("term").alias("tb_term"))
+    # verify-stage joins carry xxhash64(term) fingerprints, not term
+    # strings — the signature stage above must keep the md5 family
+    # (value-oracled), but intersection counting only needs equality
+    ta = terms.select(F.col("doc_id").alias("ta_doc"), F.xxhash64("term").alias("ta_term"))
+    tb = terms.select(F.col("doc_id").alias("tb_doc"), F.xxhash64("term").alias("tb_term"))
     inter = (
         cand.join(ta, F.col("doc_a") == F.col("ta_doc"))
         .join(tb, (F.col("doc_b") == F.col("tb_doc")) & (F.col("tb_term") == F.col("ta_term")))
