@@ -549,7 +549,7 @@ def op_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, UNNEST(range(len(e))) AS dim, e FROM d
         )
         SELECT CAST(dim AS INT) AS dim,
-               ROUND(AVG(e[dim + 1]), 4) AS dim_mean,
+               ROUND(AVG(e[dim + 1]), 4) + 0.0 AS dim_mean,
                ROUND(stddev_pop(e[dim + 1]), 4) AS dim_std
         FROM flat
         GROUP BY dim
@@ -566,7 +566,9 @@ def op_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast stats row — linear, shuffle-free."""
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(F.posexplode(_dbl(F.col("embedding"))).alias("dim", "v"))
+    # + 0.0 normalizes IEEE negative zero on near-zero dimension means
+    # (DuckDB rounds tiny negatives to -0.0, Spark to 0.0)
     return flat.groupBy("dim").agg(
-        F.round(F.avg("v"), 4).alias("dim_mean"),
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("dim_mean"),
         F.round(F.stddev_pop("v"), 4).alias("dim_std"),
     )

@@ -907,3 +907,91 @@ def op_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "op_agg_skew_kurtosis",
+    tags=("agg", "stats"),
+    oracle="""
+        WITH mu AS (
+            SELECT l_returnflag, AVG(l_extendedprice) AS m, var_pop(l_extendedprice) AS v
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(POW(l.l_extendedprice - mu.m, 3)) / POW(mu.v, 1.5), 5) AS pop_skewness,
+               ROUND(AVG(POW(l.l_extendedprice - mu.m, 4)) / POW(mu.v, 2) - 3, 5) AS pop_excess_kurtosis
+        FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        GROUP BY l.l_returnflag, mu.m, mu.v
+    """,
+)
+def op_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group, computed as
+    EXPLICIT two-pass centered moments (group means broadcast back,
+    then avg((x-mu)^k)) — the distribution-shape summary behind drift
+    detection and outlier triage.
+
+    Why not the built-ins: Spark's skewness/kurtosis are population
+    estimators while DuckDB's carry Fisher's sample adjustment; the
+    (1.5/n)-relative gap lands exactly at the 4th decimal at fixture
+    group sizes, so the portable form is the explicit moment math.
+    Cost: two scans and one broadcast of O(groups) stats — the
+    centered second pass is also numerically stabler than raw power
+    sums at 100 TB value ranges."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    mu = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("m"), F.var_pop("l_extendedprice").alias("v")
+    )
+    d = F.col("l_extendedprice") - F.col("m")
+    return (
+        li.join(F.broadcast(mu), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.pow(d, 3)) / F.pow(F.first("v"), 1.5), 5).alias("pop_skewness"),
+            F.round(F.avg(F.pow(d, 4)) / F.pow(F.first("v"), 2) - 3, 5).alias("pop_excess_kurtosis"),
+        )
+    )
+
+
+@register(
+    "op_agg_weighted",
+    tags=("agg", "stats"),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price,
+               ROUND(SUM(l_quantity * POW(l_extendedprice - (
+                   SELECT SUM(i.l_extendedprice * i.l_quantity) / SUM(i.l_quantity)
+                   FROM lineitem i WHERE i.l_returnflag = l.l_returnflag
+               ), 2)) / SUM(l_quantity), 2) AS wvar_price
+        FROM lineitem l
+        GROUP BY l_returnflag
+    """,
+)
+def op_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean and variance of price per group — the
+    weighted-statistics surface (exposure-weighted averages, sample-
+    weight-aware feature stats) Spark has no built-in for.
+
+    Same two-pass broadcast shape as op_agg_skew_kurtosis: weighted
+    means first, then the weighted second moment around them. Both
+    passes are plain sum aggregates — mergeable partials, one shuffle
+    of O(groups) state each."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    wm = li.groupBy("l_returnflag").agg(
+        (F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")).alias("wavg")
+    )
+    return (
+        li.join(F.broadcast(wm), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("wavg"), 4).alias("wavg_price"),
+            F.round(
+                F.sum(F.col("l_quantity") * F.pow(F.col("l_extendedprice") - F.col("wavg"), 2))
+                / F.sum("l_quantity"),
+                2,
+            ).alias("wvar_price"),
+        )
+    )

@@ -23,6 +23,10 @@ that make the driver's order-insensitive value-hash comparison work:
   ``array_join`` / ``to_json`` in Spark and ``array_to_string`` /
   ``to_json`` in DuckDB (see op_agg_collect_set, op_array_map_fns).
   ``tests/test_invariants.py`` enforces this over the whole registry.
+- add ``+ 0.0`` after ROUND on any float output that can land near
+  zero (correlations, means of centered data): DuckDB rounds tiny
+  negatives to IEEE -0.0 where Spark yields +0.0, and the value hash
+  distinguishes them. ``-0.0 + 0.0 == +0.0`` normalizes both engines.
 """
 
 from __future__ import annotations
