@@ -832,10 +832,15 @@ def op_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, source,
                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
             FROM documents
+        ),
+        src AS (
+            SELECT source AS s, DENSE_RANK() OVER (ORDER BY source) - 1 AS src_idx,
+                   COUNT(*) OVER () AS n_src
+            FROM (SELECT DISTINCT source FROM documents)
         )
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS BIGINT) AS position,
+        SELECT CAST((rn - 1) * n_src + src_idx AS BIGINT) AS position,
                doc_id, source
-        FROM seq
+        FROM seq JOIN src ON source = s
     """,
 )
 def op_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,19 +850,26 @@ def op_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash scatter — interleave gives GUARANTEED alternation, shuffle
     gives statistical mixing).
 
-    Two window passes: per-source sequence numbers, then a global order
-    by (rn, source). The global row_number is the one genuinely serial
-    step — at 100 TB you'd keep (rn, source) as a composite SORT KEY
-    for the writer instead of materializing a global position, which
-    is exactly how this plan executes under a range-partitioned sort."""
+    The position is ARITHMETIC, not a global row_number: round-robin
+    slot (rn-1)*n_sources + src_idx, with the tiny source index
+    broadcast back. Sparse where a source runs dry, but a total order
+    a writer can range-partition on — no single-partition Exchange
+    anywhere in the plan, which is what makes this form survive 100 TB
+    where a global row_number serializes."""
     docs = load_table(spark, sf_dir, "documents")
     w_src = Window.partitionBy("source").orderBy("doc_id")
-    w_all = Window.orderBy("rn", "source", "doc_id")
+    srcs = docs.select("source").distinct()
+    src_idx = srcs.select(
+        F.col("source").alias("s"),
+        (F.dense_rank().over(Window.orderBy("source")) - 1).alias("src_idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_src"),
+    )
     return (
         docs.select("doc_id", "source")
         .withColumn("rn", F.row_number().over(w_src))
+        .join(F.broadcast(src_idx), F.col("source") == F.col("s"))
         .select(
-            F.row_number().over(w_all).alias("position"),
+            ((F.col("rn") - 1) * F.col("n_src") + F.col("src_idx")).alias("position"),
             "doc_id",
             "source",
         )
