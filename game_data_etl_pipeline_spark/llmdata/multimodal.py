@@ -311,3 +311,95 @@ def op_multimodal_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "n_shared",
         F.round(F.col("n_shared") / F.col("chunks_a"), 4).alias("shared_frac"),
     )
+
+
+@register(
+    "op_multimodal_pipeline",
+    tags=("llm", "multimodal"),
+    headline=True,
+    oracle=f"""
+        WITH decoded AS (
+            SELECT doc_id,
+                   md5(text) AS checksum,
+                   CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+                   CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 512 AS INT) AS height
+            FROM documents
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY checksum ORDER BY doc_id) AS rn
+                FROM decoded
+            ) WHERE rn = 1
+        ),
+        gated AS (
+            SELECT doc_id, width, height FROM deduped
+            WHERE LEAST(width, height) >= 96
+        ),
+        planned AS (
+            SELECT doc_id, width, height,
+                   CAST(round(width * least({TARGET_MAX_SIDE} * 1.0 / width,
+                                            {TARGET_MAX_SIDE} * 1.0 / height)) AS INT) AS out_width,
+                   CAST(round(height * least({TARGET_MAX_SIDE} * 1.0 / width,
+                                             {TARGET_MAX_SIDE} * 1.0 / height)) AS INT) AS out_height
+            FROM gated
+        )
+        SELECT doc_id, width, height, out_width, out_height,
+               CAST(CEIL(out_width / 16.0) * CEIL(out_height / 16.0) AS INT) AS n_patches
+        FROM planned
+    """,
+)
+def op_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal ingest, end to end and value-oracled: decode
+    (Arrow mapInPandas) -> exact payload dedup on checksum -> quality
+    gate (shortest side >= 96) -> aspect-preserving resize plan (max
+    side 224) -> ViT-style patch budget (16px grid) — the asset-side
+    counterpart of q_corpus_pipeline_v2, one DataFrame program.
+
+    Shuffle ledger (matches the plan): ONE exchange for the checksum
+    dedup window; decode, gate, resize arithmetic, and patch counting
+    are all narrow on top of the scan. Payload bytes stay in
+    executors; only (doc_id, dims) survive the decode stage. Swap
+    ``_fake_decode`` for a real codec and the ledger is unchanged."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("checksum"), F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "checksum": pdf["checksum"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                }
+            )
+
+    decoded = docs.mapInPandas(
+        decode_batches, schema="doc_id long, checksum string, width int, height int"
+    )
+    w_dedup = Window.partitionBy("checksum").orderBy("doc_id")
+    gated = (
+        decoded.withColumn("rn", F.row_number().over(w_dedup))
+        .filter((F.col("rn") == 1) & (F.least("width", "height") >= 96))
+        .drop("rn", "checksum")
+    )
+    scale = F.least(
+        F.lit(TARGET_MAX_SIDE) / F.col("width"), F.lit(TARGET_MAX_SIDE) / F.col("height")
+    )
+    planned = gated.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("out_width"),
+        F.round(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+    return planned.select(
+        "*",
+        (F.ceil(F.col("out_width") / 16.0) * F.ceil(F.col("out_height") / 16.0))
+        .cast("int")
+        .alias("n_patches"),
+    )
