@@ -460,3 +460,56 @@ def test_recursive_cte_executes(spark):
     rows = SPECS["op_recursive_cte"].fn(spark, SF).collect()
     max_key = max(r.c_custkey for r in rows)
     assert max(r.depth for r in rows) == int(math.log2(max_key))
+
+
+def test_islands_windows_share_one_shuffle(spark):
+    """op_window_islands computes two row_numbers over the same
+    (user_id, ts) clustering plus one aggregate; Catalyst must reuse a
+    single Exchange for all of it — run detection costs ONE shuffle."""
+    f = I.facts(SPECS["op_window_islands"].fn(spark, SF))
+    assert f.exchanges == 1, f"islands shuffles {f.exchanges}x"
+
+
+def test_ohlc_is_pure_hash_aggregate(spark):
+    """op_timeseries_ohlc's min_by/max_by formulation must stay a hash
+    aggregate with map-side combine — no window sort of the raw event
+    stream, one shuffle of O(buckets) partials."""
+    f = I.facts(SPECS["op_timeseries_ohlc"].fn(spark, SF))
+    assert f.exchanges == 1, f"ohlc shuffles {f.exchanges}x"
+    assert f.partial_agg, "ohlc lost map-side combine"
+    plan = I.explain_str(SPECS["op_timeseries_ohlc"].fn(spark, SF))
+    assert "Window" not in plan, "ohlc regressed to a window formulation"
+
+
+def test_interleave_has_no_full_table_global_sort(spark):
+    """op_corpus_interleave's position is arithmetic: the only
+    SinglePartition exchange allowed is the tiny distinct-source dim,
+    never the documents table itself."""
+    df = SPECS["op_corpus_interleave"].fn(spark, SF)
+    plan = I.explain_str(df)
+    # the global-sort form this test forbids would put the documents
+    # table itself through a SinglePartition exchange; the arithmetic
+    # form's only serial piece is the 5-row distinct-source dim
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    f = I.facts(df)
+    assert f.joins and "BroadcastHashJoin" in f.joins, f.joins
+
+
+def test_skew_kurtosis_broadcasts_group_stats(spark):
+    """The two-pass moment computation must broadcast the O(groups)
+    first-pass stats, never shuffle lineitem twice for a join."""
+    f = I.facts(SPECS["op_agg_skew_kurtosis"].fn(spark, SF))
+    assert f.joins == ["BroadcastHashJoin"] or set(f.joins) == {"BroadcastHashJoin"}, f.joins
+
+
+def test_multimodal_pipeline_single_exchange(spark):
+    """Composed multimodal ingest: decode, gate, resize, patch budget
+    are all narrow — the checksum-dedup window is the ONLY shuffle."""
+    f = I.facts(SPECS["op_multimodal_pipeline"].fn(spark, SF))
+    assert f.exchanges == 1, f"multimodal pipeline shuffles {f.exchanges}x"
+
+
+def test_rolling_corr_single_shuffle(spark):
+    """Rolling correlation: one shuffle on user_id, one sorted pass."""
+    f = I.facts(SPECS["op_window_rolling_corr"].fn(spark, SF))
+    assert f.exchanges == 1, f"rolling corr shuffles {f.exchanges}x"
