@@ -31,5 +31,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per oracle-able query; rows-only ops omitted."""
+    """DuckDB-equivalent SQL per query — every registered query is
+    oracled (engine-specific ops via self-validating audits)."""
     return registry.oracle_sql()
