@@ -578,7 +578,12 @@ def op_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the trigram stream is ~L tokens per doc wide but the
     aggregation is mergeable and Zipf-skewed — map-side combine
     absorbs the head, and a frequency floor (HAVING n >= f) prunes
-    the hapax tail before it shuffles (the KenLM pruning move)."""
+    the hapax tail before it shuffles (the KenLM pruning move).
+
+    The top-20 cut is orderBy+limit — TakeOrderedAndProject keeps a
+    20-row heap per partition and merges on the driver, so the full
+    trigram vocabulary never lands in one partition; the rank window
+    then runs over only the 20 survivors."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     trigrams = F.when(F.size(w) < 3, F.array()).otherwise(
@@ -592,8 +597,9 @@ def op_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(trigrams).alias("trigram"))
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(20)
         .withColumn("rank", F.row_number().over(win).cast("int"))
-        .filter(F.col("rank") <= 20)
     )
 
 
@@ -663,7 +669,12 @@ def op_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + distinct + count: the shuffle is keyed on the
     sentence text (high cardinality, Zipf head = the boilerplate
     itself); at 100 TB hash the sentence first (as
-    op_dedup_cross_snapshot does) so only digests shuffle."""
+    op_dedup_cross_snapshot does) so only digests shuffle. The top-20
+    cut is orderBy+limit (TakeOrderedAndProject — per-partition 20-row
+    heaps, never a single-partition sort of the whole sentence
+    vocabulary); the rank window and the >=2-docs floor then run over
+    only the 20 survivors, which is order-equivalent because the sort
+    key leads with n_docs desc."""
     docs = load_table(spark, sf_dir, "documents")
     segs = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), "[.!?]+")).alias("seg"))
@@ -675,8 +686,10 @@ def op_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         segs.groupBy("sentence")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "sentence")
+        .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter((F.col("n_docs") >= 2) & (F.col("rank") <= 20))
+        .filter(F.col("n_docs") >= 2)
     )
 
 

@@ -513,3 +513,20 @@ def test_rolling_corr_single_shuffle(spark):
     """Rolling correlation: one shuffle on user_id, one sorted pass."""
     f = I.facts(SPECS["op_window_rolling_corr"].fn(spark, SF))
     assert f.exchanges == 1, f"rolling corr shuffles {f.exchanges}x"
+
+
+def test_text_topk_is_take_ordered_not_global_sort(spark):
+    """op_text_ngrams / op_text_boilerplate cut their top-20 with
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps), never a
+    row_number window over the full trigram/sentence vocabulary — the
+    global-rank form serializes the whole vocabulary into one
+    partition at scale."""
+    for name in ("op_text_ngrams", "op_text_boilerplate"):
+        plan = I.explain_str(SPECS[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{name} lost the top-k heap"
+        # the only Sort permitted is the 20-row rank window's, which sits
+        # above the TakeOrderedAndProject cut, never below the aggregate
+        agg_part = plan.split("TakeOrderedAndProject")[-1]
+        assert "Exchange SinglePartition" not in agg_part, (
+            f"{name} single-partitions the pre-cut vocabulary"
+        )
