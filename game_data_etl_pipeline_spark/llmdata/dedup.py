@@ -849,3 +849,91 @@ def op_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "op_dedup_semantic_keeplist",
+    tags=("llm", "dedup"),
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        dup_pairs AS (
+            SELECT b.vec_id, MIN(a.vec_id) AS canon
+            FROM assigned a JOIN assigned b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+            GROUP BY b.vec_id
+        )
+        SELECT s.vec_id, s.cent_id AS bucket,
+               d.vec_id IS NULL AS kept,
+               COALESCE(d.canon, s.vec_id) AS canonical_id
+        FROM assigned s LEFT JOIN dup_pairs d ON s.vec_id = d.vec_id
+    """,
+)
+def op_dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISION table: within each IVF
+    cell, greedily keep the earliest vector of every near-dup group
+    (cosine >= 0.3 to any earlier same-cell vector => dropped, with
+    the earliest such neighbor recorded as the canonical survivor).
+
+    This is the policy layer the pair-finding ops stop short of:
+    op_dedup_embedding_cosine emits candidate PAIRS; training-set
+    construction needs a per-document keep/drop verdict. Greedy
+    min-id-wins is the standard SemDeDup rule — order-deterministic,
+    single-pass, no iterative label propagation.
+
+    100 TB shape: identical to the pair finder (broadcast n x k
+    assignment, then a cell-id equi-join), plus one aggregation keyed
+    on the dropped vector id and a final left join keyed on vec_id —
+    all hash-partitioned, nothing driver-side."""
+    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm_expr(F.col("embedding"))
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", "cent_id")
+    )
+    a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                        F.col("vnorm").alias("na"), F.col("cent_id").alias("bucket_a"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                        F.col("vnorm").alias("nb"), F.col("cent_id").alias("bucket_b"))
+    cos = dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    canon = (
+        a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos >= 0.3)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("canon"))
+    )
+    return (
+        assigned.join(canon, assigned["vec_id"] == canon["vec_b"], "left")
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("bucket"),
+            F.col("vec_b").isNull().alias("kept"),
+            F.coalesce(F.col("canon"), F.col("vec_id")).alias("canonical_id"),
+        )
+    )

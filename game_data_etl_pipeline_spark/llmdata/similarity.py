@@ -572,3 +572,83 @@ def op_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("dim_mean"),
         F.round(F.stddev_pop("v"), 4).alias("dim_std"),
     )
+
+
+@register(
+    "op_sim_knn_graph",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS cos
+            FROM assigned a JOIN assigned b
+              ON a.cent_id = b.cent_id AND a.vec_id != b.vec_id
+        )
+        SELECT vec_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM pairs
+        ) WHERE rank <= 3
+    """,
+)
+def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-pairs k-NN graph (every vector's top-3 same-cell neighbors)
+    — the SemDeDup/SSL-curation building block, distinct from
+    op_sim_ivf's bounded-query-set probe: here BOTH join sides are the
+    full corpus, so the candidate generator must be a data-x-data
+    EQUI-join on the IVF cell id, never a broadcast and never a cross
+    product. Pair count is sum over cells of |cell|^2, controlled by k
+    (more centroids = smaller cells = fewer pairs).
+
+    100 TB shape: one n x k broadcast assignment pass (inherent to
+    IVF), then a shuffle hash join keyed on cent_id; a hot cell is an
+    AQE-skew-split candidate, and raising k is the structural fix.
+    Top-3 per vector via a per-vec_id rank window over only the
+    cell-bounded candidates."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm_expr(F.col("embedding"))
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", "cent_id")
+    )
+    rhs = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
+        F.col("vnorm").alias("nnorm"), F.col("cent_id").alias("ncell"),
+    )
+    pairs = assigned.join(
+        rhs, (F.col("cent_id") == F.col("ncell")) & (F.col("vec_id") != F.col("neighbor_id"))
+    ).select(
+        "vec_id", "neighbor_id",
+        (dot_expr(F.col("embedding"), F.col("ne")) / (F.col("vnorm") * F.col("nnorm"))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )

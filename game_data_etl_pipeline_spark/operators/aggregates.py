@@ -995,3 +995,55 @@ def op_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wvar_price"),
         )
     )
+
+
+@register(
+    "op_agg_time_decay",
+    tags=("agg", "timeseries"),
+    oracle="""
+        WITH ref AS (
+            SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us FROM events
+        ),
+        weighted AS (
+            SELECT e.user_id,
+                   EXP(-LN(2) * ((ref_us - epoch_us(CAST(e.ts AS TIMESTAMP))) / 86400000000.0) / 7.0) AS w,
+                   e.value
+            FROM events e, ref
+        )
+        SELECT user_id,
+               ROUND(SUM(w), 4) AS decayed_count,
+               ROUND(SUM(w * value), 4) AS decayed_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM weighted
+        GROUP BY user_id
+        HAVING COUNT(*) >= 20
+    """,
+)
+def op_agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user activity (half-life 7 days,
+    anchored at the corpus max timestamp): the recency-weighted count /
+    value sums that feed churn and engagement features — a decayed sum
+    ages uniformly by a scalar multiple, so the feature never needs a
+    full recompute, only `old * decay + new`.
+
+    Shape: the reference instant is a 1-row max() aggregate broadcast
+    back (scalar subquery, not a window over the full stream); the
+    weight is a per-row JVM expression; then ONE partial-aggregating
+    groupBy(user_id). Timestamps compare in microseconds on both
+    engines (unix_micros / epoch_us) — second-truncation would shift
+    weights."""
+    events = load_table(spark, sf_dir, "events")
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    age_days = (F.col("ref_us") - F.unix_micros(F.col("ts"))) / 86400000000.0
+    w = F.exp(F.lit(-0.6931471805599453) * age_days / 7.0)
+    return (
+        events.join(F.broadcast(ref))
+        .select("user_id", w.alias("w"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("w"), 4).alias("decayed_count"),
+            F.round(F.sum(F.col("w") * F.col("value")), 4).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )

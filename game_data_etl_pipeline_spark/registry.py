@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.functions.udfs",
     "game_data_etl_pipeline_spark.operators.scale",
     "game_data_etl_pipeline_spark.functions.scalars",
+    "game_data_etl_pipeline_spark.functions.sql_surface",
     "game_data_etl_pipeline_spark.llmdata.multimodal",
     "game_data_etl_pipeline_spark.operators.aggregates",
     # sources/landing + cluster outrank the long text family: the
