@@ -1234,3 +1234,91 @@ def op_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+_STATS_TABLE_CACHE: dict[str, str] = {}
+
+
+def _analyzed_customer(spark: SparkSession, sf_dir: str) -> str:
+    """customer written as a catalog table and ANALYZEd (once per
+    process per sf): table + column statistics are what the cost-based
+    optimizer reads for join reordering, broadcast decisions, and
+    cardinality estimates."""
+    key = sf_dir.replace("/", "_").replace(".", "_")
+    tbl = f"customer_stats{key}"
+    if sf_dir not in _STATS_TABLE_CACHE:
+        base = tempfile.mkdtemp(prefix="stats_")
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.option("path", os.path.join(base, "customer"))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS c_custkey, c_acctbal"
+        )
+        _STATS_TABLE_CACHE[sf_dir] = tbl
+    return _STATS_TABLE_CACHE[sf_dir]
+
+
+@register(
+    "op_catalog_stats",
+    tags=("scale", "optimizer"),
+    oracle="""
+        WITH exact AS (
+            SELECT 'c_acctbal' AS col, ROUND(MIN(c_acctbal), 2) AS min_val,
+                   ROUND(MAX(c_acctbal), 2) AS max_val,
+                   CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT) AS num_nulls
+            FROM customer
+            UNION ALL
+            SELECT 'c_custkey', ROUND(MIN(c_custkey), 2), ROUND(MAX(c_custkey), 2),
+                   CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT)
+            FROM customer
+        )
+        SELECT col, min_val, max_val, num_nulls, TRUE AS ndv_ok FROM exact
+    """,
+)
+def op_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog column statistics: ANALYZE TABLE ... FOR COLUMNS, read
+    back through DESCRIBE EXTENDED — the stats the cost-based
+    optimizer consumes (min/max for range pruning and selectivity,
+    null counts, HLL distinct counts for join cardinality estimates).
+
+    min/max/num_nulls are exact and value-oracled directly; the HLL
+    ndv is engine-specific, so it is audited in-query against the
+    exact COUNT(DISTINCT) with a ±20% sanity bound (default HLL rsd
+    is ~5%, observed deviations on the 1.5k-key fixture reach ~7%;
+    the audit exists to catch broken/stale stats, not to re-derive
+    the HLL error model) and emitted as an
+    oracle-assertable boolean (the op_agg_approx_distinct pattern).
+    At 100 TB ANALYZE is the cheap background job that turns every
+    subsequent join into an informed broadcast-vs-shuffle decision."""
+    tbl = _analyzed_customer(spark, sf_dir)
+    described = None
+    for colname in ("c_acctbal", "c_custkey"):
+        d = (
+            spark.sql(f"DESCRIBE EXTENDED {tbl} {colname}")
+            .groupBy()
+            .pivot("info_name", ["col_name", "min", "max", "num_nulls", "distinct_count"])
+            .agg(F.first("info_value"))
+            .select(
+                F.col("col_name").alias("col"),
+                F.round(F.col("min").cast("double"), 2).alias("min_val"),
+                F.round(F.col("max").cast("double"), 2).alias("max_val"),
+                F.col("num_nulls").cast("bigint").alias("num_nulls"),
+                F.col("distinct_count").cast("bigint").alias("ndv"),
+            )
+        )
+        described = d if described is None else described.unionByName(d)
+    exact = (
+        spark.table(tbl)
+        .agg(
+            F.countDistinct("c_acctbal").alias("c_acctbal"),
+            F.countDistinct("c_custkey").alias("c_custkey"),
+        )
+        .unpivot([], ["c_acctbal", "c_custkey"], "col", "exact_ndv")
+    )
+    return described.join(exact, "col").select(
+        "col", "min_val", "max_val", "num_nulls",
+        (F.abs(F.col("ndv") - F.col("exact_ndv")) <= F.col("exact_ndv") * 0.20).alias("ndv_ok"),
+    )

@@ -518,3 +518,52 @@ def op_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("trend_corr"),
     )
+
+
+@register(
+    "op_window_rolling_distinct",
+    tags=("window", "timeseries"),
+    oracle="""
+        WITH maxd AS (
+            SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day FROM events
+        ),
+        contrib AS (
+            SELECT DISTINCT
+                   UNNEST(generate_series(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                                          CAST(CAST(ts AS TIMESTAMP) AS DATE) + 6,
+                                          INTERVAL 1 DAY)) AS day,
+                   user_id
+            FROM events
+        )
+        SELECT strftime(c.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+        FROM contrib c, maxd
+        WHERE CAST(c.day AS DATE) <= last_day
+        GROUP BY 1
+    """,
+)
+def op_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (trailing WAU) —
+    the windowed-distinct aggregate SQL windows cannot express
+    (no COUNT(DISTINCT) OVER a frame in either engine).
+
+    Formulation: every event CONTRIBUTES its user to the 7 days it
+    keeps that user 'active' (explode of a 7-element date sequence),
+    then one distinct + count per day. No range join, no per-day
+    rescan of the event table: the blow-up factor is the fixed window
+    length, the shuffle carries (day, user_id) pairs, and the whole
+    thing is two hash aggregates. At 100 TB swap the exact distinct
+    for approx_count_distinct or an HLL-partial column per (day,
+    shard) to make the daily partials mergeable (op_agg_hll_merge)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    last_day = events.agg(F.max(day).alias("last_day"))
+    return (
+        events.select(
+            F.explode(F.sequence(day, F.date_add(day, 6))).alias("day"), "user_id"
+        )
+        .join(F.broadcast(last_day))
+        .filter(F.col("day") <= F.col("last_day"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
