@@ -937,3 +937,73 @@ def op_dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("canon"), F.col("vec_id")).alias("canonical_id"),
         )
     )
+
+
+@register(
+    "op_dedup_substring_spans",
+    tags=("llm", "dedup"),
+    headline=True,
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS terms FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(0, GREATEST(len(terms) - 14, 0), 5),
+                          i -> array_to_string(terms[i+1:i+15], ' '))) AS span
+            FROM t
+        ),
+        dup AS (
+            SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(*) FILTER (WHERE d.span IS NOT NULL) AS BIGINT) AS n_dup_spans,
+               ROUND(COUNT(*) FILTER (WHERE d.span IS NOT NULL) * 1.0 / COUNT(*), 4) AS dup_span_frac
+        FROM spans s LEFT JOIN dup d USING (span)
+        GROUP BY s.doc_id
+    """,
+)
+def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022's
+    deduplicate-training-data signal, windowed): slide a 15-token
+    window at stride 5 over every doc, fingerprint each span, and
+    count per doc how many of its spans also occur verbatim in ANY
+    other document — the signal that catches copied paragraphs inside
+    otherwise-unique pages, which doc-level MinHash misses entirely.
+    Docs shorter than 15 tokens produce no spans and are absent.
+
+    Scale shape: spans never shuffle as text — Spark joins on a
+    64-bit xxhash64 fingerprint (the oracle joins on the raw span
+    string; the hash is engine-internal and never output, so parity
+    holds unless xxhash64 collides). The dup-span set is found with
+    one fingerprint-keyed aggregate, rejoined by fingerprint: two
+    hash shuffles of O(n_spans) longs, and the span stream is ~1/5
+    of token volume at stride 5 — the knob that trades recall for
+    shuffle width."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    spans_arr = F.when(F.size(terms) < 15, F.array()).otherwise(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 15, 5),"
+            " i -> xxhash64(array_join(slice(split(text, ' '), i + 1, 15), ' ')))"
+        )
+    )
+    spans = docs.select("doc_id", F.explode(spans_arr).alias("fp"))
+    dup = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(True).alias("is_dup"))
+    )
+    return (
+        spans.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_spans"),
+            F.round(
+                F.count(F.when(F.col("is_dup"), 1)) / F.count(F.lit(1)), 4
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -577,6 +577,7 @@ def op_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sim_knn_graph",
     tags=("llm", "similarity"),
+    headline=True,
     oracle="""
         WITH cents AS (
             SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce

@@ -200,3 +200,36 @@ def test_containment_catches_asymmetric_overlap(spark, sf_dir):
     pairs = {(r.doc_a, r.doc_b) for r in rows}
     for a, b in NEAR_DUP_PAIRS:
         assert (a, b) in pairs and (b, a) in pairs, (a, b, sorted(pairs)[:10])
+
+
+def test_knn_graph_invariants(spark, sf_dir):
+    from game_data_etl_pipeline_spark.llmdata.similarity import op_sim_knn_graph
+
+    df = op_sim_knn_graph(spark, sf_dir).cache()
+    import pyspark.sql.functions as F
+
+    per_src = df.groupBy("vec_id").agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+    assert per_src.filter("n > 3").count() == 0
+    assert df.filter("vec_id = neighbor_id").count() == 0
+    assert df.filter("cosine > 1.0001 OR cosine < -1.0001").count() == 0
+    df.unpersist()
+
+
+def test_semantic_keeplist_invariants(spark, sf_dir):
+    from game_data_etl_pipeline_spark.llmdata.dedup import op_dedup_semantic_keeplist
+
+    df = op_dedup_semantic_keeplist(spark, sf_dir).cache()
+    # canonical precedes the doc it replaces; kept docs are their own canonical
+    assert df.filter("canonical_id > vec_id").count() == 0
+    assert df.filter("kept AND canonical_id != vec_id").count() == 0
+    assert df.filter("NOT kept AND canonical_id = vec_id").count() == 0
+    df.unpersist()
+
+
+def test_substring_spans_invariants(spark, sf_dir):
+    from game_data_etl_pipeline_spark.llmdata.dedup import op_dedup_substring_spans
+
+    df = op_dedup_substring_spans(spark, sf_dir).cache()
+    assert df.filter("n_dup_spans > n_spans").count() == 0
+    assert df.filter("dup_span_frac < 0 OR dup_span_frac > 1").count() == 0
+    df.unpersist()

@@ -530,3 +530,24 @@ def test_text_topk_is_take_ordered_not_global_sort(spark):
         assert "Exchange SinglePartition" not in agg_part, (
             f"{name} single-partitions the pre-cut vocabulary"
         )
+
+
+def test_knn_graph_and_keeplist_pair_joins_are_hash(spark):
+    """The all-pairs stages of op_sim_knn_graph and
+    op_dedup_semantic_keeplist must meet on the IVF cell id as a hash
+    join (SortMerge/ShuffledHash); the only nested loop allowed is the
+    k-bounded broadcast centroid-assignment pass."""
+    for name in ("op_sim_knn_graph", "op_dedup_semantic_keeplist"):
+        f = I.facts(SPECS[name].fn(spark, SF))
+        hash_joins = [j for j in f.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
+        assert hash_joins, f"{name}: pair join is not a hash join: {f.joins}"
+
+
+def test_substring_spans_joins_on_fingerprints(spark):
+    """op_dedup_substring_spans must join span FINGERPRINTS (xxhash64
+    longs), never raw span strings, and never a nested loop."""
+    df = SPECS["op_dedup_substring_spans"].fn(spark, SF)
+    plan = I.explain_str(df)
+    assert "xxhash64" in plan, "span fingerprinting disappeared from the plan"
+    f = I.facts(df)
+    assert all(j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in f.joins), f.joins
