@@ -298,3 +298,47 @@ def op_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_purchases long, n_touches long, touch_per_purchase double",
         )
     )
+
+
+def _make_priority_code_udf():
+    """Arrow-optimized row UDF (Spark 4 `useArrow=True`): Arrow handles
+    the JVM<->Python transfer in columnar batches, but the function
+    body still runs once per row in Python — faster serialization than
+    a pickled row UDF, same per-row interpreter cost. Built lazily
+    (type resolution needs an active session)."""
+
+    @F.udf(returnType="string", useArrow=True)
+    def priority_code(priority: str, total: float) -> str:
+        tier = "H" if total >= 200000.0 else "L"
+        return f"{priority.split('-')[0]}/{tier}"
+
+    return priority_code
+
+
+@register(
+    "op_udf_arrow_scalar",
+    tags=("udf",),
+    oracle="""
+        SELECT o_orderkey,
+               string_split(o_orderpriority, '-')[1] ||
+               CASE WHEN o_totalprice >= 200000.0 THEN '/H' ELSE '/L' END AS priority_code
+        FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+)
+def op_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rung of the Python-execution ladder: an
+    Arrow-OPTIMIZED row UDF (`@udf(useArrow=True)`) — the designated
+    migration path for legacy row-at-a-time UDFs that can't be
+    vectorized wholesale. Arrow batching removes the pickle
+    serialization tax (the dominant cost of classic row UDFs) while
+    keeping per-row Python semantics; pandas_udf stays preferred for
+    anything vectorizable, and the oracle proves the built-in
+    expression computes the same thing (which production should
+    use)."""
+    orders = load_table(spark, sf_dir, "orders")
+    code = _make_priority_code_udf()
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", code("o_orderpriority", "o_totalprice").alias("priority_code"))
+    )

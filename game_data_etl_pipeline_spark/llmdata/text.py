@@ -880,3 +880,75 @@ def op_text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_vs_corpus")
     )
+
+
+@register(
+    "op_text_line_dedup",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+        WITH parts AS (
+            SELECT doc_id, string_split_regex(text, '[.!?]+') AS ps FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, p AS pos, TRIM(ps[p + 1]) AS sent
+            FROM (SELECT doc_id, ps, UNNEST(range(len(ps))) AS p FROM parts)
+            WHERE LENGTH(TRIM(ps[p + 1])) > 0
+        ),
+        bad AS (
+            SELECT sent FROM (SELECT DISTINCT doc_id, sent FROM segs WHERE LENGTH(sent) >= 20)
+            GROUP BY sent HAVING COUNT(*) >= 2
+        ),
+        marked AS (
+            SELECT s.doc_id, s.pos, s.sent, b.sent IS NOT NULL AS is_bad
+            FROM segs s LEFT JOIN bad b USING (sent)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) FILTER (WHERE NOT is_bad) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) FILTER (WHERE is_bad) AS BIGINT) AS n_removed,
+               md5(COALESCE(string_agg(sent, '. ' ORDER BY pos) FILTER (WHERE NOT is_bad), '')) AS cleaned_md5
+        FROM marked
+        GROUP BY doc_id
+    """,
+)
+def op_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-frequent line REMOVAL: segment every doc into
+    sentences, find sentences (>= 20 chars) that occur verbatim in >= 2
+    distinct docs, and reassemble each doc WITHOUT them, preserving
+    original sentence order — the transform step that
+    op_text_boilerplate's detector stops short of. Output carries the
+    cleaned text as an md5 (registry convention: no unbounded string
+    columns when a digest proves equality).
+
+    Scale shape: one explode, one digest-keyed frequency aggregate
+    (at 100 TB key it on xxhash64(sent) as the substring-span op
+    does), one equi-join back, and a per-doc collect_list bounded by
+    the doc's own sentence count — never corpus-wide state. Removal
+    happens WITHOUT a second pass over the raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", F.posexplode(F.split(F.col("text"), "[.!?]+")).alias("pos", "seg"))
+        .select("doc_id", "pos", F.trim("seg").alias("sent"))
+        .filter(F.length("sent") > 0)
+    )
+    bad = (
+        segs.filter(F.length("sent") >= 20)
+        .dropDuplicates(["doc_id", "sent"])
+        .groupBy("sent")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sent", F.lit(True).alias("is_bad"))
+    )
+    marked = segs.join(bad, "sent", "left").withColumn(
+        "is_bad", F.coalesce(F.col("is_bad"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("is_bad"), F.struct("pos", "sent"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.when(~F.col("is_bad"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_bad"), 1)).alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                ". ",
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["sent"]),
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -233,3 +233,27 @@ def test_substring_spans_invariants(spark, sf_dir):
     assert df.filter("n_dup_spans > n_spans").count() == 0
     assert df.filter("dup_span_frac < 0 OR dup_span_frac > 1").count() == 0
     df.unpersist()
+
+
+def test_line_dedup_removes_corpus_frequent_sentences(spark, tmp_path):
+    """The fixture corpus has no verbatim cross-doc sentences (parity
+    validates reassembly md5 over all docs); this pins the removal
+    path itself on a corpus where a boilerplate sentence repeats."""
+    import pyspark.sql.functions as F
+    from game_data_etl_pipeline_spark.llmdata.text import op_text_line_dedup
+
+    banner = "subscribe to our newsletter for updates"
+    rows = [
+        (0, f"unique alpha sentence one. {banner}. tail alpha.", "en", "s", 1),
+        (1, f"{banner}. unique beta sentence two.", "en", "s", 1),
+        (2, "only original content here. nothing shared at all.", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in op_text_line_dedup(spark, str(tmp_path)).collect()}
+    assert out[0]["n_removed"] == 1 and out[0]["n_kept"] == 2
+    assert out[1]["n_removed"] == 1 and out[1]["n_kept"] == 1
+    assert out[2]["n_removed"] == 0 and out[2]["n_kept"] == 2
+    # doc 1's cleaned text is exactly its unique sentence
+    import hashlib
+    assert out[1]["cleaned_md5"] == hashlib.md5(b"unique beta sentence two").hexdigest()
