@@ -649,3 +649,87 @@ def op_stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "op_stream_stream_left_join",
+    tags=("streaming", "join"),
+    oracle="""
+        WITH bounds AS (
+            SELECT MAX(CAST(ts AS TIMESTAMP)) AS mt FROM events
+        ),
+        clicks AS (
+            SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM clicks c
+        LEFT JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+        CROSS JOIN bounds
+        WHERE c.click_ts < mt - INTERVAL 45 MINUTE
+    """,
+)
+def op_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed
+    to a following-10-minute purchase OR emitted with nulls once no
+    purchase can still arrive — the 'abandoned click' query, and the
+    semantics that separates outer streaming joins from inner ones:
+    the null-extended row is produced by STATE EVICTION (the join
+    watermark passing click_ts + 10 min), not by a scan reaching the
+    end of a table.
+
+    Both engines are clipped to clicks whose outcome is final
+    (click_ts < max_ts − 45 min = interval + watermark delay + margin):
+    the streaming side cannot rule on younger clicks — their state
+    outlives the bounded input — and that clip is exactly the
+    guarantee the watermark contract gives at 100 TB: per-key buffered
+    state is bounded by interval + delay, regardless of stream length."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    mt = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("mt"))
+    return (
+        out.join(F.broadcast(mt))
+        .filter(F.col("click_ts") < F.col("mt") - F.expr("INTERVAL 45 MINUTES"))
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            _fmt(F.col("click_ts"), "click_ts"),
+            _fmt(F.col("purchase_ts"), "purchase_ts"),
+        )
+    )
