@@ -656,7 +656,10 @@ def op_stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join"),
     oracle="""
         WITH bounds AS (
-            SELECT MAX(CAST(ts AS TIMESTAMP)) AS mt FROM events
+            SELECT LEAST(
+                MAX(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'click'),
+                MAX(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase')
+            ) AS mt FROM events
         ),
         clicks AS (
             SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
@@ -687,12 +690,14 @@ def op_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark passing click_ts + 10 min), not by a scan reaching the
     end of a table.
 
-    Both engines are clipped to clicks whose outcome is final
-    (click_ts < max_ts − 45 min = interval + watermark delay + margin):
-    the streaming side cannot rule on younger clicks — their state
-    outlives the bounded input — and that clip is exactly the
-    guarantee the watermark contract gives at 100 TB: per-key buffered
-    state is bounded by interval + delay, regardless of stream length."""
+    Both engines are clipped to clicks whose outcome is final:
+    eviction needs the GLOBAL join watermark (the MIN of both sides'
+    watermarks under the default multipleWatermarkPolicy) past
+    click_ts + 10 min, so the clip anchor is least(max click ts, max
+    purchase ts) − 45 min (interval + delay + margin). Younger clicks'
+    state outlives the bounded input, and that bound is exactly the
+    watermark contract at 100 TB: per-key buffered state is capped by
+    interval + delay, regardless of stream length."""
     clicks = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -721,7 +726,13 @@ def op_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(joined, output_mode="append")
     from game_data_etl_pipeline_spark.catalog import load_table
 
-    mt = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("mt"))
+    ev = load_table(spark, sf_dir, "events")
+    mt = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("mt")
+    )
     return (
         out.join(F.broadcast(mt))
         .filter(F.col("click_ts") < F.col("mt") - F.expr("INTERVAL 45 MINUTES"))
