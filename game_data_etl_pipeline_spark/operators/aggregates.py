@@ -1047,3 +1047,68 @@ def op_agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 20)
     )
+
+
+@register(
+    "op_agg_incremental_maintain",
+    tags=("agg", "scale", "cdc"),
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def op_agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance with RETRACTION: a
+    yesterday's-snapshot aggregate is brought up to date by applying a
+    CDC batch's algebraic deltas (updates contribute new−old, inserts
+    contribute new, counts adjust by ±1) — the base table is never
+    rescanned. The oracle recomputes from the current snapshot,
+    proving the delta algebra is lossless.
+
+    The synthetic history is derived deterministically from orders:
+    keys %17==0 are today's inserts (absent from the base), keys
+    %13==0 among the rest were updated (base holds 0.9× the price).
+
+    This is the step past op_agg_rollup_merge's merge-only partials:
+    sums and counts form a GROUP (subtractable), so updates retract in
+    O(|batch|); min/max don't — maintaining those incrementally needs
+    the rollup-level recompute that op keeps cheap. At 100 TB the
+    updated aggregate costs one scan of the batch plus a join of two
+    O(groups) tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    is_new = key % 17 == 0
+    is_upd = (key % 13 == 0) & ~is_new
+    base = orders.filter(~is_new).withColumn(
+        "price0",
+        F.when(is_upd, F.col("o_totalprice") * 0.9).otherwise(F.col("o_totalprice")),
+    )
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.sum("price0").alias("rev0"), F.count(F.lit(1)).alias("n0")
+    )
+    updates = orders.filter(is_upd).select(
+        "o_orderpriority",
+        (F.col("o_totalprice") - F.col("o_totalprice") * 0.9).alias("drev"),
+        F.lit(0).alias("dn"),
+    )
+    inserts = orders.filter(is_new).select(
+        "o_orderpriority", F.col("o_totalprice").alias("drev"), F.lit(1).alias("dn")
+    )
+    delta_agg = (
+        updates.unionByName(inserts)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("drev").alias("drev"), F.sum("dn").alias("dn"))
+    )
+    return (
+        base_agg.join(delta_agg, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.round(
+                F.coalesce(F.col("rev0"), F.lit(0.0)) + F.coalesce(F.col("drev"), F.lit(0.0)), 2
+            ).alias("revenue"),
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+        )
+    )
