@@ -1112,3 +1112,106 @@ def op_agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds P(X <= k), shared verbatim with the
+# DuckDB oracle: the bootstrap weight ladder must be bit-identical.
+_POIS1_CDF = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+              0.9963401532, 0.9994058152)
+
+
+@register(
+    "op_agg_bootstrap_ci",
+    tags=("agg", "stats"),
+    oracle="""
+        WITH rep AS (
+            SELECT b, o_totalprice,
+                   (CAST(CONCAT('0x', substr(md5('bs1' || CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                       / 4294967296.0 AS u
+            FROM orders, UNNEST(range(16)) AS t(b)
+        ),
+        weighted AS (
+            SELECT b, o_totalprice,
+                   CASE WHEN u < 0.3678794412 THEN 0
+                        WHEN u < 0.7357588823 THEN 1
+                        WHEN u < 0.9196986029 THEN 2
+                        WHEN u < 0.9810118431 THEN 3
+                        WHEN u < 0.9963401532 THEN 4
+                        WHEN u < 0.9994058152 THEN 5
+                        ELSE 6 END AS w
+            FROM rep
+        ),
+        per_rep AS (
+            SELECT b, SUM(w * o_totalprice) / SUM(w) AS m FROM weighted GROUP BY b
+        ),
+        boot AS (
+            SELECT AVG(m) AS bm, stddev_samp(m) AS se FROM per_rep
+        ),
+        point AS (SELECT AVG(o_totalprice) AS pm FROM orders)
+        SELECT CAST(16 AS INT) AS n_replicas,
+               ROUND(pm, 2) AS point_mean,
+               ROUND(bm, 2) AS boot_mean,
+               ROUND(se, 2) AS boot_se,
+               ROUND(bm - 1.96 * se, 2) AS ci_lo,
+               ROUND(bm + 1.96 * se, 2) AS ci_hi
+        FROM boot, point
+    """,
+)
+def op_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al.'s 'Estimating Uncertainty
+    for Massive Data Streams' shape): 16 resample replicas of the mean
+    order price, each row's replica multiplicity drawn Poisson(1) via
+    the registry's deterministic md5-uniform + an inverse-CDF ladder —
+    no sampling WITH replacement (impossible distributedly), no
+    second pass, and reproducible across any partition layout, which
+    is why every replica mean and the CI itself value-oracle exactly.
+
+    Shape: one explode by the replica count (bounded fan-out, the
+    single knob), one hash aggregate to O(B) replica means, one O(B)
+    reduction to the interval. At 100 TB, B=16-64 replicas costs B
+    map-side-combined partial aggregates — uncertainty for one extra
+    shuffle of O(B × groups) rows — and the same ladder drops in for
+    any other mergeable statistic."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rep = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs1"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[k], k).otherwise(w)
+    per_rep = (
+        rep.select("b", "o_totalprice", w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m"))
+    )
+    boot = per_rep.agg(F.avg("m").alias("bm"), F.stddev_samp("m").alias("se"))
+    point = orders.agg(F.avg("o_totalprice").alias("pm"))
+    return (
+        boot.join(F.broadcast(point))
+        .select(
+            F.lit(16).alias("n_replicas"),
+            F.round("pm", 2).alias("point_mean"),
+            F.round("bm", 2).alias("boot_mean"),
+            F.round("se", 2).alias("boot_se"),
+            F.round(F.col("bm") - 1.96 * F.col("se"), 2).alias("ci_lo"),
+            F.round(F.col("bm") + 1.96 * F.col("se"), 2).alias("ci_hi"),
+        )
+    )

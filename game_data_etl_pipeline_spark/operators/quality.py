@@ -141,3 +141,52 @@ def op_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+@register(
+    "op_privacy_kanon",
+    tags=("quality", "privacy"),
+    oracle="""
+        WITH qi AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_band,
+                   COUNT(*) AS grp_n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT(*) FILTER (WHERE grp_n < 5) AS BIGINT) AS n_risky_groups,
+               CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < 5), 0) AS BIGINT) AS n_risky_rows,
+               ROUND(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < 5), 0) * 1.0 / SUM(grp_n), 4) AS suppression_rate
+        FROM qi
+        GROUP BY c_mktsegment
+    """,
+)
+def op_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over quasi-identifiers (market segment,
+    nation, coarsened balance band): how many QI equivalence classes
+    are small enough to re-identify a member, and what fraction of
+    rows would suppression cost — the governance report that gates a
+    dataset release, complementing op_text_redact's content-level
+    scrubbing with record-level linkage risk.
+
+    Two stacked hash aggregates (QI classes, then per-segment
+    summary), both mergeable; the QI class count is bounded by the
+    coarsening (the fix for a failing audit is coarser bands, which
+    also shrinks the aggregate). Nothing driver-side at 100 TB."""
+    customer = load_table(spark, sf_dir, "customer")
+    qi = customer.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    risky = F.col("grp_n") < 5
+    return qi.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(risky, 1)).alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("grp_n"))), F.lit(0)).alias("n_risky_rows"),
+        F.round(
+            F.coalesce(F.sum(F.when(risky, F.col("grp_n"))), F.lit(0)) / F.sum("grp_n"), 4
+        ).alias("suppression_rate"),
+    )
