@@ -134,3 +134,53 @@ def op_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"minp": 150000.0, "status": "O"},
         orders=orders,
     )
+
+
+@register(
+    "op_scalar_collation",
+    tags=("sql", "scalar"),
+    oracle="""
+        WITH cased AS (
+            SELECT p_brand,
+                   CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_name) ELSE p_name END AS name_cased
+            FROM part
+        )
+        SELECT p_brand,
+               CAST(COUNT(DISTINCT name_cased) AS BIGINT) AS n_names,
+               CAST(COUNT(DISTINCT LOWER(name_cased)) AS BIGINT) AS n_names_ci,
+               MIN(LOWER(name_cased)) AS first_name_ci
+        FROM cased
+        GROUP BY p_brand
+    """,
+)
+def op_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string semantics (Spark 4 COLLATE): case-insensitive
+    DISTINCT / MIN via the UTF8_LCASE collation instead of scattering
+    lower() through every expression — the collation travels WITH the
+    column, so every comparison operator (group keys, joins, ORDER
+    BY, =) picks up the semantics engine-side. The fixture's names
+    are case-perturbed deterministically (every even partkey
+    upper-cased) so the binary and collated distinct counts provably
+    diverge. The oracle expresses the same semantics with explicit
+    LOWER() — the pre-collation idiom this feature replaces.
+
+    Same hash-aggregate plan either way; collation keys compare via
+    ICU weights rather than bytes — no extra shuffle, no UDF."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH cased AS (
+            SELECT p_brand,
+                   CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_name) ELSE p_name END AS name_cased
+            FROM part
+        )
+        SELECT p_brand,
+               COUNT(DISTINCT name_cased) AS n_names,
+               COUNT(DISTINCT COLLATE(name_cased, 'UTF8_LCASE')) AS n_names_ci,
+               CAST(MIN(COLLATE(name_cased, 'UTF8_LCASE')) AS STRING COLLATE UTF8_BINARY) AS first_name_ci
+        FROM cased
+        GROUP BY p_brand
+        """
+    ).selectExpr(
+        "p_brand", "n_names", "n_names_ci", "lower(first_name_ci) AS first_name_ci"
+    )
