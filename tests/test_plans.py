@@ -551,3 +551,16 @@ def test_substring_spans_joins_on_fingerprints(spark):
     assert "xxhash64" in plan, "span fingerprinting disappeared from the plan"
     f = I.facts(df)
     assert all(j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in f.joins), f.joins
+
+
+def test_sql_udfs_inline_into_plan(spark):
+    """SQL UDFs must cost nothing at runtime: no Python eval operator
+    anywhere (the body inlines into codegen), and the table-function's
+    lang equality pushes through the function body to the parquet scan."""
+    plan_udf = I.explain_str(SPECS["op_sql_udf"].fn(spark, SF))
+    assert "Python" not in plan_udf, "scalar SQL UDF fell back to Python evaluation"
+    plan_tvf = I.explain_str(SPECS["op_sql_tvf"].fn(spark, SF))
+    assert "Python" not in plan_tvf
+    assert "PushedFilters" in plan_tvf and "EqualTo(lang,fr)" in plan_tvf, (
+        "TVF argument filter did not reach the scan"
+    )
