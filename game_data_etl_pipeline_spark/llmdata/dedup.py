@@ -340,26 +340,9 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a hash join over cells — never an all-pairs BroadcastNestedLoop.
     Cross-bucket near-dups are the recall tradeoff every bucketed
     dedup makes; multi-probe (assign to top-p cells) is the knob."""
-    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, norm_expr
+    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, ivf_assign
 
-    # norms precomputed per side (identical doubles to inlined
-    # cosine_expr, k× fewer flops in the assignment pass)
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm_expr(F.col("embedding"))
-    )
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "vnorm", "cent_id")
-    )
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
     a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
                         F.col("vnorm").alias("na"), F.col("cent_id").alias("bucket"))
     b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
@@ -899,24 +882,9 @@ def op_dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, then a cell-id equi-join), plus one aggregation keyed
     on the dropped vector id and a final left join keyed on vec_id —
     all hash-partitioned, nothing driver-side."""
-    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, norm_expr
+    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, ivf_assign
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm_expr(F.col("embedding"))
-    )
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "vnorm", "cent_id")
-    )
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
     a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
                         F.col("vnorm").alias("na"), F.col("cent_id").alias("bucket_a"))
     b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),

@@ -70,6 +70,37 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def ivf_assign(emb: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shared IVF coarse quantization: assign every vector to its
+    nearest deterministic centroid (vec_id % 50 == 0; ties broken by
+    cent_id). Input must carry (vec_id, embedding); output adds
+    cent_id and a precomputed vnorm, plus any ``extra_cols`` carried
+    through. One broadcast n × k scoring pass (the inherent IVF cost),
+    argmax per vector via a rank-1 window. Every bucketed
+    embedding op (op_sim_ivf / op_sim_knn_graph /
+    op_dedup_embedding_cosine / op_dedup_semantic_keeplist) shares
+    this assignment so their DuckDB oracles can share the matching
+    CTE verbatim."""
+    emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    # norms precomputed per side: inlining cosine_expr would redo the
+    # vector norm once per centroid (k×) and once per candidate pair
+    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    keep = ["vec_id", *extra_cols, "embedding", "vnorm", "cent_id"]
+    return (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .select(*keep, sim_to_cent.alias("cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(*keep)
+    )
+
+
 @register(
     "op_sim_cosine_topk",
     tags=("llm", "similarity"),
@@ -164,24 +195,7 @@ def op_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query work drops from O(n) to O(n/k). At 100 TB: centroids
     from KMeans sampling, cells hash-partitioned so each probe is a
     partition-pruned scan."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm_expr(F.col("embedding"))
-    )
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    # norms precomputed per side: inlining cosine_expr would redo the
-    # vector norm once per centroid (k×) and once per candidate pair
-    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "label", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "vnorm", "cent_id")
-    )
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"), extra_cols=("label",))
     queries = assigned.filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"),
         F.col("embedding").alias("qe"), F.col("vnorm").alias("qnorm"),
@@ -621,22 +635,7 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-skew-split candidate, and raising k is the structural fix.
     Top-3 per vector via a per-vec_id rank window over only the
     cell-bounded candidates."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm_expr(F.col("embedding"))
-    )
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "embedding", "vnorm", "cent_id", sim_to_cent.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "vnorm", "cent_id")
-    )
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
     rhs = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
         F.col("vnorm").alias("nnorm"), F.col("cent_id").alias("ncell"),
