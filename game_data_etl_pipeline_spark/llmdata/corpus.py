@@ -874,3 +874,125 @@ def op_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
     )
+
+
+@register(
+    "q_curation_pipeline_v3",
+    tags=("llm", "corpus"),
+    headline=True,
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS terms FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(0, GREATEST(len(terms) - 14, 0), 5),
+                          i -> array_to_string(terms[i+1:i+15], ' '))) AS span
+            FROM toks
+        ),
+        dupspan AS (
+            SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        frac AS (
+            SELECT s.doc_id,
+                   COUNT(*) FILTER (WHERE d.span IS NOT NULL) * 1.0 / COUNT(*) AS dup_frac
+            FROM spans s LEFT JOIN dupspan d USING (span)
+            GROUP BY s.doc_id
+        ),
+        curated AS (
+            SELECT t.doc_id, len(t.terms) AS n_tokens
+            FROM toks t
+            LEFT JOIN frac f ON t.doc_id = f.doc_id
+            WHERE t.doc_id NOT IN (SELECT vec_id FROM dropped)
+              AND COALESCE(f.dup_frac, 0) <= 0.2
+              AND len(t.terms) BETWEEN 30 AND 2000
+        )
+        SELECT d.lang, d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens
+        FROM curated c JOIN documents d ON c.doc_id = d.doc_id
+        GROUP BY d.lang, d.source
+    """,
+)
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composed curation pipeline — the semantic generation of
+    the v1/v2 chains: SemDeDup keep-list over embeddings (greedy
+    min-id within IVF cells, the op_dedup_semantic_keeplist stage) →
+    exact-substring duplication gate (windowed xxhash64 fingerprints,
+    the op_dedup_substring_spans stage, dup-span fraction ≤ 0.2) →
+    token-count band [30, 2000] → per-(lang, source) curated-corpus
+    manifest. One lazy DataFrame end to end.
+
+    Shuffle ledger at 100 TB: IVF assignment window (vec_id), cell
+    SMJ for the dup pairs (cent_id), anti join of the keep-list
+    (doc_id), span fingerprint aggregate + rejoin (fp), per-doc frac
+    aggregate (doc_id), final manifest aggregate (lang, source) —
+    every key high-cardinality except the manifest's, which is
+    O(langs × sources). Embedding vectors and span text never
+    shuffle (digests and cell ids do)."""
+    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, ivf_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                        F.col("vnorm").alias("na"), F.col("cent_id").alias("bucket_a"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                        F.col("vnorm").alias("nb"), F.col("cent_id").alias("bucket_b"))
+    cos = dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos >= 0.3)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    terms = F.split(F.col("text"), " ")
+    spans_arr = F.when(F.size(terms) < 15, F.array()).otherwise(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 15, 5),"
+            " i -> xxhash64(array_join(slice(split(text, ' '), i + 1, 15), ' ')))"
+        )
+    )
+    spans = docs.select("doc_id", F.explode(spans_arr).alias("fp"))
+    dupspan = (
+        spans.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2).select("fp", F.lit(True).alias("is_dup"))
+    )
+    frac = (
+        spans.join(dupspan, "fp", "left")
+        .groupBy("doc_id")
+        .agg((F.count(F.when(F.col("is_dup"), 1)) / F.count(F.lit(1))).alias("dup_frac"))
+    )
+    curated = (
+        docs.select("doc_id", "lang", "source", F.size(terms).alias("n_tokens"))
+        .join(dropped, "doc_id", "left_anti")
+        .join(frac, "doc_id", "left")
+        .filter(
+            (F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= 0.2)
+            & F.col("n_tokens").between(30, 2000)
+        )
+    )
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
