@@ -996,3 +996,61 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "op_corpus_quality_deciles",
+    tags=("llm", "corpus", "quality"),
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS score
+            FROM documents
+        ),
+        cuts AS (
+            SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+            FROM scored
+        )
+        SELECT CAST(len(list_filter(qs, c -> score > c)) + 1 AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(MIN(score), 6) AS min_score,
+               ROUND(MAX(score), 6) AS max_score
+        FROM scored, cuts
+        GROUP BY 1
+    """,
+)
+def op_corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality decile assignment WITHOUT a global sort —
+    the FineWeb-style 'keep the top X% by quality' gate. The naive
+    percent_rank window single-partitions the whole corpus; instead
+    pass one reduces to NINE exact decile cut points (one aggregate),
+    which broadcast back, and each doc's decile is 1 + (number of cuts
+    below its score) — a pure row expression over the broadcast array.
+
+    Score here is the type-token ratio (lexical diversity, one of
+    op_text_quality's signals); any mergeable per-doc score drops in.
+    At 100 TB swap the exact percentile for approx_percentile in pass
+    one (cuts shift within sketch error; assignment stays a row
+    expression) — the same two-pass broadcast shape as
+    op_agg_winsorize."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id", (F.size(F.array_distinct(terms)) / F.size(terms)).alias("score")
+    )
+    cuts = scored.agg(
+        F.percentile("score", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])).alias("qs")
+    )
+    decile = (
+        F.size(F.filter(F.col("qs"), lambda c: F.col("score") > c)) + 1
+    ).cast("int")
+    return (
+        scored.join(F.broadcast(cuts))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
