@@ -280,7 +280,13 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     term — at 100 TB this becomes a pandas_udf packing bits per
     partition, same signature contract.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _simhash16(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash16(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash16) signatures — shared by op_dedup_simhash and
+    op_dedup_simhash_pairs so the banded pairing provably blocks on
+    exactly the registered signature."""
     terms = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     hashed = terms.select(
         "doc_id", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h")
@@ -301,6 +307,87 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash16")
     )
     return sig.select("doc_id", F.col("simhash16").cast("int").alias("simhash16"))
+
+
+_SIMHASH_SQL_CTE = """
+        terms AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) AS h FROM terms
+        ),
+        bits AS (
+            SELECT doc_id, UNNEST(range(16)) AS bit, h FROM hashed
+        ),
+        votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+            FROM bits GROUP BY doc_id, bit
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS INT) AS sig
+            FROM votes GROUP BY doc_id
+        )
+"""
+
+
+@register(
+    "op_dedup_simhash_pairs",
+    tags=("llm", "dedup"),
+    oracle=f"""
+        WITH {_SIMHASH_SQL_CTE},
+        banded AS (
+            SELECT doc_id, sig, b, (sig >> (4 * b)) & 15 AS nibble
+            FROM (SELECT doc_id, sig, UNNEST(range(4)) AS b FROM sigs)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS hamming
+        FROM banded a JOIN banded c
+          ON a.b = c.b AND a.nibble = c.nibble AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.sig, c.sig)) <= 1
+    """,
+)
+def op_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the step op_dedup_simhash's signatures
+    exist for: all doc pairs within Hamming distance 1 of each other's
+    16-bit signature, found by banding the signature into four 4-bit
+    nibbles and equi-joining on (band, nibble). The pigeonhole
+    guarantee makes this EXACT, not approximate: up to 3 differing
+    bits cannot touch all 4 bands, so every pair within distance ≤3
+    (a fortiori the registered ≤1 cut — the fixture's synthetic
+    vocabulary overlap makes wider radii indiscriminate) collides in
+    at least one band — banded recall is 100%, and the md5 hash
+    family means the whole thing value-oracles.
+
+    100 TB shape: the join is hash-keyed on band buckets (never
+    all-pairs); the Hamming verify (bit_count of xor) runs only on
+    collisions. A 16-bit signature keeps bucket space small at
+    fixture scale; production uses 64-bit signatures with 8-bit bands
+    (256 buckets per band) for the same pigeonhole bound at distance
+    ≤7 — the knob is signature width, not the plan."""
+    sigs = _simhash16(load_table(spark, sf_dir, "documents"))
+    banded = sigs.select(
+        "doc_id",
+        F.col("simhash16").alias("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn("nibble", F.expr("shiftright(sig, 4 * b)").bitwiseAND(F.lit(15)))
+    rhs = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        F.col("b").alias("b2"), F.col("nibble").alias("nibble2"),
+    )
+    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        banded.join(
+            rhs,
+            (F.col("b") == F.col("b2"))
+            & (F.col("nibble") == F.col("nibble2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .distinct()
+    )
 
 
 @register(
