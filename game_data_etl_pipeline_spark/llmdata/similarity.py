@@ -652,3 +652,58 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("vec_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+@register(
+    "op_sim_cell_profile",
+    tags=("llm", "similarity", "diagnostics"),
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        cells AS (
+            SELECT cent_id, COUNT(*) AS cell_n FROM assigned GROUP BY cent_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MIN(cell_n) AS BIGINT) AS min_cell,
+               CAST(MAX(cell_n) AS BIGINT) AS max_cell,
+               ROUND(AVG(cell_n), 4) AS mean_cell,
+               ROUND(MAX(cell_n) * 1.0 / AVG(cell_n), 4) AS skew_ratio,
+               CAST(SUM(cell_n * cell_n) AS BIGINT) AS pair_work
+        FROM cells
+    """,
+)
+def op_sim_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health profile: per-cell population reduced to the
+    numbers that predict ANN cost — min/max/mean cell size, the
+    max/mean skew ratio (a hot cell serializes its probes), and
+    Σ|cell|², which IS the pair-work bound for every all-pairs op
+    built on this assignment (op_sim_knn_graph, the semantic
+    keep-list). The embedding-family analog of op_skew_diagnose: run
+    it BEFORE committing to a centroid count; a bad skew_ratio means
+    re-seed or raise k, a bad pair_work means the cells are too
+    coarse. Two tiny aggregates over the shared ivf_assign pass."""
+    cells = (
+        ivf_assign(load_table(spark, sf_dir, "embeddings"))
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("cell_n").alias("min_cell"),
+        F.max("cell_n").alias("max_cell"),
+        F.round(F.avg("cell_n"), 4).alias("mean_cell"),
+        F.round(F.max("cell_n") / F.avg("cell_n"), 4).alias("skew_ratio"),
+        F.sum(F.col("cell_n") * F.col("cell_n")).alias("pair_work"),
+    )

@@ -492,3 +492,51 @@ def op_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("mix_entropy"),
         )
     )
+
+
+@register(
+    "op_agg_transitions",
+    tags=("behavior", "agg"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p_transition
+        FROM trans
+    """,
+)
+def op_agg_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: (from_type → to_type) counts and row-normalized
+    probabilities — the model behind next-action prediction,
+    anomaly scoring, and funnel leak diagnosis (where op_event_paths
+    enumerates top paths, this gives the full conditional
+    distribution).
+
+    One shuffle on user_id for the LEAD window, one hash aggregate to
+    the O(types²) matrix; the normalizing window runs over that tiny
+    matrix, not the event stream. Vocabulary-bounded state at any
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_norm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type", "to_type", "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(w_norm), 6).alias("p_transition"),
+    )
