@@ -342,3 +342,55 @@ def op_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", code("o_orderpriority", "o_totalprice").alias("priority_code"))
     )
+
+
+def _segment_arrow_stats(table):
+    """applyInArrow body: per-segment balance stats computed directly
+    on the Arrow table with pyarrow.compute — no pandas conversion at
+    all (applyInPandas pays Arrow→pandas→Arrow; this stays columnar
+    end to end)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bal = table.column("c_acctbal")
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([table.column("c_mktsegment")[0].as_py()], pa.string()),
+            "n_customers": pa.array([table.num_rows], pa.int32()),
+            "bal_mean": pa.array([round(pc.mean(bal).as_py(), 4)], pa.float64()),
+            "bal_range": pa.array([round(pc.max(bal).as_py() - pc.min(bal).as_py(), 2)], pa.float64()),
+        }
+    )
+
+
+@register(
+    "op_udf_apply_in_arrow",
+    tags=("udf",),
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS INT) AS n_customers,
+               ROUND(AVG(c_acctbal), 4) AS bal_mean,
+               ROUND(MAX(c_acctbal) - MIN(c_acctbal), 2) AS bal_range
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def op_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final rung of the Python execution ladder: grouped-map
+    applyInArrow — the group arrives as a raw pyarrow.Table and the
+    result leaves as one, skipping the pandas materialization that
+    applyInPandas inserts on both sides of the batch. For numeric
+    kernels that pyarrow.compute (or any Arrow-native library) can
+    express, this is the cheapest possible custom grouped operator:
+    one columnar copy in, one out.
+
+    Same shuffle as any grouped map (hash partition on the key);
+    state is one group per invocation. The oracle proves the Arrow
+    kernel agrees with plain SQL aggregation — which, as everywhere
+    on this ladder, remains the production answer when SQL can
+    express the logic."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_acctbal").groupBy("c_mktsegment").applyInArrow(
+        _segment_arrow_stats,
+        schema="c_mktsegment string, n_customers int, bal_mean double, bal_range double",
+    )
