@@ -357,8 +357,11 @@ def _segment_arrow_stats(table):
         {
             "c_mktsegment": pa.array([table.column("c_mktsegment")[0].as_py()], pa.string()),
             "n_customers": pa.array([table.num_rows], pa.int32()),
-            "bal_mean": pa.array([round(pc.mean(bal).as_py(), 4)], pa.float64()),
-            "bal_range": pa.array([round(pc.max(bal).as_py() - pc.min(bal).as_py(), 2)], pa.float64()),
+            # raw values out: rounding happens Spark-side with F.round
+            # (HALF_UP, matching the oracle's ROUND) — Python round()
+            # is half-even and flakes on .xxx5 boundaries
+            "bal_mean": pa.array([pc.mean(bal).as_py()], pa.float64()),
+            "bal_range": pa.array([pc.max(bal).as_py() - pc.min(bal).as_py()], pa.float64()),
         }
     )
 
@@ -390,7 +393,12 @@ def op_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this ladder, remains the production answer when SQL can
     express the logic."""
     customer = load_table(spark, sf_dir, "customer")
-    return customer.select("c_mktsegment", "c_acctbal").groupBy("c_mktsegment").applyInArrow(
+    grouped = customer.select("c_mktsegment", "c_acctbal").groupBy("c_mktsegment").applyInArrow(
         _segment_arrow_stats,
         schema="c_mktsegment string, n_customers int, bal_mean double, bal_range double",
+    )
+    return grouped.select(
+        "c_mktsegment", "n_customers",
+        F.round("bal_mean", 4).alias("bal_mean"),
+        F.round("bal_range", 2).alias("bal_range"),
     )
