@@ -62,15 +62,19 @@ def op_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map UDAF body: weighted average account balance per segment."""
+    """Grouped-map UDAF body: weighted average account balance per
+    segment. Raw values out — rounding happens Spark-side with F.round
+    (HALF_UP, matching the oracle's ROUND); Python round() is
+    half-even and money/n quotients land exactly on .xxxx5
+    boundaries (the op_udf_cogroup/applyInArrow lesson)."""
     total = pdf["c_acctbal"].sum()
     n = len(pdf)
     return pd.DataFrame(
         {
             "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
             "n_customers": [n],
-            "avg_balance": [round(total / n, 4)],
-            "sum_balance": [round(total, 2)],
+            "avg_balance": [total / n],
+            "sum_balance": [total],
         }
     )
 
@@ -92,9 +96,14 @@ def op_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate row out. Shuffles on the group key exactly like a
     built-in aggregation; state is bounded by the largest group."""
     customer = load_table(spark, sf_dir, "customer")
-    return customer.groupBy("c_mktsegment").applyInPandas(
+    grouped = customer.groupBy("c_mktsegment").applyInPandas(
         _segment_stats,
         schema="c_mktsegment string, n_customers long, avg_balance double, sum_balance double",
+    )
+    return grouped.select(
+        "c_mktsegment", "n_customers",
+        F.round("avg_balance", 4).alias("avg_balance"),
+        F.round("sum_balance", 2).alias("sum_balance"),
     )
 
 
