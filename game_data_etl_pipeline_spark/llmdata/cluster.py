@@ -127,3 +127,95 @@ def op_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("iter_full").alias("full_assignment"),
         F.bool_and("iter_monotone").alias("sim_monotone"),
     ).select("k", "n_vectors", "full_assignment", "sim_monotone")
+
+
+PCA_ITERATIONS = 4
+
+
+@register(
+    "op_embedding_pca",
+    tags=("llm", "cluster", "iterative"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(len(CAST(MIN(embedding) AS DOUBLE[])) AS INT) AS n_dims,
+               TRUE AS lambda_monotone,
+               TRUE AS lambda_positive
+        FROM embeddings
+    """,
+)
+def op_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via power
+    iteration on the (uncentered) Gram matrix XᵀX — the second member
+    of the iterative-algorithm family (with op_kmeans_lloyd), and the
+    building block behind embedding whitening, spectral dedup scoring,
+    and low-rank compression.
+
+    Per iteration, entirely as DataFrame passes — the iterate v lives
+    as a broadcast 1-row DataFrame, NEVER collected to the driver
+    (the op_kmeans_lloyd discipline): score s_i = x_i·v, then
+    Av = Σ s_i·x_i via posexplode → per-dim sum (the shuffle carries
+    (dim, partial) pairs, never vectors), reassembled and normalized
+    with array expressions, localCheckpoint cutting the lineage per
+    iteration. The Rayleigh quotient vᵀAv = Σ s_i² is non-decreasing
+    for a PSD matrix — the convergence invariant this audit pins
+    (float eigenvector components are summation-order-dependent; the
+    booleans are not). At 100 TB each iteration is one linear scan +
+    one O(d) shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d_df = emb.limit(1).select(F.size("embedding").alias("d"))
+    vdf = d_df.select(
+        F.transform(
+            F.sequence(F.lit(1), F.col("d")),
+            lambda _: F.lit(1.0) / F.sqrt(F.col("d").cast("double")),
+        ).alias("v")
+    ).localCheckpoint(eager=True)
+    lam_frames = []
+    for it in range(PCA_ITERATIONS):
+        scored = emb.join(F.broadcast(vdf)).select(
+            dot_expr(F.col("embedding"), F.col("v")).alias("s"), "embedding"
+        )
+        lam_frames.append(
+            scored.agg(
+                F.lit(it).alias("iteration"),
+                F.sum(F.col("s") * F.col("s")).alias("lam"),
+            )
+        )
+        av = (
+            scored.select("s", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+        )
+        raw = av.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("pairs")
+        ).select(F.transform(F.col("pairs"), lambda p: p["w"]).alias("av"))
+        vdf = raw.select(
+            F.transform(
+                F.col("av"), lambda x: x / norm_expr(F.col("av"))
+            ).alias("v")
+        ).localCheckpoint(eager=True)
+    per_iter = lam_frames[0]
+    for f in lam_frames[1:]:
+        per_iter = per_iter.unionByName(f)
+    w = Window.orderBy("iteration")
+    checked = per_iter.select(
+        "lam",
+        (
+            F.col("lam")
+            >= F.coalesce(F.lag("lam").over(w), F.lit(float("-inf"))) * (1 - 1e-9)
+        ).alias("iter_monotone"),
+    )
+    audit = checked.agg(
+        F.bool_and("iter_monotone").alias("lambda_monotone"),
+        F.bool_and(F.col("lam") > 0).alias("lambda_positive"),
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        total.crossJoin(F.broadcast(d_df))
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "n_vectors",
+            F.col("d").cast("int").alias("n_dims"),
+            "lambda_monotone",
+            "lambda_positive",
+        )
+    )

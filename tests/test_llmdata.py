@@ -257,3 +257,12 @@ def test_line_dedup_removes_corpus_frequent_sentences(spark, tmp_path):
     # doc 1's cleaned text is exactly its unique sentence
     import hashlib
     assert out[1]["cleaned_md5"] == hashlib.md5(b"unique beta sentence two").hexdigest()
+
+
+def test_pca_power_iteration_audit(spark, sf_dir):
+    from game_data_etl_pipeline_spark.llmdata.cluster import op_embedding_pca
+
+    row = op_embedding_pca(spark, sf_dir).first()
+    assert row["lambda_monotone"] is True
+    assert row["lambda_positive"] is True
+    assert row["n_dims"] > 0 and row["n_vectors"] > 0
