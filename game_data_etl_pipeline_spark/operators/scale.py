@@ -1322,3 +1322,64 @@ def op_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col", "min_val", "max_val", "num_nulls",
         (F.abs(F.col("ndv") - F.col("exact_ndv")) <= F.col("exact_ndv") * 0.20).alias("ndv_ok"),
     )
+
+
+@register(
+    "op_join_asof_tolerance",
+    tags=("join", "scale"),
+    oracle=f"""
+        WITH matched AS (
+            SELECT p.event_id, p.user_id,
+                   CAST(p.ts AS TIMESTAMP) AS pts,
+                   (SELECT MAX(CAST(c.ts AS TIMESTAMP)) FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS cts
+            FROM events p WHERE p.event_type = 'purchase'
+        )
+        SELECT event_id, user_id,
+               strftime(pts, '{_DUCK_TS_FMT}') AS purchase_ts,
+               strftime(CASE WHEN cts >= pts - INTERVAL 30 MINUTE THEN cts END,
+                        '{_DUCK_TS_FMT}') AS last_click_ts,
+               (cts IS NOT NULL AND cts < pts - INTERVAL 30 MINUTE) AS match_too_stale
+        FROM matched
+    """,
+)
+def op_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    `tolerance`, and the feature-store freshness contract): each
+    purchase takes the user's latest preceding click ONLY if it is at
+    most 30 minutes old — an older match is worse than no match when
+    the joined value feeds a model (stale feature = silent skew), so
+    it is nulled and flagged rather than silently used.
+
+    Same single-shuffle union + carry-forward shape as op_join_asof
+    (no BNLJ, no per-row subquery); the tolerance is one more carried
+    comparison, free at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "cts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    fresh = F.col("cts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format(F.when(fresh, F.col("cts")), _TS_FMT).alias("last_click_ts"),
+        (F.col("cts").isNotNull() & ~fresh).alias("match_too_stale"),
+    )
