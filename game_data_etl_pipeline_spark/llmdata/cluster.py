@@ -219,3 +219,94 @@ def op_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lambda_positive",
         )
     )
+
+
+CORESET_K = 5
+
+
+@register(
+    "op_sample_coreset",
+    tags=("llm", "cluster", "iterative", "sample"),
+    oracle="""
+        SELECT CAST(5 AS INT) AS n_centers,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS radius_monotone,
+               TRUE AS centers_distinct
+        FROM embeddings
+    """,
+)
+def op_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity (coreset) sampling via k-center greedy — the
+    complement of SemDeDup: where dedup REMOVES semantic redundancy,
+    k-center greedy SELECTS a maximally-spread subset (farthest-point
+    traversal), the standard seed for active learning, eval-set
+    construction, and 2-approximation k-center cover.
+
+    Third member of the iterative family (k-means, PCA): the center
+    set lives as a broadcast ≤k-row DataFrame, never collected. Each
+    round is one scan: cosine distance to every current center (a
+    k-bounded broadcast join), min per vector, then the argmax row by
+    TakeOrdered(1) joins the center set; localCheckpoint cuts lineage.
+    The audit pins the defining invariant — the covering radius
+    (max over vectors of distance to nearest center) is NON-INCREASING
+    as centers are added — plus center distinctness; both are
+    order-robust where raw float distances are not.
+    At 100 TB each round is one linear scan; k rounds total."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centers = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    ).localCheckpoint(eager=True)
+    dist = 1.0 - dot_expr(F.col("embedding"), F.col("ce")) / (
+        norm_expr(F.col("embedding")) * norm_expr(F.col("ce"))
+    )
+    radius_frames = []
+    for it in range(1, CORESET_K):
+        nearest = (
+            emb.join(F.broadcast(centers), F.lit(True))
+            .select("vec_id", "embedding", dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("min_d"), F.first("embedding").alias("embedding"))
+        )
+        radius_frames.append(
+            nearest.agg(F.lit(it).alias("round"), F.max("min_d").alias("radius"))
+        )
+        farthest = (
+            nearest.orderBy(F.col("min_d").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+        )
+        centers = centers.unionByName(farthest).localCheckpoint(eager=True)
+    final_nearest = (
+        emb.join(F.broadcast(centers), F.lit(True))
+        .select("vec_id", dist.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("min_d"))
+    )
+    radius_frames.append(
+        final_nearest.agg(F.lit(CORESET_K).alias("round"), F.max("min_d").alias("radius"))
+    )
+    per_round = radius_frames[0]
+    for f in radius_frames[1:]:
+        per_round = per_round.unionByName(f)
+    w = Window.orderBy("round")
+    mono = per_round.select(
+        (
+            F.col("radius")
+            <= F.coalesce(F.lag("radius").over(w), F.lit(float("inf"))) + 1e-9
+        ).alias("ok")
+    ).agg(F.bool_and("ok").alias("radius_monotone"))
+    distinct_ok = centers.agg(
+        (F.countDistinct("c_id") == F.count(F.lit(1))).alias("centers_distinct"),
+        F.count(F.lit(1)).alias("n_centers"),
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        total.crossJoin(F.broadcast(distinct_ok))
+        .crossJoin(F.broadcast(mono))
+        .select(
+            F.col("n_centers").cast("int").alias("n_centers"),
+            "n_vectors",
+            "radius_monotone",
+            "centers_distinct",
+        )
+    )

@@ -1155,3 +1155,79 @@ def op_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("med_v"), 4).alias("median_value"),
         F.round(F.first("mad_v"), 4).alias("mad"),
     )
+
+
+@register(
+    "op_impact_prepost",
+    tags=("analytics", "stats"),
+    oracle="""
+        WITH bounds AS (
+            -- midpoint via epoch microseconds: interval/2 is
+            -- componentwise in DuckDB (integer day halving loses 12h)
+            SELECT make_timestamp((epoch_us(MIN(CAST(ts AS TIMESTAMP)))
+                                   + epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2) AS cut
+            FROM events
+        ),
+        tagged AS (
+            SELECT event_type, value,
+                   CAST(ts AS TIMESTAMP) >= cut AS is_post
+            FROM events, bounds
+        ),
+        sides AS (
+            SELECT event_type,
+                   COUNT(*) FILTER (WHERE NOT is_post) AS n_pre,
+                   COUNT(*) FILTER (WHERE is_post) AS n_post,
+                   AVG(value) FILTER (WHERE NOT is_post) AS m_pre,
+                   AVG(value) FILTER (WHERE is_post) AS m_post,
+                   var_samp(value) FILTER (WHERE NOT is_post) AS v_pre,
+                   var_samp(value) FILTER (WHERE is_post) AS v_post
+            FROM tagged GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_pre AS BIGINT) AS n_pre,
+               CAST(n_post AS BIGINT) AS n_post,
+               ROUND(m_post - m_pre, 4) AS mean_shift,
+               ROUND((m_post - m_pre) / SQRT(v_pre / n_pre + v_post / n_post), 4) AS welch_t
+        FROM sides
+    """,
+)
+def op_impact_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post intervention comparison (interrupted time series, the
+    'did the change help' query): the observation window splits at its
+    temporal midpoint, and each event type reports its mean-value
+    shift with a Welch t statistic (unequal-variance, the honest
+    default) — the screening stat before any causal claim.
+
+    One broadcast 1-row bounds aggregate, then ONE conditional-
+    aggregation pass computes both sides' n/mean/variance per type —
+    never two scans, never a self-join; at 100 TB this is a single
+    map-side-combined aggregate over the stream."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.timestamp_micros(
+            F.floor((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("cut")
+    )
+    tagged = events.join(F.broadcast(bounds)).select(
+        "event_type", "value", (F.col("ts") >= F.col("cut")).alias("is_post")
+    )
+    pre = F.when(~F.col("is_post"), F.col("value"))
+    post = F.when(F.col("is_post"), F.col("value"))
+    sides = tagged.groupBy("event_type").agg(
+        F.count(pre).alias("n_pre"),
+        F.count(post).alias("n_post"),
+        F.avg(pre).alias("m_pre"),
+        F.avg(post).alias("m_post"),
+        F.var_samp(pre).alias("v_pre"),
+        F.var_samp(post).alias("v_post"),
+    )
+    shift = F.col("m_post") - F.col("m_pre")
+    return sides.select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        F.round(shift, 4).alias("mean_shift"),
+        F.round(
+            shift / F.sqrt(F.col("v_pre") / F.col("n_pre") + F.col("v_post") / F.col("n_post")), 4
+        ).alias("welch_t"),
+    )
