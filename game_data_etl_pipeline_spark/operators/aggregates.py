@@ -1264,3 +1264,99 @@ def op_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clamped"),
         )
     )
+
+
+@register(
+    "op_agg_quantile_sketch",
+    tags=("agg", "scale", "sketch"),
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+        ),
+        binned AS (
+            SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 64)) AS INT), 63) AS bin,
+                   lo, hi
+            FROM orders, bounds
+        ),
+        hist AS (
+            SELECT bin, lo, hi, COUNT(*) AS c FROM binned GROUP BY bin, lo, hi
+        ),
+        cum AS (
+            SELECT bin, lo, hi, c,
+                   SUM(c) OVER (ORDER BY bin) AS cum_c,
+                   SUM(c) OVER () AS total
+            FROM hist
+        ),
+        est AS (
+            SELECT
+              MIN(CASE WHEN cum_c >= 0.5 * total THEN lo + (bin + 1) * ((hi - lo) / 64) END) AS p50_est,
+              MIN(CASE WHEN cum_c >= 0.9 * total THEN lo + (bin + 1) * ((hi - lo) / 64) END) AS p90_est,
+              ANY_VALUE((hi - lo) / 64) AS binw
+            FROM cum
+        ),
+        exact AS (
+            SELECT quantile_cont(o_totalprice, 0.5) AS p50_x,
+                   quantile_cont(o_totalprice, 0.9) AS p90_x
+            FROM orders
+        )
+        SELECT CAST(64 AS INT) AS n_bins,
+               ROUND(binw, 4) AS bin_width,
+               (ABS(p50_est - p50_x) <= binw) AS p50_within_bin,
+               (ABS(p90_est - p90_x) <= binw) AS p90_within_bin
+        FROM est, exact
+    """,
+)
+def op_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation — the histogram-sketch pattern
+    behind t-digest/KLL at warehouse scale: 64 equal-width bin counts
+    are the partial state (mergeable by addition across any shard
+    split, unlike exact percentiles), the quantile is read off the
+    merged cumulative histogram as the upper edge of the straddling
+    bin, and the in-query audit proves the estimate lands within one
+    bin width of the exact percentile_cont — the error bound fixed-
+    width histograms guarantee by construction.
+
+    Two aggregates (bounds, bins) and an O(bins) window — at 100 TB
+    the bin counts are the ONLY cross-shard state, 64 longs per
+    merge; the exact-percentile audit runs on the sampled window, or
+    is dropped once the sketch is trusted."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binw = (F.col("hi") - F.col("lo")) / 64
+    hist = (
+        orders.join(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / binw).cast("int"), F.lit(63)
+            ).alias("bin"),
+            "lo", "hi",
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bin", "lo", "hi", "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    edge = F.col("lo") + (F.col("bin") + 1) * binw
+    est = cum.agg(
+        F.min(F.when(F.col("cum_c") >= 0.5 * F.col("total"), edge)).alias("p50_est"),
+        F.min(F.when(F.col("cum_c") >= 0.9 * F.col("total"), edge)).alias("p90_est"),
+        F.first(binw).alias("binw"),
+    )
+    exact = orders.agg(
+        F.percentile("o_totalprice", 0.5).alias("p50_x"),
+        F.percentile("o_totalprice", 0.9).alias("p90_x"),
+    )
+    return (
+        est.join(F.broadcast(exact))
+        .select(
+            F.lit(64).alias("n_bins"),
+            F.round("binw", 4).alias("bin_width"),
+            (F.abs(F.col("p50_est") - F.col("p50_x")) <= F.col("binw")).alias("p50_within_bin"),
+            (F.abs(F.col("p90_est") - F.col("p90_x")) <= F.col("binw")).alias("p90_within_bin"),
+        )
+    )
