@@ -952,3 +952,96 @@ def op_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+@register(
+    "op_text_langid_trigram",
+    tags=("llm", "text"),
+    oracle="""
+        WITH tris AS (
+            SELECT doc_id, lang,
+                   UNNEST(list_transform(range(1, GREATEST(LENGTH(text) - 1, 1)),
+                                         i -> substr(text, i, 3))) AS tri
+            FROM documents
+        ),
+        doc_tris AS (SELECT DISTINCT doc_id, lang, tri FROM tris),
+        profile AS (
+            SELECT lang AS plang, tri FROM (
+                SELECT lang, tri, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY COUNT(*) DESC, tri
+                ) AS rnk
+                FROM tris GROUP BY lang, tri
+            ) WHERE rnk <= 50
+        ),
+        hits AS (
+            SELECT d.doc_id, d.lang, p.plang, COUNT(*) AS n_hits
+            FROM doc_tris d JOIN profile p ON d.tri = p.tri
+            GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT doc_id, lang, plang AS predicted FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY n_hits DESC, plang
+                ) AS rn FROM hits
+            ) WHERE rn = 1
+        )
+        SELECT d.lang AS labeled_lang,
+               COALESCE(p.predicted, 'unknown') AS predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+        LEFT JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY 1, 2
+    """,
+)
+def op_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID — the real n-gram-profile method
+    (Cavnar–Trenkle) behind every production langid tool, upgrading
+    op_text_langid's stopword heuristic: each language's profile is
+    its top-50 character trigrams by corpus frequency; a document is
+    classified to the profile it shares the most distinct trigrams
+    with (ties break lexicographically). Output is the full
+    labeled-vs-predicted confusion matrix — accuracy, per-language
+    recall, and systematic confusions are one aggregation away.
+
+    Train-on-self here (the fixture is its own labeled corpus); at
+    scale the profile is fit once on held-out labeled data and
+    broadcast — which is exactly the shape below: the profile is
+    O(langs × 50) rows and enters the scoring join as a broadcast,
+    so classification is one linear scan of the trigram stream plus
+    two bounded aggregates. No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = F.substring(F.col("text"), F.col("i"), 3)
+    tris = docs.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))).alias("i"),
+        "text",
+    ).select("doc_id", "lang", tri.alias("tri"))
+    doc_tris = tris.dropDuplicates(["doc_id", "lang", "tri"])
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
+    profile = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= 50)
+        .select(F.col("lang").alias("plang"), "tri")
+    )
+    hits = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), "plang")
+    pred = (
+        hits.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("labeled_lang"),
+            F.coalesce(F.col("predicted"), F.lit("unknown")).alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
