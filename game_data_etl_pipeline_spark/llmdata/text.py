@@ -1045,3 +1045,67 @@ def op_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _compress_ratio_udf():
+    """Arrow-batched zlib compression ratio (deflate level 6,
+    deterministic for a fixed zlib). Built lazily (needs a session)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_impl(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t), 1)
+        )
+
+    _ratio_impl.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_ratio_impl)
+
+
+@register(
+    "op_text_compressibility",
+    tags=("llm", "text", "quality"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS ratios_in_range,
+               TRUE AS repetitive_compresses_better
+        FROM documents
+    """,
+)
+def op_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (deflate bytes-out/bytes-in):
+    the cheap proxy for boilerplate and machine-generated repetition
+    that corpus-quality pipelines run alongside the Gopher rules — a
+    document that deflates to 20% of its size is telling you
+    something no token statistic does.
+
+    zlib has no JVM-expression equivalent, so this is a legitimate
+    pandas_udf use (Arrow-batched, the sanctioned slow path). The
+    ratio itself is engine-specific (zlib build), so the registered
+    output is the self-validating form: corpus count (hash-compared)
+    plus two in-query booleans — every ratio lands in (0, 2], and the
+    most-repetitive quartile of docs (by the registry's JVM-side
+    max-line-frequency signal) compresses strictly better on average
+    than the least-repetitive quartile. That second boolean is the
+    semantic check: if the UDF computed nonsense, the correlation
+    with an independent repetition measure would not hold."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    # independent repetition signal: 1 - distinct/total tokens
+    rep = 1.0 - F.size(F.array_distinct(terms)) / F.size(terms)
+    ratio = _compress_ratio_udf()(F.col("text"))
+    scored = docs.select("doc_id", rep.alias("rep"), ratio.alias("ratio"))
+    cuts = scored.agg(
+        F.percentile("rep", 0.75).alias("hi_cut"), F.percentile("rep", 0.25).alias("lo_cut")
+    )
+    audited = scored.join(F.broadcast(cuts)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bool_and((F.col("ratio") > 0) & (F.col("ratio") <= 2.0)).alias("ratios_in_range"),
+        (
+            F.avg(F.when(F.col("rep") >= F.col("hi_cut"), F.col("ratio")))
+            < F.avg(F.when(F.col("rep") <= F.col("lo_cut"), F.col("ratio")))
+        ).alias("repetitive_compresses_better"),
+    )
+    return audited
