@@ -1360,3 +1360,98 @@ def op_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("p90_est") - F.col("p90_x")) <= F.col("binw")).alias("p90_within_bin"),
         )
     )
+
+
+@register(
+    "op_agg_hll_transparent",
+    tags=("agg", "scale", "sketch"),
+    oracle="""
+        WITH hashed AS (
+            SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+            FROM orders
+        ),
+        slotted AS (
+            SELECT h % 64 AS bucket, h // 64 AS w FROM hashed
+        ),
+        regs AS (
+            SELECT bucket,
+                   MAX(CASE WHEN w = 0 THEN 27
+                            ELSE 26 - CAST(FLOOR(log2(w)) AS INT) END) AS m_rank
+            FROM slotted GROUP BY bucket
+        ),
+        spine AS (
+            SELECT UNNEST(range(64)) AS bucket
+        ),
+        full_regs AS (
+            SELECT s.bucket, COALESCE(r.m_rank, 0) AS m_rank
+            FROM spine s LEFT JOIN regs r ON s.bucket = r.bucket
+        ),
+        est AS (
+            SELECT 0.709 * 64 * 64 / SUM(POWER(2.0, -m_rank)) AS e_raw,
+                   SUM(CASE WHEN m_rank = 0 THEN 1 ELSE 0 END) AS v_zero
+            FROM full_regs
+        ),
+        corrected AS (
+            SELECT CASE WHEN e_raw <= 2.5 * 64 AND v_zero > 0
+                        THEN 64 * LN(64.0 / v_zero) ELSE e_raw END AS e
+            FROM est
+        ),
+        exact AS (
+            SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               ROUND(e, 4) AS hll_estimate,
+               ROUND(ABS(e - n_exact) / n_exact, 4) AS rel_err,
+               (ABS(e - n_exact) / n_exact <= 0.25) AS within_25pct
+        FROM corrected, exact
+    """,
+)
+def op_agg_hll_transparent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSPARENT HyperLogLog (Flajolet et al.): 64 registers over an
+    md5-derived 32-bit hash — every intermediate (bucket, rank,
+    register, harmonic mean, small-range correction) is identical
+    arithmetic in both engines, so unlike approx_count_distinct
+    (engine-private hash, tolerance-audited) the ESTIMATE ITSELF
+    value-oracles exactly. The op_dedup_minhash_banded pattern applied
+    to cardinality sketching.
+
+    rank = leading-zero count of the 26-bit suffix (log2 floor — no
+    loops); registers are a 64-group max aggregate (mergeable by MAX
+    across any shard split — the entire point of HLL at 100 TB: 64
+    bytes of state per shard, union = element-wise max); the missing-
+    bucket spine is a generated 64-row dimension. Expected error
+    1.04/√64 ≈ 13%; the audit pins 25%."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    slotted = orders.select(h.alias("h")).distinct().select(
+        (F.col("h") % 64).alias("bucket"), F.floor(F.col("h") / 64).alias("w")
+    )
+    rank = F.when(F.col("w") == 0, 27).otherwise(
+        26 - F.floor(F.log2("w")).cast("int")
+    )
+    regs = slotted.groupBy("bucket").agg(F.max(rank).alias("m_rank"))
+    spine = spark.range(64).select(F.col("id").alias("bucket"))
+    full_regs = spine.join(regs, "bucket", "left").select(
+        F.coalesce(F.col("m_rank"), F.lit(0)).alias("m_rank")
+    )
+    est = full_regs.agg(
+        (F.lit(0.709 * 64 * 64) / F.sum(F.pow(F.lit(2.0), -F.col("m_rank")))).alias("e_raw"),
+        F.sum(F.when(F.col("m_rank") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    e = F.when(
+        (F.col("e_raw") <= 2.5 * 64) & (F.col("v_zero") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    exact = orders.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        est.select(e.alias("e"))
+        .join(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.round("e", 4).alias("hll_estimate"),
+            F.round(F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+            (F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact") <= 0.25).alias("within_25pct"),
+        )
+    )
