@@ -1231,3 +1231,80 @@ def op_impact_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
             shift / F.sqrt(F.col("v_pre") / F.col("n_pre") + F.col("v_post") / F.col("n_post")), 4
         ).alias("welch_t"),
     )
+
+
+@register(
+    "op_pareto_concentration",
+    tags=("analytics", "scale"),
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, SUM(o_totalprice) AS r
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT r, SUM(r) OVER (ORDER BY r DESC, o_custkey) AS cum,
+                   SUM(r) OVER () AS total
+            FROM rev
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(ANY_VALUE(total), 2) AS total_revenue,
+               CAST(SUM(CASE WHEN cum - r < 0.8 * total THEN 1 ELSE 0 END) AS BIGINT) AS pareto_k,
+               ROUND(SUM(CASE WHEN cum - r < 0.8 * total THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS pareto_share
+        FROM ranked
+    """,
+)
+def op_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration — how many top customers produce 80% of
+    revenue — computed with the DISTRIBUTED PREFIX SUM pattern instead
+    of the naive global cumulative window (which moves every customer
+    into one partition): customers hash into 32 revenue-value bins,
+    bin subtotals (32 rows) get exclusive prefix offsets in a trivial
+    window, offsets broadcast back, and each customer's global
+    cumulative = bin prefix + within-bin running sum over a
+    PARTITIONED window. The only serial structure is 32 rows.
+
+    The oracle is the naive single-window form — same answer, a plan
+    that would not survive 100 TB. Count flips at the 0.8·T boundary
+    need the float noise (~n·ε·T) to exceed one customer's revenue —
+    ten orders of magnitude apart here, and the docstring carries the
+    argument so the next reader doesn't re-derive it."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    bounds = rev.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+    binw = (F.col("hi") - F.col("lo")) / 32
+    # bin 0 holds the HIGHEST revenues so prefix order matches rank order
+    binned = rev.join(F.broadcast(bounds)).select(
+        "o_custkey", "r",
+        F.least(F.floor((F.col("hi") - F.col("r")) / binw).cast("int"), F.lit(31)).alias("bin"),
+    )
+    w_bins = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = (
+        binned.groupBy("bin").agg(F.sum("r").alias("bin_total"))
+        .select("bin", F.coalesce(F.sum("bin_total").over(w_bins), F.lit(0.0)).alias("prefix"))
+    )
+    w_in_bin = (
+        Window.partitionBy("bin")
+        .orderBy(F.col("r").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        binned.join(F.broadcast(bin_prefix), "bin")
+        .select("r", (F.col("prefix") + F.sum("r").over(w_in_bin)).alias("cum"))
+    )
+    total = rev.agg(F.sum("r").alias("total"), F.count(F.lit(1)).alias("n_customers"))
+    return (
+        cum.join(F.broadcast(total))
+        .agg(
+            F.first("n_customers").alias("n_customers"),
+            F.round(F.first("total"), 2).alias("total_revenue"),
+            F.sum(
+                F.when(F.col("cum") - F.col("r") < 0.8 * F.col("total"), 1).otherwise(0)
+            ).alias("pareto_k"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cum") - F.col("r") < 0.8 * F.col("total"), 1).otherwise(0)
+                ) / F.first("n_customers"),
+                4,
+            ).alias("pareto_share"),
+        )
+    )
