@@ -1308,3 +1308,89 @@ def op_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pareto_share"),
         )
     )
+
+
+@register(
+    "q_ops_dashboard",
+    tags=("analytics", "behavior"),
+    headline=True,
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id
+                               ) > 1800000000
+                             OR LAG(event_id) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id
+                               ) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT *, SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS session_no
+            FROM seq
+        ),
+        per_session AS (
+            SELECT user_id, session_no,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS dur_s,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+            FROM sess GROUP BY user_id, session_no
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+               ROUND(AVG(dur_s), 2) AS avg_session_s,
+               ROUND(SUM(has_click * has_purchase) * 1.0 / NULLIF(SUM(has_click), 0), 4)
+                   AS click_to_purchase_rate
+        FROM per_session
+        GROUP BY day
+    """,
+)
+def q_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed DAILY OPS DASHBOARD — the analytics counterpart of the
+    corpus pipelines: gap-sessionization (30-min inactivity), per-
+    session facts (duration, click/purchase presence), then the daily
+    rollup every ops review starts with: sessions, active users, mean
+    session length, click→purchase conversion. One lazy DataFrame.
+
+    Shuffle ledger: ONE shuffle on user_id feeds BOTH windows (lag
+    for boundaries, running sum for session ids — same partition
+    spec, Spark reuses the exchange, the op_window_islands contract),
+    one hash aggregate to per-session rows keyed (user, session), one
+    to O(days) dashboard rows. A session is assembled from exactly
+    one user's partition — no cross-user state anywhere, so the plan
+    stripes by users at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    is_new = (
+        (us - F.lag(us).over(w) > 1_800_000_000)
+        | F.lag("event_id").over(w).isNull()
+    ).cast("int")
+    sess = events.select(
+        "user_id", "event_id", "event_type", "ts", is_new.alias("is_new")
+    ).withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6).alias("dur_s"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase"),
+    )
+    return per_session.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.round(F.avg("dur_s"), 2).alias("avg_session_s"),
+        F.round(
+            F.sum(F.col("has_click") * F.col("has_purchase"))
+            / F.nullif(F.sum("has_click"), F.lit(0)),
+            4,
+        ).alias("click_to_purchase_rate"),
+    )

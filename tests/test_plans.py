@@ -564,3 +564,12 @@ def test_sql_udfs_inline_into_plan(spark):
     assert "PushedFilters" in plan_tvf and "EqualTo(lang,fr)" in plan_tvf, (
         "TVF argument filter did not reach the scan"
     )
+
+
+def test_ops_dashboard_two_shuffles(spark):
+    """q_ops_dashboard: the user_id exchange must feed both windows AND
+    the per-session aggregate (subset-key clustering satisfies the
+    group-by); only the final O(days) rollup adds a second shuffle."""
+    f = I.facts(SPECS["q_ops_dashboard"].fn(spark, SF))
+    assert f.exchanges == 2, f"ops dashboard shuffles {f.exchanges}x"
+    assert not f.joins, f.joins
