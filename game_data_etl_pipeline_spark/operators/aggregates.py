@@ -1455,3 +1455,49 @@ def op_agg_hll_transparent(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact") <= 0.25).alias("within_25pct"),
         )
     )
+
+
+@register(
+    "op_agg_multi_distinct",
+    tags=("agg",),
+    oracle="""
+        SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(COUNT(DISTINCT user_id * 8 + CASE event_type
+                       WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+                       WHEN 'signup' THEN 3 ELSE 4 END) AS BIGINT) AS n_user_type_pairs,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+)
+def op_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates in one pass — the shape Catalyst
+    compiles through the Expand operator: each input row fans out once
+    per distinct clause (tagged with a grouping id), then ONE
+    aggregation tree deduplicates and counts all three alongside the
+    plain COUNT(*) — no per-clause self-join, no N scans of the
+    stream, which is what the naive plan (join of N single-distinct
+    aggregates) costs.
+
+    The fan-out factor equals the number of distinct clauses — the
+    knob to watch at 100 TB: four clauses quadruple the shuffled rows,
+    at which point mergeable sketches (op_agg_hll_transparent,
+    op_agg_bitmap_distinct) replace the exact tail."""
+    events = load_table(spark, sf_dir, "events")
+    type_code = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    return events.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.col("user_id") * 8 + type_code).alias("n_user_type_pairs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

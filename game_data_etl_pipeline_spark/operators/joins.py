@@ -284,3 +284,54 @@ def op_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_label")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "op_join_null_aware_anti",
+    tags=("join", "semantics"),
+    oracle="""
+        WITH nullable_keys AS (
+            SELECT CASE WHEN o_totalprice > 350000 THEN NULL ELSE o_custkey END AS k
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT k FROM nullable_keys)) AS BIGINT) AS n_not_in,
+            CAST((SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nullable_keys n WHERE n.k = c.c_custkey)) AS BIGINT) AS n_not_exists,
+            CAST((SELECT COUNT(*) FROM nullable_keys WHERE k IS NULL) AS BIGINT) AS n_null_keys
+    """,
+)
+def op_join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery vs NOT EXISTS — the
+    three-valued-logic trap that silently empties naive rewrites: one
+    NULL in the subquery makes every `x NOT IN (...)` UNKNOWN, so the
+    correct NOT IN count is ZERO the moment a NULL is present, while
+    NOT EXISTS (two-valued) still returns the unmatched customers.
+    Spark plans the former as a null-aware anti join (a broadcast
+    build with NAAJ marking — a physical operator no other join op
+    exercises) and the latter as a plain left-anti; emitting BOTH
+    counts plus the null-key count makes the contrast
+    hash-verifiable — a broken null-aware rewrite would show
+    n_not_in == n_not_exists.
+
+    At 100 TB: the null-aware build side must broadcast (Spark
+    requires it); rewrite to NOT EXISTS when the key is provably
+    non-null and the build side outgrows the broadcast budget."""
+    from game_data_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        WITH nullable_keys AS (
+            SELECT CASE WHEN o_totalprice > 350000 THEN NULL ELSE o_custkey END AS k
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM nullable_keys)) AS n_not_in,
+            (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nullable_keys n WHERE n.k = c.c_custkey)) AS n_not_exists,
+            (SELECT COUNT(*) FROM nullable_keys WHERE k IS NULL) AS n_null_keys
+        """
+    )
