@@ -13,7 +13,7 @@ Ordering of preference at scale:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
@@ -410,4 +410,63 @@ def op_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "n_customers",
         F.round("bal_mean", 4).alias("bal_mean"),
         F.round("bal_range", 2).alias("bal_range"),
+    )
+
+
+def _trimmed_mean_udaf():
+    """Grouped-agg pandas UDF (Series -> scalar), the UDAF flavor that
+    Spark also accepts OVER a window frame. Built lazily."""
+    import numpy as np
+
+    def _tm(v: pd.Series) -> float:
+        a = np.sort(v.to_numpy(dtype="float64"))
+        return float(a.mean()) if a.size <= 2 else float(a[1:-1].mean())
+
+    _tm.__annotations__ = {"v": pd.Series, "return": float}
+    return F.pandas_udf("double")(_tm)
+
+
+@register(
+    "op_udf_pandas_window",
+    tags=("udf", "window"),
+    oracle="""
+        WITH framed AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   list_sort(LIST(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )) AS frame_vals
+            FROM events
+        )
+        SELECT user_id, event_id,
+               ROUND(CASE WHEN len(frame_vals) <= 2
+                          THEN list_avg(frame_vals)
+                          ELSE list_avg(frame_vals[2:len(frame_vals)-1])
+                     END, 4) AS trimmed_mean_5
+        FROM framed
+    """,
+)
+def op_udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated OVER A WINDOW FRAME — the least-known
+    corner of the UDF surface: a grouped-agg pandas_udf (Series →
+    scalar) applied to each row's trailing 5-row frame, here a
+    min/max-trimmed mean (the robust rolling average). Spark ships
+    each frame to the Python worker as an Arrow batch; the frame is
+    bounded (5 rows), so the per-row Python cost is constant and the
+    shuffle is the ordinary one window shuffle on user_id.
+
+    The oracle expresses the same frame with DuckDB's LIST() window +
+    list slicing — which is also the JVM-side escape hatch
+    (collect_list over the frame + array_sort + slice) when the
+    kernel is expressible without Python; the op registers the API
+    surface and proves both agree."""
+    events = load_table(spark, sf_dir, "events")
+    tm = _trimmed_mean_udaf()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id", F.round(tm(F.col("value")).over(w), 4).alias("trimmed_mean_5")
     )
