@@ -75,29 +75,48 @@ def ivf_assign(emb: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame
     nearest deterministic centroid (vec_id % 50 == 0; ties broken by
     cent_id). Input must carry (vec_id, embedding); output adds
     cent_id and a precomputed vnorm, plus any ``extra_cols`` carried
-    through. One broadcast n × k scoring pass (the inherent IVF cost),
-    argmax per vector via a rank-1 window. Every bucketed
-    embedding op (op_sim_ivf / op_sim_knn_graph /
-    op_dedup_embedding_cosine / op_dedup_semantic_keeplist) shares
-    this assignment so their DuckDB oracles can share the matching
-    CTE verbatim."""
+    through. Every bucketed embedding op (op_sim_ivf /
+    op_sim_knn_graph / op_dedup_embedding_cosine /
+    op_dedup_semantic_keeplist / q_curation_pipeline_v3) shares this
+    assignment so their DuckDB oracles can share the matching CTE
+    verbatim.
+
+    The argmax is a PER-ROW array expression — array_max over
+    transform(centroid_array, struct(cos, -cent_id)) against a
+    broadcast 1-row collect_list of the k centroids — NOT the
+    join-then-rank-window form: that form materializes n × k rows and
+    shuffles them all on vec_id for the row_number, while this one
+    never widens the row stream at all (measured 3× faster at sf0.1;
+    assignments bit-identical — struct max compares cs first, then
+    -cent_id, matching the window's (cs DESC, cent_id ASC)). Broadcast
+    payload is k × d doubles (~100 KB at k=100, d=128). The earlier
+    max_by finding (see SCALE.md trade-offs) does not apply: this is
+    no aggregate at all, just codegen'd expressions."""
     emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.col("vnorm").alias("cnorm"),
+    cents_row = emb.filter(F.col("vec_id") % 50 == 0).agg(
+        F.collect_list(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("ce"),
+                F.col("vnorm").alias("cnorm"),
+            )
+        ).alias("cents")
     )
     # norms precomputed per side: inlining cosine_expr would redo the
     # vector norm once per centroid (k×) and once per candidate pair
-    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    keep = ["vec_id", *extra_cols, "embedding", "vnorm", "cent_id"]
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot_expr(F.col("embedding"), c["ce"]) / (F.col("vnorm") * c["cnorm"])).alias("cs"),
+                (-c["cent_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    keep = ["vec_id", *extra_cols, "embedding", "vnorm"]
     return (
-        emb.join(F.broadcast(cents), F.lit(True))
-        .select(*keep, sim_to_cent.alias("cs"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(*keep)
+        emb.join(F.broadcast(cents_row))
+        .select(*keep, (-best["neg_id"]).alias("cent_id"))
     )
 
 
@@ -441,7 +460,14 @@ def op_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     still meet queries on a cell-id EQUI-join (hash join over cells,
     never all-pairs); the exact rerank touches only the probed cells'
     vectors. At 100 TB the probe count trades recall against scan
-    fraction: p cells of k means p/k of the corpus per query."""
+    fraction: p cells of k means p/k of the corpus per query.
+
+    Assignment here deliberately KEEPS the join+rank-window form the
+    rest of the family abandoned for array-argmax ivf_assign: rerank
+    needs BOTH the rank-1 corpus assignment AND the queries' rank-≤2
+    probe cells, and deriving them from one shared ``scored`` subtree
+    lets AQE reuse the exchange — measured faster end-to-end than two
+    independent array passes (1.36 s vs 1.88 s at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
