@@ -81,42 +81,36 @@ def ivf_assign(emb: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame
     assignment so their DuckDB oracles can share the matching CTE
     verbatim.
 
-    The argmax is a PER-ROW array expression — array_max over
-    transform(centroid_array, struct(cos, -cent_id)) against a
-    broadcast 1-row collect_list of the k centroids — NOT the
-    join-then-rank-window form: that form materializes n × k rows and
-    shuffles them all on vec_id for the row_number, while this one
-    never widens the row stream at all (measured 3× faster at sf0.1;
-    assignments bit-identical — struct max compares cs first, then
-    -cent_id, matching the window's (cs DESC, cent_id ASC)). Broadcast
-    payload is k × d doubles (~100 KB at k=100, d=128). The earlier
-    max_by finding (see SCALE.md trade-offs) does not apply: this is
-    no aggregate at all, just codegen'd expressions."""
+    Form chosen by MEASUREMENT, and the obvious rewrite loses: a
+    per-row `array_max(transform(centroid_array, struct(cos,
+    -cent_id)))` against a broadcast collect_list of centroids avoids
+    the n×k row blow-up and the rank-window shuffle, and is 3× faster
+    IN ISOLATION (0.32 s vs 0.97 s at sf0.1). But every consumer of
+    this assignment references it at least TWICE (both sides of the
+    knn/keeplist/near-dup self-joins; queries + corpus in op_sim_ivf)
+    — and the window form's vec_id Exchange is REUSED across those
+    references while the array form re-executes its whole map side
+    per reference: end-to-end the window form wins (knn graph 1.77 s
+    vs 2.56 s median-of-5 at sf0.1). The shuffle you can reuse beats
+    the shuffle you avoid. max_by is worse than both (SCALE.md
+    trade-offs)."""
     emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
-    cents_row = emb.filter(F.col("vec_id") % 50 == 0).agg(
-        F.collect_list(
-            F.struct(
-                F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("ce"),
-                F.col("vnorm").alias("cnorm"),
-            )
-        ).alias("cents")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("vnorm").alias("cnorm"),
     )
     # norms precomputed per side: inlining cosine_expr would redo the
     # vector norm once per centroid (k×) and once per candidate pair
-    best = F.array_max(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (dot_expr(F.col("embedding"), c["ce"]) / (F.col("vnorm") * c["cnorm"])).alias("cs"),
-                (-c["cent_id"]).alias("neg_id"),
-            ),
-        )
-    )
-    keep = ["vec_id", *extra_cols, "embedding", "vnorm"]
+    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    keep = ["vec_id", *extra_cols, "embedding", "vnorm", "cent_id"]
     return (
-        emb.join(F.broadcast(cents_row))
-        .select(*keep, (-best["neg_id"]).alias("cent_id"))
+        emb.join(F.broadcast(cents), F.lit(True))
+        .select(*keep, sim_to_cent.alias("cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(*keep)
     )
 
 
