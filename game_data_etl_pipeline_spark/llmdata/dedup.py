@@ -1062,3 +1062,71 @@ def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+@register(
+    "op_dedup_audit_matrix",
+    tags=("llm", "dedup", "diagnostics"),
+    oracle="""
+        WITH exact AS (
+            SELECT 'exact' AS method,
+                   COUNT(*) - COUNT(DISTINCT md5(text)) AS n_redundant
+            FROM documents
+        ),
+        normalized AS (
+            SELECT 'normalized' AS method,
+                   COUNT(*) - COUNT(DISTINCT md5(LOWER(TRIM(text)))) AS n_redundant
+            FROM documents
+        ),
+        prefix AS (
+            SELECT 'prefix200' AS method,
+                   COUNT(*) - COUNT(DISTINCT md5(substr(text, 1, 200))) AS n_redundant
+            FROM documents
+        ),
+        all_m AS (
+            SELECT * FROM exact UNION ALL SELECT * FROM normalized UNION ALL SELECT * FROM prefix
+        ),
+        total AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT method,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_redundant AS BIGINT) AS n_redundant,
+               ROUND(n_redundant * 1.0 / n_docs, 6) AS reduction_rate
+        FROM all_m, total
+    """,
+)
+def op_dedup_audit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup AUDIT MATRIX: what fraction of the corpus
+    each dedup policy would remove — exact content hash, normalized
+    (case/whitespace-folded) hash, and first-200-char prefix hash —
+    side by side. This is the report that picks the policy BEFORE the
+    expensive fuzzy passes run: normalized ≫ exact means formatting
+    noise, prefix ≫ normalized means truncation/re-crawl families,
+    all ≈ 0 means go straight to MinHash. Monotonicity
+    (exact ≤ normalized, exact ≤ prefix is NOT guaranteed — prefix can
+    merge distinct docs — which is exactly why the matrix shows them
+    together).
+
+    ONE scan: all three digests are computed in the same projection,
+    three countDistincts in one Expand-based aggregate (the
+    op_agg_multi_distinct shape); nothing but digest counts shuffle.
+    The unpivot to method rows is a constant-width stack."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("exact"),
+        (
+            F.count(F.lit(1)) - F.countDistinct(F.md5(F.lower(F.trim("text"))))
+        ).alias("normalized"),
+        (
+            F.count(F.lit(1)) - F.countDistinct(F.md5(F.substring("text", 1, 200)))
+        ).alias("prefix200"),
+    )
+    return (
+        agg.unpivot(["n_docs"], ["exact", "normalized", "prefix200"], "method", "n_redundant")
+        .select(
+            "method",
+            "n_docs",
+            "n_redundant",
+            F.round(F.col("n_redundant") / F.col("n_docs"), 6).alias("reduction_rate"),
+        )
+    )
