@@ -587,10 +587,14 @@ def op_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ordering carries an o_orderkey tie-break: ntile over a
     non-unique sort key assigns boundary ties arbitrarily in both
-    engines. This exact form global-sorts (fine up to ~1e9 rows via
-    range partitioning); beyond that the boundaries come from
-    approx_percentile in one pass — op_agg_percentile is that
-    primitive, and this op is its exact-verification counterpart.
+    engines. Scale caveat: an UNPARTITIONED ntile window single-
+    partitions by construction (Spark plans one WindowExec task for
+    the whole table; it does NOT range-partition a global window) —
+    this op is deliberately the exact-verification counterpart, not
+    the scale path. At 100 TB the boundaries come from
+    approx_percentile in one pass (op_agg_percentile), broadcast as
+    cut points and assigned as row expressions — the pattern
+    op_corpus_quality_deciles and op_rfm_scores implement.
     """
     orders = load_table(spark, sf_dir, "orders")
     bucketed = orders.select(
@@ -650,7 +654,13 @@ def op_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream into a d x w integer grid (map-side combinable — the grid
     is a sum of per-partition grids), and only d*w cells ever
     shuffle. The deterministic md5 hash family makes the whole
-    estimate value-oracled, not just shape-checked."""
+    estimate value-oracled, not just shape-checked.
+
+    The heavy-hitter cut is orderBy+limit — TakeOrderedAndProject
+    keeps a 10-row heap per partition and merges on the driver, so
+    the full term vocabulary never lands in one partition; the rank
+    window then runs over only the 10 survivors (same rewrite as
+    op_text_ngrams)."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
 
@@ -671,7 +681,11 @@ def op_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     w = Window.orderBy(F.col("exact_n").desc(), "term")
-    heavy = exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    heavy = (
+        exact.orderBy(F.col("exact_n").desc(), "term")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
     qcells = heavy.select(
         "term", "exact_n", "rank", F.explode(rows).alias("c")
     ).select("term", "exact_n", "rank", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))

@@ -181,29 +181,42 @@ def op_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS frequency,
                    ROUND(SUM(value), 2) AS monetary
             FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS r_cuts,
+                   quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS f_cuts,
+                   quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS m_cuts
+            FROM per_user
         )
         SELECT user_id, CAST(recency_days AS INT) AS recency_days,
                CAST(frequency AS BIGINT) AS frequency, monetary,
-               CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_score,
-               CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS INT) AS f_score,
-               CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS m_score
-        FROM per_user
+               CAST(5 - len(list_filter(r_cuts, c -> recency_days > c)) AS INT) AS r_score,
+               CAST(len(list_filter(f_cuts, c -> frequency > c)) + 1 AS INT) AS f_score,
+               CAST(len(list_filter(m_cuts, c -> monetary > c)) + 1 AS INT) AS m_score
+        FROM per_user, cuts
     """,
 )
 def op_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-purchaser recency / frequency / monetary,
-    each quintiled 1-5 (5 = best: most recent, most frequent, highest
-    spend). The recency anchor is the dataset's max event date — a
-    deterministic, data-derived "now" instead of wall-clock.
+    each scored 1-5 by quintile cut points (5 = best: most recent,
+    most frequent, highest spend). The recency anchor is the
+    dataset's max event date — a deterministic, data-derived "now"
+    instead of wall-clock.
 
-    Every ntile ordering carries an explicit user_id tie-break:
-    ntile over a non-unique key is assignment-arbitrary at bucket
-    boundaries in BOTH engines, so determinism must be spelled, not
-    hoped for. One aggregate shuffle + three global-sort windows over
-    a |users|-sized table; at 100 TB the windows run on the reduced
-    per-user rows, never the raw log (global ntile at true scale
-    would swap to approx percentile boundaries — op_agg_equidepth
-    shows that pattern).
+    Scale shape: one aggregate reduces the three 4-element quintile
+    boundary arrays (exact ``percentile`` here for oracle
+    determinism; approx_percentile at 100 TB — cuts shift within
+    sketch error, assignment is unchanged), which BROADCAST back and
+    each user's score is a pure row expression — 1 + (number of cuts
+    strictly below the value), mirrored (6 - bucket) for recency
+    where lower is better. The earlier global ntile(5) windows
+    single-partitioned the |users|-sized table (Spark plans one
+    WindowExec task for an unpartitioned window); this is the
+    op_corpus_quality_deciles broadcast-cut-points pattern instead —
+    no single-partition Exchange anywhere in the plan. Boundary
+    semantics differ from ntile deliberately: equal values always get
+    equal scores (value-based buckets), where ntile splits ties
+    arbitrarily at bucket edges.
     """
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase")
@@ -223,14 +236,24 @@ def op_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return per_user.select(
+    qarr = F.array(*[F.lit(q / 5.0) for q in range(1, 5)])
+    cuts = per_user.agg(
+        F.percentile("recency_days", qarr).alias("r_cuts"),
+        F.percentile("frequency", qarr).alias("f_cuts"),
+        F.percentile("monetary", qarr).alias("m_cuts"),
+    )
+
+    def bucket(value: str, cut_col: str):
+        return F.size(F.filter(F.col(cut_col), lambda c: F.col(value) > c)) + 1
+
+    return per_user.join(F.broadcast(cuts)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), "user_id")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "user_id")).alias("m_score"),
+        (F.lit(6) - bucket("recency_days", "r_cuts")).cast("int").alias("r_score"),
+        bucket("frequency", "f_cuts").cast("int").alias("f_score"),
+        bucket("monetary", "m_cuts").cast("int").alias("m_score"),
     )
 
 

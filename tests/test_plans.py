@@ -536,6 +536,27 @@ def test_text_topk_is_take_ordered_not_global_sort(spark):
         )
 
 
+def test_countmin_heavy_cut_is_take_ordered(spark):
+    """op_agg_countmin's heavy-hitter cut is orderBy+limit(10)
+    (TakeOrderedAndProject), not a rank window over the full term
+    vocabulary — the pre-limit form single-partitioned the whole
+    vocab at scale (round-4 verdict item 2; same rewrite as
+    op_text_ngrams)."""
+    plan = I.explain_str(SPECS["op_agg_countmin"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, "countmin lost the top-k heap"
+
+
+def test_rfm_scores_has_no_window(spark):
+    """op_rfm_scores assigns quintile scores from broadcast cut
+    points — the plan must contain NO window operator at all (the
+    pre-fix form ran three unpartitioned ntile(5) windows over the
+    per-user table, a single-task sort at 100 TB; round-4 verdict
+    item 3)."""
+    plan = I.explain_str(SPECS["op_rfm_scores"].fn(spark, SF))
+    assert "Window" not in plan, "rfm_scores reintroduced a global window"
+    assert "BroadcastExchange" in plan, "cut points are not broadcast"
+
+
 def test_knn_graph_and_keeplist_pair_joins_are_hash(spark):
     """The all-pairs stages of op_sim_knn_graph and
     op_dedup_semantic_keeplist must meet on the IVF cell id as a hash
