@@ -81,6 +81,12 @@ def main() -> None:
                 "spread": spread,
                 "reps": reps,
                 "sf": sf,
+                # methodology continuity: the 23-query suite is FROZEN
+                # as of round 4 so round-over-round totals compare
+                # like-for-like; the r3->r4 drop partly reflected the
+                # n=3 -> median-of-5 methodology change, not only
+                # real wins — deltas from r4 onward are attributable.
+                "suite": "r4-frozen-23q-median",
             }
         )
     )

@@ -253,9 +253,15 @@ def op_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-robust where raw float distances are not.
     At 100 TB each round is one linear scan; k rounds total."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centers = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
-    ).localCheckpoint(eager=True)
+    # Seed from min(vec_id) via a 1-row TakeOrdered — a literal
+    # vec_id == 0 filter would silently yield an EMPTY center set
+    # (and empty downstream joins) on a fixture whose ids start at 1.
+    centers = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+        .localCheckpoint(eager=True)
+    )
     dist = 1.0 - dot_expr(F.col("embedding"), F.col("ce")) / (
         norm_expr(F.col("embedding")) * norm_expr(F.col("ce"))
     )

@@ -70,16 +70,30 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def ivf_assign(emb: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, *, extra_cols: tuple[str, ...] = (), cents: DataFrame | None = None
+) -> DataFrame:
     """Shared IVF coarse quantization: assign every vector to its
-    nearest deterministic centroid (vec_id % 50 == 0; ties broken by
-    cent_id). Input must carry (vec_id, embedding); output adds
-    cent_id and a precomputed vnorm, plus any ``extra_cols`` carried
-    through. Every bucketed embedding op (op_sim_ivf /
-    op_sim_knn_graph / op_dedup_embedding_cosine /
+    nearest centroid (ties broken by cent_id). Input must carry
+    (vec_id, embedding); output adds cent_id and a precomputed vnorm,
+    plus any ``extra_cols`` carried through. Every bucketed embedding
+    op (op_sim_ivf / op_sim_knn_graph / op_dedup_embedding_cosine /
     op_dedup_semantic_keeplist / q_curation_pipeline_v3) shares this
     assignment so their DuckDB oracles can share the matching CTE
     verbatim.
+
+    Centroid set: by default the deterministic ``vec_id % 50 == 0``
+    subset — an ORACLE-DETERMINISM device (DuckDB reproduces it
+    bit-for-bit), NOT the production one. Its k grows linearly with
+    n, so the n×k assignment pass is effectively O(n²/50) and the
+    centroid broadcast grows unboundedly — at 100 TB this is a
+    quadratic problem. The production swap is a FIXED-k trained
+    centroid set (pass ``cents``: columns cent_id / ce / cnorm;
+    ``ivf_trained_centroids`` builds one from op_kmeans_lloyd's
+    Lloyd iterations), which caps the assignment at n×k for constant
+    k and keeps the broadcast O(k·dims). Cell-size control then comes
+    from raising the trained k, monitored by op_sim_cell_profile.
+    Tested in tests/test_llmdata.py::test_ivf_trained_fixed_k.
 
     Form chosen by MEASUREMENT, and the obvious rewrite loses: a
     per-row `array_max(transform(centroid_array, struct(cos,
@@ -95,11 +109,12 @@ def ivf_assign(emb: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame
     the shuffle you avoid. max_by is worse than both (SCALE.md
     trade-offs)."""
     emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.col("vnorm").alias("cnorm"),
-    )
+    if cents is None:
+        cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("vnorm").alias("cnorm"),
+        )
     # norms precomputed per side: inlining cosine_expr would redo the
     # vector norm once per centroid (k×) and once per candidate pair
     sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
@@ -111,6 +126,28 @@ def ivf_assign(emb: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select(*keep)
+    )
+
+
+def ivf_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-k IVF centroids trained by Lloyd iterations — the
+    production replacement for ``ivf_assign``'s default ``vec_id %
+    50`` set (whose k grows with n, making assignment O(n²/50)).
+    Runs op_kmeans_lloyd's iteration loop (deterministic seed
+    centroids, bounded ITERATIONS, localCheckpoint per round) and
+    returns the final k=8 means in ``ivf_assign``'s ``cents``
+    contract (cent_id / ce / cnorm): assignment cost is then n×k for
+    CONSTANT k and the broadcast is O(k·dims) no matter how large
+    the corpus grows. The default set stays only because DuckDB can
+    reproduce it bit-for-bit for the value oracles."""
+    # imported here: cluster.py imports dot/norm exprs from this module
+    from game_data_etl_pipeline_spark.llmdata.cluster import _update, kmeans_iterations
+
+    _, assigned = kmeans_iterations(spark, sf_dir)[-1]
+    return _update(assigned).select(
+        F.col("cluster").cast("long").alias("cent_id"),
+        "ce",
+        norm_expr(F.col("ce")).alias("cnorm"),
     )
 
 

@@ -1011,9 +1011,16 @@ def op_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     two bounded aggregates. No Python anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     tri = F.substring(F.col("text"), F.col("i"), 3)
+    # Guard like op_text_ngrams: a doc shorter than 3 chars has NO
+    # trigrams (explode of the empty array drops the row), matching
+    # the oracle's exclusive range — the unguarded sequence form
+    # emitted one truncated pseudo-trigram for short docs.
+    positions = F.when(F.length("text") < 3, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.length("text") - 2)
+    )
     tris = docs.select(
         "doc_id", "lang",
-        F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))).alias("i"),
+        F.explode(positions).alias("i"),
         "text",
     ).select("doc_id", "lang", tri.alias("tri"))
     doc_tris = tris.dropDuplicates(["doc_id", "lang", "tri"])

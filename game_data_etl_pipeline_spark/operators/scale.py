@@ -18,7 +18,10 @@ when the data is 1000× bigger than the fixtures.
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -741,7 +744,18 @@ def zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
         # TIMESTAMP_MICROS is the modern encoding every stats-based
         # skipper understands.
         prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        # repartitionByRange picks split points from a RANDOM sample
+        # (default 100 rows/partition), so file boundaries wobble run
+        # to run. For a one-time layout write, pay for a dense sample:
+        # near-exact, stable split points (the sample is sort-key
+        # values only — 16 x 50k longs is a few MB on the driver even
+        # at cluster scale), which lets the pruning regression test
+        # hold a tight bar instead of absorbing sampling variance.
+        prev_sample = spark.conf.get(
+            "spark.sql.execution.rangeExchange.sampleSizePerPartition", None
+        )
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "50000")
         try:
             (
                 events.withColumn("_z", z)
@@ -754,6 +768,12 @@ def zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+            if prev_sample is not None:
+                spark.conf.set(
+                    "spark.sql.execution.rangeExchange.sampleSizePerPartition", prev_sample
+                )
+            else:
+                spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
         _ZORDER_CACHE[sf_dir] = out
     return _ZORDER_CACHE[sf_dir]
 
@@ -1244,10 +1264,13 @@ def _analyzed_customer(spark: SparkSession, sf_dir: str) -> str:
     process per sf): table + column statistics are what the cost-based
     optimizer reads for join reordering, broadcast decisions, and
     cardinality estimates."""
-    key = sf_dir.replace("/", "_").replace(".", "_")
+    # Any non-identifier char in sf_dir would break the SQL table
+    # name, so sanitize with a regex (not a char-by-char replace).
+    key = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir)
     tbl = f"customer_stats{key}"
     if sf_dir not in _STATS_TABLE_CACHE:
         base = tempfile.mkdtemp(prefix="stats_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         (
             load_table(spark, sf_dir, "customer")
             .write.option("path", os.path.join(base, "customer"))

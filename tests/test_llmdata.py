@@ -266,3 +266,34 @@ def test_pca_power_iteration_audit(spark, sf_dir):
     assert row["lambda_monotone"] is True
     assert row["lambda_positive"] is True
     assert row["n_dims"] > 0 and row["n_vectors"] > 0
+
+
+def test_ivf_trained_fixed_k(spark, sf_dir):
+    """The production IVF path: k-means-trained centroids feed
+    ivf_assign's ``cents`` contract, capping the assignment at n×k
+    for CONSTANT k (the default vec_id%50 set grows k with n — an
+    oracle-determinism device, not the scale path; see the
+    ivf_assign docstring and SCALE.md §quadratic problems)."""
+    import pyspark.sql.functions as F
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.cluster import K
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        ivf_assign,
+        ivf_trained_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_trained_centroids(spark, sf_dir)
+    assert cents.count() == K  # fixed k, independent of corpus size
+    assigned = ivf_assign(emb, cents=cents)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.countDistinct("cent_id").alias("n_cells"),
+    ).first()
+    n_emb = emb.count()
+    # exactly one cell per vector, every cell id from the trained set
+    assert stats["n"] == n_emb and stats["n_vecs"] == n_emb
+    assert stats["n_cells"] <= K
+    ids = {r["cent_id"] for r in assigned.select("cent_id").distinct().collect()}
+    assert ids <= set(range(K))

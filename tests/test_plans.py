@@ -346,14 +346,14 @@ def test_zorder_layout_narrows_file_spans(spark):
     assert avg_m < 0.6, f"minute spans not narrowed: {avg_m:.2f}"
 
     # footer-level pruning: a 1/4-range user_id predicate must be
-    # excludable (no [min,max] overlap) for a large share of files.
-    # Bar is len//3, not len//2: repartitionByRange draws a fresh
-    # random sample of split points per run, so the exact file
-    # boundaries wobble — observed 7..10 of 16 skippable across runs
-    # for the same code; a third still proves the layout prunes.
+    # excludable (no [min,max] overlap) for at least half the files.
+    # The layout write now uses a dense range-exchange sample
+    # (sampleSizePerPartition=50000 in zorder_events_dir), making the
+    # split points near-exact and run-stable, so the tight len//2 bar
+    # holds without absorbing sampling variance.
     q_lo, q_hi = glob_lo, glob_lo + full_u // 4
     skipped = sum(1 for lo, hi in bounds if hi < q_lo or lo > q_hi)
-    assert skipped >= len(files) // 3, f"only {skipped}/{len(files)} files skippable"
+    assert skipped >= len(files) // 2, f"only {skipped}/{len(files)} files skippable"
 
 
 def test_exchange_reuse_unifies_shared_subplan(spark):
