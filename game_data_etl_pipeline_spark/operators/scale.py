@@ -814,7 +814,7 @@ def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_timeseries_ewma",
     tags=("timeseries", "udf"),
     oracle="""
-        WITH daily AS (
+        WITH RECURSIVE daily AS (
             SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS daily_value
             FROM events WHERE event_type = 'purchase' AND user_id < 40
             GROUP BY user_id, CAST(ts AS DATE)
@@ -823,19 +823,17 @@ def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
             FROM daily
         ),
-        coeff AS (
-            SELECT *, CASE WHEN i = 0 THEN daily_value
-                           ELSE 0.3 * daily_value * power(0.7, -i) END AS ci
-            FROM idx
-        ),
-        cum AS (
-            SELECT user_id, day, i, daily_value,
-                   SUM(ci) OVER (PARTITION BY user_id ORDER BY i) AS cs
-            FROM coeff
+        rec AS (
+            SELECT user_id, day, i, daily_value, daily_value AS y
+            FROM idx WHERE i = 0
+            UNION ALL
+            SELECT x.user_id, x.day, x.i, x.daily_value,
+                   CAST(0.3 AS DOUBLE) * x.daily_value + CAST(0.7 AS DOUBLE) * r.y
+            FROM idx x JOIN rec r ON x.user_id = r.user_id AND x.i = r.i + 1
         )
         SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, daily_value,
-               ROUND(power(0.7, i) * cs, 4) AS ewma
-        FROM cum
+               FLOOR(y * 10000 + 0.5) / 10000 AS ewma
+        FROM rec
     """,
 )
 def op_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,21 +842,25 @@ def op_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — the smoothing primitive behind anomaly baselines and
     trend features. The recurrence is inherently sequential, so this
     is the engine's canonical applyInPandas use: Arrow-batched
-    per-group vectorized numpy, one shuffle on user_id, state
-    O(series) per group and zero driver involvement — the stateful
-    path the brief reserves for UDFs (built-in window frames can't
-    express a recurrence whose coefficient decays per step).
+    per-group work, one shuffle on user_id, state O(1) per group and
+    zero driver involvement — the stateful path the brief reserves
+    for UDFs (built-in window frames can't express a recurrence whose
+    coefficient decays per step).
 
-    The oracle defeats "iterative/stateful can't be oracled": the
-    recursion unrolled to its closed form y_t = 0.7^t * cumsum(c_i)
-    with c_0 = x_0, c_i = 0.3 * x_i * 0.7^(-i) — pure window SQL
-    DuckDB can run. The UDF evaluates the SAME closed form: it equals
-    pandas ``ewm(alpha=.3, adjust=False)`` to ~1e-9 float noise
-    (pinned in tests/test_invariants.py), but the recursive form
-    rounds differently at 4dp boundaries, so cross-engine exactness
-    demands expression-identical arithmetic on both sides.
+    The oracle defeats "iterative/stateful can't be oracled": DuckDB
+    replays the SAME recurrence via a recursive CTE stepping i→i+1,
+    with literally the same IEEE ops (0.3*x + 0.7*y on bit-identical
+    inputs is deterministic across engines), and the 4dp cut is
+    floor(y*1e4 + 0.5)/1e4 on both sides — identical doubles in,
+    identical doubles out. The earlier closed form (y_t = 0.7^t *
+    cumsum(0.3*x_i*0.7^(-i))) was rejected for BOTH robustness
+    reasons: libm power() differs by ulps across engines (first split
+    a 4dp boundary at sf0.1), and 0.7^(-i) overflows double past
+    i≈860 — a multi-year daily series dies at scale. The direct
+    recurrence is unconditionally stable (convex combination) and
+    still equals pandas ``ewm(alpha=.3, adjust=False)`` to float
+    noise (pinned in tests/test_invariants.py).
     """
-    import numpy as np
     import pandas as pd
 
     events = load_table(spark, sf_dir, "events")
@@ -869,11 +871,15 @@ def op_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         pdf = pdf.sort_values("day")
         x = pdf["daily_value"].to_numpy()
-        i = np.arange(len(x), dtype=float)
-        c = np.where(i == 0, x, 0.3 * x * np.power(0.7, -i))
-        pdf["ewma"] = np.round(np.power(0.7, i) * np.cumsum(c), 4)
+        y, out = 0.0, []
+        for j, v in enumerate(x):
+            y = float(v) if j == 0 else 0.3 * float(v) + 0.7 * y
+            out.append(math.floor(y * 10000 + 0.5) / 10000)
+        pdf["ewma"] = out
         return pdf
 
     out = daily.groupBy("user_id").applyInPandas(

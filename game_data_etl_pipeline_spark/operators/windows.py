@@ -9,7 +9,7 @@ never a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
@@ -161,8 +161,8 @@ def op_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_nationkey,
                ROUND(c_acctbal, 2) AS balance,
                NTILE(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS bal_quartile,
-               ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS bal_pct_rank,
-               ROUND(CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS bal_cume_dist
+               FLOOR(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) * 1000000 + 0.5) / 1000000 AS bal_pct_rank,
+               FLOOR(CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) * 1000000 + 0.5) / 1000000 AS bal_cume_dist
         FROM customer
     """,
 )
@@ -173,17 +173,28 @@ def op_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment deterministic (ntile splits ties by position, so an
     ambiguous order would be run-dependent). percent_rank/cume_dist
     depend only on the key VALUES, so they order by c_acctbal alone.
-    """
+
+    The 6dp cut uses floor(x*1e6 + 0.5)/1e6, NOT round(x, 6):
+    percent_rank = k/(n-1) can be an exactly-representable binary
+    fraction (e.g. 41/640 = 0.0640625) whose scaled value lands
+    exactly on .5, where Spark's HALF_UP and DuckDB's binary-double
+    rounding disagree. floor-of-shifted is the same IEEE ops on the
+    same binary input in both engines, so it cannot split (first hit
+    at sf0.1, n=641 rows in a nation)."""
     customer = load_table(spark, sf_dir, "customer")
     w_unique = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     w_val = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+
+    def q6(col: Column) -> Column:
+        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
     return customer.select(
         "c_custkey",
         "c_nationkey",
         F.round("c_acctbal", 2).alias("balance"),
         F.ntile(4).over(w_unique).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w_val), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w_val), 6).alias("bal_cume_dist"),
+        q6(F.percent_rank().over(w_val)).alias("bal_pct_rank"),
+        q6(F.cume_dist().over(w_val)).alias("bal_cume_dist"),
     )
 
 
@@ -411,8 +422,8 @@ def op_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
     oracle="""
         SELECT s_suppkey, s_nationkey,
-               ROUND(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 6) AS bal_cume,
-               ROUND(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 6) AS bal_pctrank
+               FLOOR(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) * 1000000 + 0.5) / 1000000 AS bal_cume,
+               FLOOR(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) * 1000000 + 0.5) / 1000000 AS bal_pctrank
         FROM supplier
     """,
 )
@@ -424,14 +435,22 @@ def op_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both are tie-stable (equal sort keys get equal scores), so no
     tie-break column is needed for cross-engine determinism. One
-    shuffle on the partition key, one sorted pass — rank-family cost."""
+    shuffle on the partition key, one sorted pass — rank-family cost.
+    The 6dp cut is floor(x*1e6 + 0.5)/1e6, not round(x, 6): k/n and
+    k/(n-1) can be exactly-representable binary fractions whose
+    scaled value is exactly .5, where Spark HALF_UP and DuckDB
+    binary-rounding split (see op_window_ntile)."""
     supplier = load_table(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+
+    def q6(col: Column) -> Column:
+        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
     return supplier.select(
         "s_suppkey",
         "s_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pctrank"),
+        q6(F.cume_dist().over(w)).alias("bal_cume"),
+        q6(F.percent_rank().over(w)).alias("bal_pctrank"),
     )
 
 

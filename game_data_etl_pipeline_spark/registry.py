@@ -27,6 +27,17 @@ that make the driver's order-insensitive value-hash comparison work:
   zero (correlations, means of centered data): DuckDB rounds tiny
   negatives to IEEE -0.0 where Spark yields +0.0, and the value hash
   distinguishes them. ``-0.0 + 0.0 == +0.0`` normalizes both engines.
+- NEVER ``ROUND(x, d)`` a ratio of small integers (percent_rank =
+  k/(n-1), cume_dist = k/n): such ratios can be exactly-representable
+  binary fractions whose scaled value is exactly .5, where Spark's
+  HALF_UP and DuckDB's binary-double rounding disagree (first split:
+  41/640 at sf0.1). Use ``floor(x * 10^d + 0.5) / 10^d`` on BOTH
+  sides — same IEEE ops on bit-identical inputs cannot split. Same
+  for any value computed by IDENTICAL sequential arithmetic in both
+  engines (see op_timeseries_ewma's recursive-CTE oracle). Avoid
+  libm ``power()`` with non-integer/negative exponents in compared
+  expressions — it differs by ulps ACROSS engines, and no rounding
+  discipline fixes inputs that already differ.
 """
 
 from __future__ import annotations

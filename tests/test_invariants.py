@@ -155,10 +155,10 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
 
 
 def test_ewma_closed_form_matches_pandas_recursion(spark, sf_dir):
-    """op_timeseries_ewma's closed-form evaluation must equal the
-    textbook recursion (pandas ewm adjust=False) to float noise —
-    the closed form exists for cross-engine rounding stability, not
-    as a different definition."""
+    """op_timeseries_ewma's direct recurrence must equal the textbook
+    definition (pandas ewm adjust=False) to float noise — the loop
+    form exists for cross-engine bit-stability and overflow-free
+    long series, not as a different definition."""
     import pandas as pd
 
     out = SPECS["op_timeseries_ewma"].fn(spark, sf_dir).toPandas()
