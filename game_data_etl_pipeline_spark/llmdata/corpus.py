@@ -911,14 +911,17 @@ def op_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> array_to_string(terms[i+1:i+15], ' '))) AS span
             FROM toks
         ),
-        dupspan AS (
-            SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        flagged AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY span)
+                     != MAX(doc_id) OVER (PARTITION BY span) AS is_dup
+            FROM spans
         ),
         frac AS (
-            SELECT s.doc_id,
-                   COUNT(*) FILTER (WHERE d.span IS NOT NULL) * 1.0 / COUNT(*) AS dup_frac
-            FROM spans s LEFT JOIN dupspan d USING (span)
-            GROUP BY s.doc_id
+            SELECT doc_id,
+                   COUNT(*) FILTER (WHERE is_dup) * 1.0 / COUNT(*) AS dup_frac
+            FROM flagged
+            GROUP BY doc_id
         ),
         curated AS (
             SELECT t.doc_id, len(t.terms) AS n_tokens
@@ -946,11 +949,13 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle ledger at 100 TB: IVF assignment window (vec_id), cell
     SMJ for the dup pairs (cent_id), anti join of the keep-list
-    (doc_id), span fingerprint aggregate + rejoin (fp), per-doc frac
-    aggregate (doc_id), final manifest aggregate (lang, source) —
-    every key high-cardinality except the manifest's, which is
-    O(langs × sources). Embedding vectors and span text never
-    shuffle (digests and cell ids do)."""
+    (doc_id), ONE span-fingerprint window (fp — min/max doc_id per
+    fp replaces the earlier countDistinct aggregate + rejoin, which
+    shuffled the span stream twice and computed the explode twice),
+    per-doc frac aggregate (doc_id), final manifest aggregate
+    (lang, source) — every key high-cardinality except the
+    manifest's, which is O(langs × sources). Embedding vectors and
+    span text never shuffle (digests and cell ids do)."""
     from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, ivf_assign
 
     docs = load_table(spark, sf_dir, "documents")
@@ -974,14 +979,13 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     spans = docs.select("doc_id", F.explode(spans_arr).alias("fp"))
-    dupspan = (
-        spans.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2).select("fp", F.lit(True).alias("is_dup"))
+    w_fp = Window.partitionBy("fp")
+    flagged = spans.select(
+        "doc_id",
+        (F.min("doc_id").over(w_fp) != F.max("doc_id").over(w_fp)).alias("is_dup"),
     )
-    frac = (
-        spans.join(dupspan, "fp", "left")
-        .groupBy("doc_id")
-        .agg((F.count(F.when(F.col("is_dup"), 1)) / F.count(F.lit(1))).alias("dup_frac"))
+    frac = flagged.groupBy("doc_id").agg(
+        (F.count(F.when(F.col("is_dup"), 1)) / F.count(F.lit(1))).alias("dup_frac")
     )
     curated = (
         docs.select("doc_id", "lang", "source", F.size(terms).alias("n_tokens"))

@@ -1008,15 +1008,18 @@ def op_dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> array_to_string(terms[i+1:i+15], ' '))) AS span
             FROM t
         ),
-        dup AS (
-            SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        flagged AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY span)
+                     != MAX(doc_id) OVER (PARTITION BY span) AS is_dup
+            FROM spans
         )
-        SELECT s.doc_id,
+        SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_spans,
-               CAST(COUNT(*) FILTER (WHERE d.span IS NOT NULL) AS BIGINT) AS n_dup_spans,
-               ROUND(COUNT(*) FILTER (WHERE d.span IS NOT NULL) * 1.0 / COUNT(*), 4) AS dup_span_frac
-        FROM spans s LEFT JOIN dup d USING (span)
-        GROUP BY s.doc_id
+               CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_spans,
+               FLOOR(COUNT(*) FILTER (WHERE is_dup) * 10000.0 / COUNT(*) + 0.5) / 10000 AS dup_span_frac
+        FROM flagged
+        GROUP BY doc_id
     """,
 )
 def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,14 +1031,18 @@ def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise-unique pages, which doc-level MinHash misses entirely.
     Docs shorter than 15 tokens produce no spans and are absent.
 
-    Scale shape: spans never shuffle as text — Spark joins on a
-    64-bit xxhash64 fingerprint (the oracle joins on the raw span
-    string; the hash is engine-internal and never output, so parity
-    holds unless xxhash64 collides). The dup-span set is found with
-    one fingerprint-keyed aggregate, rejoined by fingerprint: two
-    hash shuffles of O(n_spans) longs, and the span stream is ~1/5
+    Scale shape: spans never shuffle as text — the span stream is
+    keyed by a 64-bit xxhash64 fingerprint (the oracle keys on the
+    raw span string; the hash is engine-internal and never output, so
+    parity holds unless xxhash64 collides). "occurs in ≥2 distinct
+    docs" is min(doc_id) != max(doc_id) over a fingerprint-partitioned
+    window — ONE shuffle of O(n_spans) longs, replacing the earlier
+    countDistinct aggregate + rejoin that shuffled the span stream
+    TWICE and computed the explode twice (no exchange reuse: the agg
+    and join exchanged different subplans). The span stream is ~1/5
     of token volume at stride 5 — the knob that trades recall for
-    shuffle width."""
+    shuffle width. The 4dp cut is floor-based: dup_frac = k/n can be
+    an exact binary fraction (1/32) that ROUND splits cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
     terms = F.split(F.col("text"), " ")
     spans_arr = F.when(F.size(terms) < 15, F.array()).otherwise(
@@ -1045,22 +1052,16 @@ def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     spans = docs.select("doc_id", F.explode(spans_arr).alias("fp"))
-    dup = (
-        spans.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("fp", F.lit(True).alias("is_dup"))
+    w_fp = Window.partitionBy("fp")
+    flagged = spans.select(
+        "doc_id",
+        (F.min("doc_id").over(w_fp) != F.max("doc_id").over(w_fp)).alias("is_dup"),
     )
-    return (
-        spans.join(dup, "fp", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_spans"),
-            F.round(
-                F.count(F.when(F.col("is_dup"), 1)) / F.count(F.lit(1)), 4
-            ).alias("dup_span_frac"),
-        )
+    n_dup = F.count(F.when(F.col("is_dup"), 1))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        (F.floor(n_dup * 10000.0 / F.count(F.lit(1)) + F.lit(0.5)) / 10000).alias("dup_span_frac"),
     )
 
 

@@ -107,7 +107,11 @@ def ivf_assign(
     per reference: end-to-end the window form wins (knn graph 1.77 s
     vs 2.56 s median-of-5 at sf0.1). The shuffle you can reuse beats
     the shuffle you avoid. max_by is worse than both (SCALE.md
-    trade-offs)."""
+    trade-offs). Round-5 re-measure: explicitly materializing the
+    assignment with localCheckpoint(eager=False) before the self-join
+    ALSO loses to exchange reuse (knn graph 1.59 s vs 1.48 s
+    median-of-5 at sf0.1) — the checkpoint write costs more than the
+    second exchange read it saves."""
     emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
     if cents is None:
         cents = emb.filter(F.col("vec_id") % 50 == 0).select(

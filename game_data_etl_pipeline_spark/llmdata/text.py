@@ -919,27 +919,29 @@ def op_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text as an md5 (registry convention: no unbounded string
     columns when a digest proves equality).
 
-    Scale shape: one explode, one digest-keyed frequency aggregate
-    (at 100 TB key it on xxhash64(sent) as the substring-span op
-    does), one equi-join back, and a per-doc collect_list bounded by
-    the doc's own sentence count — never corpus-wide state. Removal
-    happens WITHOUT a second pass over the raw text."""
+    Scale shape: one explode, then ONE sentence-keyed window —
+    "occurs in ≥2 distinct docs" is min(doc_id) != max(doc_id) over
+    the sentence partition (sentence length is constant within a
+    partition, so the ≥20-char gate is a row predicate), replacing
+    the earlier frequency aggregate + rejoin that shuffled the
+    segment stream twice and computed the explode twice. At 100 TB
+    key the window on xxhash64(sent) as the substring-span op does so
+    only digests shuffle. The per-doc collect_list is bounded by the
+    doc's own sentence count — never corpus-wide state. The DuckDB
+    oracle keeps the independent distinct-count + join formulation,
+    so the two engines cross-check different algorithms for the same
+    answer."""
     docs = load_table(spark, sf_dir, "documents")
     segs = (
         docs.select("doc_id", F.posexplode(F.split(F.col("text"), "[.!?]+")).alias("pos", "seg"))
         .select("doc_id", "pos", F.trim("seg").alias("sent"))
         .filter(F.length("sent") > 0)
     )
-    bad = (
-        segs.filter(F.length("sent") >= 20)
-        .dropDuplicates(["doc_id", "sent"])
-        .groupBy("sent")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("sent", F.lit(True).alias("is_bad"))
-    )
-    marked = segs.join(bad, "sent", "left").withColumn(
-        "is_bad", F.coalesce(F.col("is_bad"), F.lit(False))
+    w_sent = Window.partitionBy("sent")
+    marked = segs.withColumn(
+        "is_bad",
+        (F.length("sent") >= 20)
+        & (F.min("doc_id").over(w_sent) != F.max("doc_id").over(w_sent)),
     )
     kept_struct = F.when(~F.col("is_bad"), F.struct("pos", "sent"))
     return marked.groupBy("doc_id").agg(

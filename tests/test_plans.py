@@ -568,14 +568,18 @@ def test_knn_graph_and_keeplist_pair_joins_are_hash(spark):
         assert hash_joins, f"{name}: pair join is not a hash join: {f.joins}"
 
 
-def test_substring_spans_joins_on_fingerprints(spark):
-    """op_dedup_substring_spans must join span FINGERPRINTS (xxhash64
-    longs), never raw span strings, and never a nested loop."""
+def test_substring_spans_single_fingerprint_shuffle(spark):
+    """op_dedup_substring_spans shuffles span FINGERPRINTS (xxhash64
+    longs), never raw span strings, and exactly TWICE: the fp-keyed
+    min/max window and the per-doc aggregate. The earlier
+    countDistinct-aggregate + rejoin form shuffled the span stream
+    three times and computed the explode twice."""
     df = SPECS["op_dedup_substring_spans"].fn(spark, SF)
     plan = I.explain_str(df)
     assert "xxhash64" in plan, "span fingerprinting disappeared from the plan"
     f = I.facts(df)
-    assert all(j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in f.joins), f.joins
+    assert not f.joins, f"span profile regressed to agg+rejoin: {f.joins}"
+    assert f.exchanges == 2, f"expected fp window + doc agg shuffles, got {f.exchanges}"
 
 
 def test_sql_udfs_inline_into_plan(spark):
