@@ -167,3 +167,22 @@ def test_ewma_closed_form_matches_pandas_recursion(spark, sf_dir):
         ref = grp["daily_value"].ewm(alpha=0.3, adjust=False).mean()
         # ewma is rounded to 4dp on output; half-ulp there is 5e-5
         assert (grp["ewma"] - ref).abs().max() < 6e-5
+
+
+def test_no_round_over_rank_ratios_in_oracles():
+    """Registry convention (round-5): never ROUND(percent_rank/
+    cume_dist, d) in an oracle — k/(n-1) can be an exactly-
+    representable binary fraction whose scaled value is exactly .5,
+    where Spark HALF_UP and DuckDB binary rounding split (first hit
+    41/640 at sf0.1). The floor(x*10^d + 0.5)/10^d form is the
+    sanctioned cut; this lint keeps the class from reappearing."""
+    import re
+
+    from game_data_etl_pipeline_spark import registry
+
+    bad = []
+    pat = re.compile(r"ROUND\s*\(\s*(percent_rank|cume_dist)", re.IGNORECASE)
+    for name, spec in registry.all_specs().items():
+        if spec.oracle and pat.search(spec.oracle):
+            bad.append(name)
+    assert not bad, f"ROUND over rank ratios (engine-splitting): {bad}"
