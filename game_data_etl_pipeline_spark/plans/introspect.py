@@ -95,6 +95,27 @@ def has_partial_aggregation(plan: str) -> bool:
     return "partial_" in plan
 
 
+def num_global_window_sorts(plan: str) -> int:
+    """Unpartitioned windows — the single-task class the round-4
+    verdict flagged (an unpartitioned WindowExec moves ALL rows to one
+    partition). In simple mode the shape is three consecutive lines:
+    Window, then Sort, then Exchange SinglePartition. A nonzero count
+    is only acceptable when the window's INPUT is bounded (a top-k
+    heap's survivors, per-iteration scalars, histogram bins) — the
+    full inventory with per-site justification is pinned by
+    tests/test_plans.py::test_global_window_inventory."""
+    lines = plan.splitlines()
+    n = 0
+    for i in range(len(lines) - 2):
+        if (
+            "Window" in lines[i]
+            and "Sort" in lines[i + 1]
+            and "Exchange SinglePartition" in lines[i + 2]
+        ):
+            n += 1
+    return n
+
+
 @dataclass
 class PlanFacts:
     pushed_filters: list[str]
@@ -104,6 +125,7 @@ class PlanFacts:
     broadcasts: int
     codegen_spans: int
     partial_agg: bool
+    global_window_sorts: int = 0
 
     @property
     def all_read_columns(self) -> set[str]:
@@ -124,6 +146,7 @@ def facts(df: DataFrame) -> PlanFacts:
         broadcasts=num_broadcasts(simple),
         codegen_spans=codegen_span_count(simple),
         partial_agg=has_partial_aggregation(formatted),
+        global_window_sorts=num_global_window_sorts(simple),
     )
 
 

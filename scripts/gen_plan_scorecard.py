@@ -34,7 +34,11 @@ def main() -> None:
         "whole-stage-codegen spans. Streaming queries can't be explained",
         "pre-start and are marked `streaming`. Plan CONTRACTS (the rows that",
         "must never regress) live in tests/test_plans.py; this file is the",
-        "full-surface snapshot.",
+        "full-surface snapshot. GLOBALWIN=N marks plans containing an",
+        "unpartitioned window's single-partition sort — acceptable ONLY over",
+        "bounded inputs (histogram bins, distinct sources, documented exact",
+        "verifiers); the per-site allowlist is pinned by",
+        "tests/test_plans.py::test_global_window_inventory.",
         "",
         "```",
     ]
@@ -48,9 +52,10 @@ def main() -> None:
             lines.append(f"{name:36s} !! {type(e).__name__}: {e}")
             continue
         joins = ",".join(sorted(set(f.joins))) or "-"
+        gw = f" GLOBALWIN={f.global_window_sorts}" if f.global_window_sorts else ""
         lines.append(
             f"{name:36s} xchg={f.exchanges} bcast={f.broadcasts} "
-            f"pushed={len(f.pushed_filters)} codegen={f.codegen_spans} joins={joins}"
+            f"pushed={len(f.pushed_filters)} codegen={f.codegen_spans} joins={joins}{gw}"
         )
     lines.append("```")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")

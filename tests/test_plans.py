@@ -602,3 +602,38 @@ def test_ops_dashboard_two_shuffles(spark):
     f = I.facts(SPECS["q_ops_dashboard"].fn(spark, SF))
     assert f.exchanges == 2, f"ops dashboard shuffles {f.exchanges}x"
     assert not f.joins, f.joins
+
+
+def test_global_window_inventory(spark):
+    """Full-registry audit of the single-task window class the round-4
+    verdict flagged: any plan whose simple form contains Window ->
+    Sort -> Exchange SinglePartition must be on this allowlist, and
+    each allowlisted site must be bounded-input by construction:
+
+    - op_agg_equidepth: documented exact verifier of op_agg_percentile
+      (deliberately global; the docstring says so).
+    - op_agg_quantile_sketch: cumulative window over 64 histogram bins.
+    - op_corpus_interleave: dense_rank over the distinct source list.
+    - op_pareto_concentration: prefix window over 32 revenue bins.
+
+    A NEW name appearing here means an unpartitioned window was added
+    over a potentially unbounded input — fix it like op_agg_countmin
+    (orderBy+limit heap) or op_rfm_scores (broadcast cut points)."""
+    allowed = {
+        "op_agg_equidepth",
+        "op_agg_quantile_sketch",
+        "op_corpus_interleave",
+        "op_pareto_concentration",
+    }
+    flagged = set()
+    for name, spec in SPECS.items():
+        if "streaming" in spec.tags:
+            continue
+        try:
+            plan = I.explain_str(spec.fn(spark, SF), "simple")
+        except Exception:
+            continue
+        if I.num_global_window_sorts(plan):
+            flagged.add(name)
+    assert flagged <= allowed, f"new unbounded-input global windows: {flagged - allowed}"
+    assert allowed <= flagged, f"allowlist stale (sites fixed?): {allowed - flagged}"
