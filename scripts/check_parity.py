@@ -1,9 +1,13 @@
 """Run the driver-style oracle sweep at an arbitrary scale factor.
 
 Usage: python scripts/check_parity.py [sf_dir] [query_name ...]
+       python scripts/check_parity.py [sf_dir] --window
 
 With query names given, only those registry entries are checked
 (substring match allowed) — the fast loop while iterating on one op.
+``--window`` is the driver dress rehearsal: check exactly the FIRST
+50 entries of ``queries()`` — the set the round driver will verify —
+so a round never ships a window with a latent red row.
 """
 
 from __future__ import annotations
@@ -22,10 +26,17 @@ from tests.oracle import compare
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
+    window: set[str] | None = None
+    if "--window" in only:
+        only = [a for a in only if a != "--window"]
+        window = set(list(registry.all_specs())[:50])
+        print(f"driver-window rehearsal: {len(window)} queries")
     spark = get_spark("parity")
     duck = make_duck(sf_dir)
     failures = 0
     for name, spec in sorted(registry.all_specs().items()):
+        if window is not None and name not in window:
+            continue
         if only and not any(pat in name for pat in only):
             continue
         try:
