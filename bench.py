@@ -32,6 +32,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from game_data_etl_pipeline_spark import registry  # noqa: E402
 from game_data_etl_pipeline_spark.session import get_spark  # noqa: E402
 
+# v2 suite (round 6): the r4-frozen 23-query suite stays untouched for
+# cross-round continuity (its total remains the headline "value"); v2
+# ADDS the heavyweight behavior/window shapes verified since the
+# freeze, plus the two round-6 scale rewrites, so their wall-clock is
+# tracked too. Extending means appending here — never editing the
+# frozen set.
+V2_EXTRA = (
+    "q_sessionize_batch",      # gap-based sessionization (per-user window + agg)
+    "op_window_moving_median", # sliding exact median (the expensive frame)
+    "op_rfm_scores",           # broadcast-cut-points quintile scoring
+    "op_agg_equidepth",        # r6 rewrite: broadcast decile cut points
+    "op_sim_ivf_trained",      # production IVF: Lloyd loop + trained assignment
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,22 +68,30 @@ def main() -> None:
 
         _bucketed_tables(spark, sf_dir)
 
-    samples: dict[str, list[float]] = {name: [] for name in specs}
+    all_specs = registry.all_specs()
+    v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
+    timed = {**specs, **v2_specs}
+
+    samples: dict[str, list[float]] = {name: [] for name in timed}
     # round-robin over queries (not reps-inner-loop) so slow drift in
     # the JVM (GC pressure, code-cache growth) spreads across queries
     # instead of biasing later-listed ones
     for _ in range(reps):
-        for name, spec in sorted(specs.items()):
+        for name, spec in sorted(timed.items()):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
 
-    timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
-    spread = {
+    med = {name: round(statistics.median(s), 4) for name, s in samples.items()}
+    spr = {
         name: {"min": round(min(s), 4), "max": round(max(s), 4)}
         for name, s in samples.items()
     }
+    timings = {name: med[name] for name in specs}
+    spread = {name: spr[name] for name in specs}
     total = sum(timings.values())
+    v2_timings = {name: med[name] for name in v2_specs}
+    v2_total = round(total + sum(v2_timings.values()), 4)
 
     print(
         json.dumps(
@@ -87,6 +109,16 @@ def main() -> None:
                 # n=3 -> median-of-5 methodology change, not only
                 # real wins — deltas from r4 onward are attributable.
                 "suite": "r4-frozen-23q-median",
+                # v2 (round 6): frozen 23q + the heavyweight behavior/
+                # window additions; same reps/medians, timed in the
+                # same interleaved loop. "queries" above stays the
+                # frozen set so 23q deltas remain attributable.
+                "v2": {
+                    "suite": "r6-v2-28q-median",
+                    "total": v2_total,
+                    "queries": v2_timings,
+                    "spread": {name: spr[name] for name in v2_timings},
+                },
             }
         )
     )

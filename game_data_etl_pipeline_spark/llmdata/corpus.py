@@ -412,7 +412,7 @@ MIX_ALPHA = 0.5  # temperature exponent: alpha<1 flattens the source mix
         ),
         tot AS (SELECT SUM(n) AS total FROM counts),
         weighted AS (
-            SELECT source, n, pow(n / total, {MIX_ALPHA}) / (n / total) AS ratio
+            SELECT source, n, sqrt(n / total) / (n / total) AS ratio
             FROM counts, tot
         ),
         keepfrac AS (
@@ -457,7 +457,11 @@ def op_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = counts.crossJoin(F.broadcast(total)).select(
         "source",
         "n",
-        (F.pow(F.col("n") / F.col("total"), F.lit(MIX_ALPHA)) / (F.col("n") / F.col("total"))).alias("ratio"),
+        # p^MIX_ALPHA realized as sqrt(p): sqrt is IEEE-correctly-
+        # rounded in BOTH engines where libm pow(x, 0.5) is not
+        # (registry power() rule; lint: test_no_inexact_power_in_oracles).
+        # Changing MIX_ALPHA off 0.5 requires re-deriving both sides.
+        (F.sqrt(F.col("n") / F.col("total")) / (F.col("n") / F.col("total"))).alias("ratio"),
     )
     max_ratio = weighted.agg(F.max("ratio").alias("max_ratio"))
     thresholds = weighted.crossJoin(F.broadcast(max_ratio)).select(

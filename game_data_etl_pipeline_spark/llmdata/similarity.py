@@ -768,3 +768,83 @@ def op_sim_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cell_n") / F.avg("cell_n"), 4).alias("skew_ratio"),
         F.sum(F.col("cell_n") * F.col("cell_n")).alias("pair_work"),
     )
+
+
+@register(
+    "op_sim_ivf_trained",
+    tags=("llm", "similarity", "iterative"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS full_assignment,
+               TRUE AS fixed_k_bound,
+               TRUE AS assignment_is_argmax
+        FROM embeddings
+    """,
+)
+def op_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path as a registered, value-oracled query:
+    ``ivf_trained_centroids`` (op_kmeans_lloyd's deterministic seeded
+    Lloyd loop — fixed K=8, fixed ITERATIONS, seed ids vec_id<K)
+    feeds ``ivf_assign(cents=...)``, so the coarse quantization runs
+    at n×k for CONSTANT k — the scale swap for the default
+    ``vec_id % 50`` oracle-determinism set whose k grows with n
+    (SCALE.md §quadratic problems).
+
+    Trained float means depend on summation order, so — exactly like
+    op_kmeans_lloyd — the registered output is the deterministic
+    corpus count plus oracle-assertable booleans computed IN-QUERY
+    over the real trained assignment:
+
+    - ``n_vectors``: corpus size, hash-compared against DuckDB.
+    - ``full_assignment``: the trained assignment covers every vector
+      exactly once (count AND distinct-count both equal n_vectors).
+    - ``fixed_k_bound``: 0 < #non-empty cells <= K, independent of
+      corpus size (Lloyd may legitimately drop an emptied cluster).
+    - ``assignment_is_argmax``: for every vector, the cosine to its
+      assigned trained centroid equals the max cosine over ALL
+      trained centroids within 1e-12 — re-derived by an independent
+      per-row max over the broadcast centroid set, not by trusting
+      ivf_assign's own window.
+
+    Cost shape: the Lloyd loop is O(iters · n · k) broadcast scans
+    with localCheckpoint lineage cuts; the audit adds one more n×k
+    broadcast join and a vec_id-clustered aggregate. Nothing here
+    shuffles raw vectors except the k×d centroid update."""
+    from game_data_etl_pipeline_spark.llmdata.cluster import K
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    assigned = ivf_assign(emb, cents=cents)
+
+    sim = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
+    per_vec = (
+        assigned.join(F.broadcast(cents.withColumnRenamed("cent_id", "cand_id")), F.lit(True))
+        .select(
+            "vec_id",
+            "cent_id",
+            sim.alias("cs"),
+            (F.col("cand_id") == F.col("cent_id")).alias("is_assigned"),
+        )
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.max("cs").alias("best_cs"),
+            F.max(F.when(F.col("is_assigned"), F.col("cs"))).alias("assigned_cs"),
+        )
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        per_vec.agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.countDistinct("vec_id").alias("n_distinct"),
+            F.countDistinct("cent_id").alias("n_cells"),
+            F.min(F.col("assigned_cs") - F.col("best_cs")).alias("worst_gap"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "n_vectors",
+            ((F.col("n_assigned") == F.col("n_vectors"))
+             & (F.col("n_distinct") == F.col("n_vectors"))).alias("full_assignment"),
+            ((F.col("n_cells") > 0) & (F.col("n_cells") <= F.lit(K))).alias("fixed_k_bound"),
+            (F.col("worst_gap") >= F.lit(-1e-12)).alias("assignment_is_argmax"),
+        )
+    )

@@ -562,49 +562,80 @@ def op_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_agg_equidepth",
-    tags=("agg", "window"),
+    tags=("agg", "scale"),
     oracle="""
-        WITH bucketed AS (
+        WITH c AS (
             SELECT o_totalprice,
-                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders
+        ),
+        cuts AS (
+            SELECT list_transform(
+                       quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                       x -> CAST(FLOOR(x) AS BIGINT)
+                   ) AS cq
+            FROM c
         )
-        SELECT CAST(bucket AS INT) AS bucket,
+        SELECT CAST(1 + len(list_filter(cq, x -> cents > x)) AS INT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(MIN(o_totalprice), 2) AS lo,
                ROUND(MAX(o_totalprice), 2) AS hi
-        FROM bucketed
+        FROM c, cuts
         GROUP BY bucket
     """,
 )
 def op_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-frequency) histogram: ntile(10) splits orders
-    into ten equally sized buckets by o_totalprice; each row reports
-    the bucket's population and [lo, hi] value span — the boundary
-    set a cost-based optimizer or a skew diagnoser actually wants
-    (equi-WIDTH, op_agg_histogram, starves to empty buckets on
-    skewed data; equi-depth never does).
+    """Equi-depth (equal-frequency) histogram over o_totalprice:
+    decile cut points from ONE percentile aggregate, broadcast back,
+    bucket = 1 + (number of cuts strictly below the value) as a pure
+    row expression — the boundary set a cost-based optimizer or a
+    skew diagnoser wants (equi-WIDTH, op_agg_histogram, starves to
+    empty buckets on skewed data; equi-depth never does).
 
-    The ordering carries an o_orderkey tie-break: ntile over a
-    non-unique sort key assigns boundary ties arbitrarily in both
-    engines. Scale caveat: an UNPARTITIONED ntile window single-
-    partitions by construction (Spark plans one WindowExec task for
-    the whole table; it does NOT range-partition a global window) —
-    this op is deliberately the exact-verification counterpart, not
-    the scale path. At 100 TB the boundaries come from
-    approx_percentile in one pass (op_agg_percentile), broadcast as
-    cut points and assigned as row expressions — the pattern
-    op_corpus_quality_deciles and op_rfm_scores implement.
+    Until round 5 this op was the registry's last unbounded-input
+    global window (ntile(10) over all orders single-partitions by
+    construction: Spark plans ONE WindowExec task for an unpartitioned
+    window — it does not range-partition it). Rewritten both-sides to
+    the op_rfm_scores broadcast-cut-points recipe
+    (operators/behavior.py): the only shuffles left are the scalar
+    percentile reduction and the final 10-group aggregate, so the
+    plan stripes at 100 TB (swap exact ``percentile`` for
+    ``approx_percentile`` there; cuts shift within sketch error,
+    assignment is unchanged). Boundary semantics differ from ntile
+    deliberately: equal values always share a bucket (value-based
+    buckets), so populations are near-equal rather than exactly
+    equal — the semantics a histogram consumer actually assumes.
+
+    Cross-engine determinism: quantiles interpolate, and Spark's and
+    DuckDB's lerp formulations may differ by an ulp at interpolated
+    boundaries — fatal to a strict ``value > cut`` comparison (the
+    registry's power() rule, registry.py). Dodge: compare on an
+    INTEGER grid. Prices are exact cents, so the op quantizes to
+    ``cents = round(price*100)`` and floors the cut points; for
+    integer v, ``v > c  <=>  v > floor(c)``, and floor collapses
+    sub-integer ulp noise. tests/test_invariants.py pins the floored
+    cut arrays bit-identical across both engines at every test sf.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    bucketed = orders.select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_totalprice",
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    return bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    qarr = F.array(*[F.lit(k / 10.0) for k in range(1, 10)])
+    cuts = orders.agg(
+        F.transform(
+            F.percentile("cents", qarr), lambda x: F.floor(x).cast("bigint")
+        ).alias("cq")
+    )
+    bucket = F.size(F.filter(F.col("cq"), lambda c: F.col("cents") > c)) + 1
+    return (
+        orders.join(F.broadcast(cuts))
+        .select("o_totalprice", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
     )
 
 
@@ -933,7 +964,7 @@ def op_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l.l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(AVG(POW(l.l_extendedprice - mu.m, 3)) / POW(mu.v, 1.5), 5) AS pop_skewness,
+               ROUND(AVG(POW(l.l_extendedprice - mu.m, 3)) / (mu.v * SQRT(mu.v)), 5) AS pop_skewness,
                ROUND(AVG(POW(l.l_extendedprice - mu.m, 4)) / POW(mu.v, 2) - 3, 5) AS pop_excess_kurtosis
         FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
         GROUP BY l.l_returnflag, mu.m, mu.v
@@ -962,7 +993,10 @@ def op_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.pow(d, 3)) / F.pow(F.first("v"), 1.5), 5).alias("pop_skewness"),
+            # v^1.5 as v*sqrt(v): multiply and sqrt are correctly
+            # rounded in both engines; libm pow(x, 1.5) is not
+            # (registry power() rule; lint: test_no_inexact_power_in_oracles)
+            F.round(F.avg(F.pow(d, 3)) / (F.first("v") * F.sqrt(F.first("v"))), 5).alias("pop_skewness"),
             F.round(F.avg(F.pow(d, 4)) / F.pow(F.first("v"), 2) - 3, 5).alias("pop_excess_kurtosis"),
         )
     )

@@ -170,6 +170,38 @@ def op_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_per_user_and_cuts(spark: SparkSession, sf_dir: str):
+    """op_rfm_scores' building blocks, exposed so the cross-engine
+    cut-point pinning test (tests/test_invariants.py) exercises the
+    exact production path: (per_user RFM table, 1-row df of the three
+    4-element quintile cut arrays)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max(F.col("ts").cast("date")).alias("now_day"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("now_day", "last_day").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qarr = F.array(*[F.lit(q / 5.0) for q in range(1, 5)])
+    cuts = per_user.agg(
+        F.percentile("recency_days", qarr).alias("r_cuts"),
+        F.percentile("frequency", qarr).alias("f_cuts"),
+        F.percentile("monetary", qarr).alias("m_cuts"),
+    )
+    return per_user, cuts
+
+
 @register(
     "op_rfm_scores",
     tags=("behavior", "window"),
@@ -218,30 +250,7 @@ def op_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal scores (value-based buckets), where ntile splits ties
     arbitrarily at bucket edges.
     """
-    events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase")
-    anchor = purchases.agg(F.max(F.col("ts").cast("date")).alias("now_day"))
-    per_user = (
-        purchases.groupBy("user_id")
-        .agg(
-            F.max(F.col("ts").cast("date")).alias("last_day"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("value"), 2).alias("monetary"),
-        )
-        .join(F.broadcast(anchor))
-        .select(
-            "user_id",
-            F.datediff("now_day", "last_day").cast("int").alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
-    )
-    qarr = F.array(*[F.lit(q / 5.0) for q in range(1, 5)])
-    cuts = per_user.agg(
-        F.percentile("recency_days", qarr).alias("r_cuts"),
-        F.percentile("frequency", qarr).alias("f_cuts"),
-        F.percentile("monetary", qarr).alias("m_cuts"),
-    )
+    per_user, cuts = rfm_per_user_and_cuts(spark, sf_dir)
 
     def bucket(value: str, cut_col: str):
         return F.size(F.filter(F.col(cut_col), lambda c: F.col(value) > c)) + 1

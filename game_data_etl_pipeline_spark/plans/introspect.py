@@ -98,21 +98,36 @@ def has_partial_aggregation(plan: str) -> bool:
 def num_global_window_sorts(plan: str) -> int:
     """Unpartitioned windows — the single-task class the round-4
     verdict flagged (an unpartitioned WindowExec moves ALL rows to one
-    partition). In simple mode the shape is three consecutive lines:
-    Window, then Sort, then Exchange SinglePartition. A nonzero count
-    is only acceptable when the window's INPUT is bounded (a top-k
-    heap's survivors, per-iteration scalars, histogram bins) — the
-    full inventory with per-site justification is pinned by
+    partition). In simple mode the shape is a Window line, a Sort line,
+    then — possibly after intermediate narrow nodes (Project, Filter)
+    that Spark occasionally interposes — an Exchange SinglePartition.
+    The scan therefore walks forward from the Sort past narrow
+    single-child nodes instead of requiring exact adjacency (ADVICE
+    r5: the 3-consecutive-lines match under-reported separated
+    shapes). Known residual false negatives, by construction of a
+    text-level scan: a ReusedExchange referencing a single-partition
+    exchange printed elsewhere, and a window whose input is already
+    single-partition with no exchange in this subtree at all (e.g.
+    above a driver-materialized LocalTableScan) — neither prints the
+    literal ``Exchange SinglePartition`` under the Sort. A nonzero
+    count is only acceptable when the window's INPUT is bounded (a
+    top-k heap's survivors, per-iteration scalars, histogram bins) —
+    the full inventory with per-site justification is pinned by
     tests/test_plans.py::test_global_window_inventory."""
     lines = plan.splitlines()
+    # narrow pass-through nodes that may sit between the Sort and its
+    # feeding exchange without changing partitioning
+    _NARROW = ("Project", "Filter", "ColumnarToRow", "InputAdapter", "SerializeFromObject")
     n = 0
     for i in range(len(lines) - 2):
-        if (
-            "Window" in lines[i]
-            and "Sort" in lines[i + 1]
-            and "Exchange SinglePartition" in lines[i + 2]
-        ):
-            n += 1
+        if "Window" in lines[i] and "Sort" in lines[i + 1]:
+            j = i + 2
+            while j < len(lines) and "Exchange" not in lines[j] and any(
+                k in lines[j] for k in _NARROW
+            ):
+                j += 1
+            if j < len(lines) and "Exchange SinglePartition" in lines[j]:
+                n += 1
     return n
 
 

@@ -186,3 +186,140 @@ def test_no_round_over_rank_ratios_in_oracles():
         if spec.oracle and pat.search(spec.oracle):
             bad.append(name)
     assert not bad, f"ROUND over rank ratios (engine-splitting): {bad}"
+
+
+def test_rfm_cut_points_bit_identical_across_engines(spark):
+    """ADVICE r5: op_rfm_scores compares ``value > cut`` against cut
+    points computed independently by Spark percentile() and DuckDB
+    quantile_cont(); a differing lerp formulation could diverge by an
+    ulp at interpolated/tied boundaries and split the strict
+    comparison. Pin the equivalence empirically: both engines' cut
+    arrays must be BIT-identical at every test sf (same q*(n-1)
+    position arithmetic on the same doubles -> same interpolation
+    inputs; this test is the tripwire if either engine changes its
+    formulation)."""
+    import pytest
+
+    from tests.conftest import make_duck
+    from game_data_etl_pipeline_spark.operators.behavior import rfm_per_user_and_cuts
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        _, cuts = rfm_per_user_and_cuts(spark, sf)
+        srow = cuts.first()
+        duck = make_duck(sf)
+        drow = duck.execute(
+            """
+            WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS now_day FROM events),
+            per_user AS (
+                SELECT user_id,
+                       date_diff('day', MAX(CAST(ts AS DATE)), (SELECT now_day FROM anchor)) AS recency_days,
+                       COUNT(*) AS frequency,
+                       ROUND(SUM(value), 2) AS monetary
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS r_cuts,
+                   quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS f_cuts,
+                   quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS m_cuts
+            FROM per_user
+            """
+        ).fetchone()
+        duck.close()
+        for arr, (s_vals, d_vals) in zip(
+            ("r_cuts", "f_cuts", "m_cuts"), zip((srow[0], srow[1], srow[2]), drow)
+        ):
+            for i, (s, d) in enumerate(zip(s_vals, d_vals)):
+                # bitwise, not approx: == on floats IS the assertion
+                assert float(s) == float(d), (
+                    f"{sf} {arr}[{i}]: spark={s!r} duckdb={d!r} "
+                    f"(engines' quantile interpolation diverged)"
+                )
+            assert len(s_vals) == len(d_vals) == 4
+
+
+def test_equidepth_cut_points_bit_identical_across_engines(spark):
+    """op_agg_equidepth's integer-grid dodge (cents + floored cuts)
+    collapses sub-integer ulp noise, but the floored arrays themselves
+    must still agree across engines — pinned at every test sf."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import make_duck
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        orders = load_table(spark, sf, "orders").select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+        )
+        qarr = F.array(*[F.lit(k / 10.0) for k in range(1, 10)])
+        s_cuts = orders.agg(
+            F.transform(F.percentile("cents", qarr), lambda x: F.floor(x).cast("bigint")).alias("cq")
+        ).first()["cq"]
+        duck = make_duck(sf)
+        d_cuts = duck.execute(
+            """
+            SELECT list_transform(
+                quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                x -> CAST(FLOOR(x) AS BIGINT)) FROM orders
+            """
+        ).fetchone()[0]
+        duck.close()
+        assert [int(x) for x in s_cuts] == [int(x) for x in d_cuts], (sf, s_cuts, d_cuts)
+
+
+def test_no_inexact_power_in_oracles():
+    """Registry convention (registry.py): avoid libm ``power()`` with
+    non-integer or non-literal exponents in compared expressions —
+    Java Math.pow and C libm may differ in the last ulp, and no
+    output-rounding discipline fixes inputs that already differ.
+    Integer-literal exponents are allowed (both engines' results agree
+    to well under output rounding for the magnitudes in play, and the
+    sites are sums over many rows rounded to <=5dp); everything else
+    needs a per-site justification here:
+
+    - op_agg_hll_transparent: POWER(2.0, -m_rank) — base-2 integer
+      exponents are EXACT in IEEE 754 (the result is a representable
+      power of two; no libm rounding happens at all).
+    - op_sample_weighted: power(u, 1.0/n_chars) — the A-ES key is
+      used ONLY for ordering (top-n by k); u is an md5-derived uniform
+      whose inter-key gaps are ~1e-3, dwarfing any ulp divergence, and
+      the final output never exposes k itself.
+    """
+    import re
+
+    from game_data_etl_pipeline_spark import registry
+
+    allowed = {"op_agg_hll_transparent", "op_sample_weighted"}
+    int_literal = re.compile(r"^-?\d+(\.0*)?$")
+    pat = re.compile(r"\bpow(?:er)?\s*\(", re.IGNORECASE)
+
+    def last_top_level_arg(text: str, start: int) -> str | None:
+        """text[start] is the '(' of a pow call; return its final
+        top-level argument, or None if unbalanced (truncated)."""
+        depth, args, cur = 0, [], []
+        for ch in text[start:]:
+            if ch == "(":
+                depth += 1
+                if depth > 1:
+                    cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append("".join(cur).strip())
+                    return args[-1]
+                cur.append(ch)
+            elif ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        return None
+
+    bad = []
+    for name, spec in registry.all_specs().items():
+        if not spec.oracle or name in allowed:
+            continue
+        for m in pat.finditer(spec.oracle):
+            exp = last_top_level_arg(spec.oracle, m.end() - 1)
+            if exp is None or not int_literal.match(exp):
+                bad.append((name, exp))
+    assert not bad, f"inexact power() in compared oracle expressions: {bad}"

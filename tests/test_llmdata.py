@@ -284,7 +284,11 @@ def test_ivf_trained_fixed_k(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_trained_centroids(spark, sf_dir)
-    assert cents.count() == K  # fixed k, independent of corpus size
+    # fixed-k contract is an UPPER bound independent of corpus size:
+    # _update drops clusters that went empty during a Lloyd step, so a
+    # new fixture may legitimately train fewer than K non-empty cells
+    # (ADVICE r5 — asserting == K coupled the test to one fixture)
+    assert 0 < cents.count() <= K
     assigned = ivf_assign(emb, cents=cents)
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n"),
@@ -297,3 +301,16 @@ def test_ivf_trained_fixed_k(spark, sf_dir):
     assert stats["n_cells"] <= K
     ids = {r["cent_id"] for r in assigned.select("cent_id").distinct().collect()}
     assert ids <= set(range(K))
+
+
+def test_sim_ivf_trained_audit_booleans(spark, sf_dir):
+    """op_sim_ivf_trained's audit row must be all-true on the real
+    trained assignment (the oracle asserts the same literals; this
+    pins it without the driver)."""
+    from game_data_etl_pipeline_spark.llmdata.similarity import op_sim_ivf_trained
+
+    row = op_sim_ivf_trained(spark, sf_dir).first()
+    assert row["n_vectors"] > 0
+    assert row["full_assignment"] is True
+    assert row["fixed_k_bound"] is True
+    assert row["assignment_is_argmax"] is True

@@ -610,30 +610,72 @@ def test_global_window_inventory(spark):
     Sort -> Exchange SinglePartition must be on this allowlist, and
     each allowlisted site must be bounded-input by construction:
 
-    - op_agg_equidepth: documented exact verifier of op_agg_percentile
-      (deliberately global; the docstring says so).
     - op_agg_quantile_sketch: cumulative window over 64 histogram bins.
     - op_corpus_interleave: dense_rank over the distinct source list.
     - op_pareto_concentration: prefix window over 32 revenue bins.
+
+    (op_agg_equidepth left this list in round 6: rewritten both-sides
+    to broadcast cut points, the op_rfm_scores recipe.)
 
     A NEW name appearing here means an unpartitioned window was added
     over a potentially unbounded input — fix it like op_agg_countmin
     (orderBy+limit heap) or op_rfm_scores (broadcast cut points)."""
     allowed = {
-        "op_agg_equidepth",
         "op_agg_quantile_sketch",
         "op_corpus_interleave",
         "op_pareto_concentration",
     }
     flagged = set()
+    explain_errors = {}
     for name, spec in SPECS.items():
         if "streaming" in spec.tags:
             continue
         try:
             plan = I.explain_str(spec.fn(spark, SF), "simple")
-        except Exception:
+        except Exception as e:  # noqa: BLE001
+            # an op that cannot even explain would silently escape the
+            # audit (ADVICE r5) — surface it as a failure instead
+            explain_errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
             continue
         if I.num_global_window_sorts(plan):
             flagged.add(name)
+    assert not explain_errors, f"ops escaped the window audit (explain failed): {explain_errors}"
     assert flagged <= allowed, f"new unbounded-input global windows: {flagged - allowed}"
     assert allowed <= flagged, f"allowlist stale (sites fixed?): {allowed - flagged}"
+
+
+def test_global_window_matcher_tolerates_intermediate_nodes():
+    """ADVICE r5: the Window->Sort->Exchange SinglePartition scan must
+    also catch shapes where Spark interposes a narrow node (Project,
+    Filter) between the Sort and its feeding exchange — and must NOT
+    count hash-partitioned windows or unrelated exchanges."""
+    adjacent = (
+        "Window [row_number()], [x ASC]\n"
+        "+- Sort [x ASC], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+    )
+    separated = (
+        "Window [ntile(10)], [y ASC]\n"
+        "+- Sort [y ASC], false, 0\n"
+        "   +- Project [y]\n"
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+    )
+    partitioned = (
+        "Window [rank()], [k], [v ASC]\n"
+        "+- Sort [k ASC, v ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(k, 32), ENSURE_REQUIREMENTS\n"
+    )
+    # a Project below the Sort fed by a HASH exchange must not count,
+    # even though an unrelated SinglePartition exchange appears later
+    unrelated = (
+        "Window [rank()], [k], [v ASC]\n"
+        "+- Sort [k ASC, v ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(k, 32), ENSURE_REQUIREMENTS\n"
+        "      +- HashAggregate\n"
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+    )
+    assert I.num_global_window_sorts(adjacent) == 1
+    assert I.num_global_window_sorts(separated) == 1
+    assert I.num_global_window_sorts(partitioned) == 0
+    assert I.num_global_window_sorts(unrelated) == 0
+    assert I.num_global_window_sorts(adjacent + separated) == 2
