@@ -323,3 +323,33 @@ def test_no_inexact_power_in_oracles():
             if exp is None or not int_literal.match(exp):
                 bad.append((name, exp))
     assert not bad, f"inexact power() in compared oracle expressions: {bad}"
+
+
+def test_equidepth_buckets_partition_orders(spark, sf_dir):
+    """The broadcast-cut-point equidepth histogram must (a) place every
+    order in exactly one bucket (populations sum to the table count),
+    (b) keep bucket value spans ordered and non-overlapping
+    (hi_i <= lo_{i+1}), and (c) keep populations near-equal — each
+    within 10% of n/10 plus the largest tie run, the slack value-based
+    bucketing legitimately needs where ntile would split ties."""
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    rows = sorted(
+        SPECS["op_agg_equidepth"].fn(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    assert sum(r.n for r in rows) == n_orders
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo, f"bucket {a.bucket} span overlaps {b.bucket}"
+    max_tie = (
+        orders.groupBy("o_totalprice").count().agg(F.max("count")).first()[0]
+    )
+    target = n_orders / 10
+    for r in rows:
+        assert abs(r.n - target) <= 0.1 * target + max_tie, (
+            f"bucket {r.bucket} population {r.n} vs target {target}"
+        )
