@@ -1118,3 +1118,83 @@ def op_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repetitive_compresses_better"),
     )
     return audited
+
+
+@register(
+    "op_text_vocab_coverage",
+    tags=("llm", "text", "scale"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        vocab AS (
+            SELECT term FROM toks GROUP BY term
+            ORDER BY COUNT(*) DESC, term LIMIT 500
+        ),
+        per_doc AS (
+            SELECT t.doc_id, t.source,
+                   COUNT(*) AS n_tok,
+                   SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+            FROM toks t LEFT JOIN vocab v ON t.term = v.term
+            GROUP BY t.doc_id, t.source
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_tok) - SUM(n_in) AS BIGINT) AS n_oov,
+               FLOOR((SUM(n_tok) - SUM(n_in)) * 1.0 / SUM(n_tok) * 10000 + 0.5) / 10000
+                   AS oov_rate,
+               CAST(SUM(CASE WHEN (n_tok - n_in) * 5 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high_oov_docs
+        FROM per_doc
+        GROUP BY source
+    """,
+)
+def op_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary profile per source: the
+    top-500 corpus terms form the vocabulary (deterministic count-then-
+    term tiebreak), and each source is scored by its token-weighted OOV
+    rate plus the count of documents whose own OOV rate exceeds 20% —
+    the standard "is this slice gibberish/boilerplate/wrong-domain"
+    curation signal next to op_text_quality's per-doc features.
+
+    Scale shape (100 TB): the vocabulary is a bounded top-k —
+    orderBy+limit plans TakeOrderedAndProject (a 500-row heap per
+    partition merged on the driver), never a global sort — and then
+    BROADCASTS to the membership join, so the token stream is scored
+    map-side; the only wide exchanges carry (term, count) partials and
+    per-doc count pairs, never token streams. Cross-engine float
+    discipline (registry.py): both rate comparisons stay on the integer
+    grid — the 20% threshold is the integer predicate
+    ``(n_tok - n_in) * 5 > n_tok`` and the source-level rate is ONE
+    IEEE division of two exact BIGINT sums, then the sanctioned
+    ``floor(x*10^4 + 0.5)`` quantization on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(_terms()).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(500)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in"),
+        )
+    )
+    oov = F.sum("n_tok") - F.sum("n_in")
+    rate = oov * F.lit(1.0) / F.sum("n_tok")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        oov.alias("n_oov"),
+        (F.floor(rate * 10000 + F.lit(0.5)) / F.lit(10000)).alias("oov_rate"),
+        F.sum(
+            F.when((F.col("n_tok") - F.col("n_in")) * 5 > F.col("n_tok"), 1).otherwise(0)
+        ).alias("n_high_oov_docs"),
+    )

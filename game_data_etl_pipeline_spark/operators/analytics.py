@@ -1394,3 +1394,99 @@ def q_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("click_to_purchase_rate"),
     )
+
+
+@register(
+    "q_copurchase_lift",
+    tags=("analytics", "join", "scale"),
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        part_n AS (
+            SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS pair_n
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        top AS (
+            SELECT part_a, part_b, pair_n FROM pairs
+            ORDER BY pair_n DESC, part_a, part_b LIMIT 20
+        )
+        SELECT t.part_a, t.part_b,
+               CAST(t.pair_n AS BIGINT) AS pair_n,
+               CAST(pa.n_part AS BIGINT) AS n_a,
+               CAST(pb.n_part AS BIGINT) AS n_b,
+               FLOOR(t.pair_n * tot.n_orders * 1.0 / (pa.n_part * pb.n_part) * 10000 + 0.5)
+                   / 10000 AS lift
+        FROM top t
+        JOIN part_n pa ON pa.l_partkey = t.part_a
+        JOIN part_n pb ON pb.l_partkey = t.part_b, tot
+    """,
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining: the top-20 part pairs by
+    co-occurrence across orders, scored with lift =
+    P(a,b) / (P(a)·P(b)) — the "frequently bought together" query every
+    commerce/telemetry warehouse runs, absent from the reference's
+    SQLite surface (reference README.md:130-140 stops at per-table
+    aggregates).
+
+    Scale shape (100 TB): pair generation is a SELF-EQUI-JOIN on
+    l_orderkey — never a cross product — and its fanout is bounded by
+    the per-order basket size (≤ C(items,2) per order, items ≤ 7 in
+    TPC-H-shaped data), so it scales linearly in orders; skewed mega
+    baskets are AQE skew-split on the orderkey exchange. Pair counts
+    are map-side-combinable, the top-20 cut is orderBy+limit
+    (TakeOrderedAndProject's per-partition heap), and the per-part
+    support counts join back against ONLY the 20 survivors — the
+    20-row side broadcasts, the |parts|-sized table streams.
+    Cross-engine float discipline (registry.py): lift is one IEEE
+    division of exact BIGINT products, then the sanctioned
+    ``floor(x*10^4 + 0.5)`` quantization in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    top = pairs.orderBy(F.col("pair_n").desc(), "part_a", "part_b").limit(20)
+    pa = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    pb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    scored = (
+        pa.join(F.broadcast(top), "part_a")
+        .join(F.broadcast(pb.join(F.broadcast(top.select("part_b").distinct()), "part_b")), "part_b")
+        .join(F.broadcast(tot))
+    )
+    lift_raw = (F.col("pair_n") * F.col("n_orders")) * F.lit(1.0) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return scored.select(
+        "part_a",
+        "part_b",
+        "pair_n",
+        "n_a",
+        "n_b",
+        (F.floor(lift_raw * 10000 + F.lit(0.5)) / F.lit(10000)).alias("lift"),
+    )
