@@ -679,3 +679,34 @@ def test_global_window_matcher_tolerates_intermediate_nodes():
     assert I.num_global_window_sorts(partitioned) == 0
     assert I.num_global_window_sorts(unrelated) == 0
     assert I.num_global_window_sorts(adjacent + separated) == 2
+
+
+def test_vocab_coverage_broadcasts_vocab_and_keeps_topk_heap(spark):
+    """op_text_vocab_coverage: the 500-term vocabulary cut must be
+    orderBy+limit (TakeOrderedAndProject heap, never a global rank
+    sort) and its membership join against the token stream must be a
+    broadcast — a shuffled join there would re-shuffle the full token
+    stream on the term key for a 500-row build side."""
+    plan = I.explain_str(SPECS["op_text_vocab_coverage"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, "vocab cut lost the top-k heap"
+    assert "BroadcastHashJoin" in plan, "vocab membership join is not broadcast"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "token stream shuffled into the vocab join"
+    )
+
+
+def test_copurchase_pair_join_is_equi_not_cross(spark):
+    """q_copurchase_lift: pair generation must meet on l_orderkey as a
+    hash/sort-merge EQUI-join (the a.partkey < b.partkey predicate is a
+    residual filter, not the join condition); the only nested-loop
+    operator allowed is the final 1-row n_orders broadcast, and the
+    support-count joins against the 20 survivors must be broadcasts."""
+    plan = I.explain_str(SPECS["q_copurchase_lift"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, "pair join degenerated to a cross product"
+    pair_section = plan.split("TakeOrderedAndProject")[-1]
+    assert (
+        "SortMergeJoin" in pair_section
+        or "ShuffledHashJoin" in pair_section
+        or "BroadcastHashJoin" in pair_section
+    ), "no equi-join below the top-20 cut"
+    assert "TakeOrderedAndProject" in plan, "top-20 cut lost the heap"
