@@ -47,6 +47,50 @@ V2_EXTRA = (
 )
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work probes that measure the HOST, not the engine, so
+    cross-round per-query deltas can be attributed: if the probes and
+    the suite shift by the same factor, the hardware moved, not the
+    plans. (Round 6 measured a uniform ~1.7x slowdown across all 23
+    frozen queries AND a 2.1 GHz host clock + ~2x slower pytest wall
+    clock vs the round-5 judge run — without a recorded probe that
+    distinction rested on inference.)
+
+    - ``py_spin_sec``: single-thread Python arithmetic loop (median of
+      3) — host scalar speed.
+    - ``jvm_spin_sec``: ``spark.range(2e8).sum(id*id)`` (median of 3)
+      — JVM whole-stage-codegen throughput across all local cores.
+    To compare round A to round B, divide suite totals by the ratio of
+    their probes."""
+    import statistics as _st
+    import time as _t
+
+    def _med(fn):
+        out = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            fn()
+            out.append(_t.perf_counter() - t0)
+        return round(_st.median(out), 4)
+
+    def _py():
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        return x
+
+    def _jvm():
+        # per-row product stays in long range (id < 1e9); the sum is
+        # accumulated as double to avoid ANSI long overflow
+        spark.range(1_000_000_000).selectExpr("sum(cast(id * id as double))").collect()
+
+    return {
+        "py_spin_sec": _med(_py),
+        "jvm_spin_sec": _med(_jvm),
+        "nproc": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
@@ -59,6 +103,7 @@ def main() -> None:
     # warm-up: session init, codegen, parquet footer reads
     warm = specs.get("q_revenue_by_region") or next(iter(specs.values()))
     warm.fn(spark, sf_dir).count()
+    calibration = _calibration(spark)
     # materialize the bucketed sink layout outside the timed region:
     # bucketing pays its shuffle at WRITE time by design, and the
     # benched number should measure the repeated co-located join,
@@ -70,17 +115,23 @@ def main() -> None:
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
-    timed = {**specs, **v2_specs}
 
-    samples: dict[str, list[float]] = {name: [] for name in timed}
-    # round-robin over queries (not reps-inner-loop) so slow drift in
-    # the JVM (GC pressure, code-cache growth) spreads across queries
-    # instead of biasing later-listed ones
-    for _ in range(reps):
-        for name, spec in sorted(timed.items()):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            samples[name].append(time.perf_counter() - t0)
+    samples: dict[str, list[float]] = {name: [] for name in {**specs, **v2_specs}}
+    # TWO sequential passes, frozen suite first: the first r6 run timed
+    # all 28 queries in ONE interleaved loop and the frozen 23 came out
+    # a uniform ~1.6x slower than r5 — the v2 heavies (the Lloyd-loop
+    # IVF with its per-iteration localCheckpoint blocks) pressure the
+    # block manager and GC for every query sharing the loop. Separating
+    # the passes keeps the frozen-23 methodology bit-identical to r4/r5
+    # so cross-round deltas stay attributable; v2 extras pay their own
+    # pressure in their own pass. Within each pass the loop is still
+    # round-robin over queries so JVM drift spreads evenly.
+    for pass_specs in (specs, v2_specs):
+        for _ in range(reps):
+            for name, spec in sorted(pass_specs.items()):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                samples[name].append(time.perf_counter() - t0)
 
     med = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     spr = {
@@ -103,6 +154,7 @@ def main() -> None:
                 "spread": spread,
                 "reps": reps,
                 "sf": sf,
+                "calibration": calibration,
                 # methodology continuity: the 23-query suite is FROZEN
                 # as of round 4 so round-over-round totals compare
                 # like-for-like; the r3->r4 drop partly reflected the
@@ -110,9 +162,11 @@ def main() -> None:
                 # real wins — deltas from r4 onward are attributable.
                 "suite": "r4-frozen-23q-median",
                 # v2 (round 6): frozen 23q + the heavyweight behavior/
-                # window additions; same reps/medians, timed in the
-                # same interleaved loop. "queries" above stays the
-                # frozen set so 23q deltas remain attributable.
+                # window additions; same reps/medians, timed in a
+                # SECOND sequential pass so the extras' block-manager/
+                # GC pressure cannot leak into the frozen numbers.
+                # "queries" above stays the frozen set so 23q deltas
+                # remain attributable.
                 "v2": {
                     "suite": "r6-v2-28q-median",
                     "total": v2_total,
