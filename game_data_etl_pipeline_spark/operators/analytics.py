@@ -1439,44 +1439,58 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQLite surface (reference README.md:130-140 stops at per-table
     aggregates).
 
-    Scale shape (100 TB): pair generation is a SELF-EQUI-JOIN on
-    l_orderkey — never a cross product — and its fanout is bounded by
-    the per-order basket size (≤ C(items,2) per order, items ≤ 7 in
-    TPC-H-shaped data), so it scales linearly in orders; skewed mega
-    baskets are AQE skew-split on the orderkey exchange. Pair counts
-    are map-side-combinable, the top-20 cut is orderBy+limit
+    Scale shape (100 TB): lineitem is reduced ONCE to per-order sorted
+    part arrays — a single hash exchange on l_orderkey carrying two int
+    columns — and everything else derives from that one grouped
+    subtree: pairs come from a per-row combination explode over the
+    sorted array (array_sort guarantees a < b; NO self-join, fanout
+    bounded by C(basket, 2), basket ≤ 7 in TPC-H-shaped data), per-part
+    support counts from an explode of the same arrays, and the order
+    total from the same frame's count. Because all three branches
+    consume the IDENTICAL subtree, Spark's ReuseExchange materializes
+    the orderkey shuffle once (the op_plan_exchange_reuse pattern; the
+    naive `li.distinct()`-per-branch form planned FOUR lineitem scans
+    and four distinct shuffles — Catalyst fuses distinct+agg
+    differently per consumer, so those subtrees never unify). A
+    pathological mega-basket would need a slice cap on the array;
+    TPC-H-shaped baskets make that unnecessary. Pair counts are
+    map-side-combinable, the top-20 cut is orderBy+limit
     (TakeOrderedAndProject's per-partition heap), and the per-part
     support counts join back against ONLY the 20 survivors — the
     20-row side broadcasts, the |parts|-sized table streams.
     Cross-engine float discipline (registry.py): lift is one IEEE
     division of exact BIGINT products, then the sanctioned
     ``floor(x*10^4 + 0.5)`` quantization in both engines."""
-    li = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_n = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("pair_n"))
     )
     top = pairs.orderBy(F.col("pair_n").desc(), "part_a", "part_b").limit(20)
     pa = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     pb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
     scored = (
-        pa.join(F.broadcast(top), "part_a")
-        .join(F.broadcast(pb.join(F.broadcast(top.select("part_b").distinct()), "part_b")), "part_b")
+        pb.join(F.broadcast(pa.join(F.broadcast(top), "part_a")), "part_b")
         .join(F.broadcast(tot))
     )
     lift_raw = (F.col("pair_n") * F.col("n_orders")) * F.lit(1.0) / (

@@ -695,18 +695,30 @@ def test_vocab_coverage_broadcasts_vocab_and_keeps_topk_heap(spark):
     )
 
 
-def test_copurchase_pair_join_is_equi_not_cross(spark):
-    """q_copurchase_lift: pair generation must meet on l_orderkey as a
-    hash/sort-merge EQUI-join (the a.partkey < b.partkey predicate is a
-    residual filter, not the join condition); the only nested-loop
-    operator allowed is the final 1-row n_orders broadcast, and the
-    support-count joins against the 20 survivors must be broadcasts."""
-    plan = I.explain_str(SPECS["q_copurchase_lift"].fn(spark, SF))
-    assert "CartesianProduct" not in plan, "pair join degenerated to a cross product"
-    pair_section = plan.split("TakeOrderedAndProject")[-1]
-    assert (
-        "SortMergeJoin" in pair_section
-        or "ShuffledHashJoin" in pair_section
-        or "BroadcastHashJoin" in pair_section
-    ), "no equi-join below the top-20 cut"
+def test_copurchase_generates_pairs_without_a_join(spark):
+    """q_copurchase_lift: pair generation is a per-row combination
+    explode over per-order sorted part arrays — the plan must contain
+    NO shuffled join at all (the only joins allowed are the broadcast
+    survivor/count joins and the 1-row n_orders nested loop), no cross
+    product, and the top-20 cut must stay a heap. The one wide
+    exchange of lineitem (groupBy l_orderkey) must be REUSED across
+    the pairs / part-count / order-total branches in the AQE final
+    plan — the naive distinct-per-branch form scanned and shuffled
+    lineitem four times."""
+    import contextlib
+    import io
+
+    df = SPECS["q_copurchase_lift"].fn(spark, SF)
+    plan = I.explain_str(df)
+    assert "CartesianProduct" not in plan, "pair generation degenerated to a cross product"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "pair generation reintroduced a shuffled join"
+    )
     assert "TakeOrderedAndProject" in plan, "top-20 cut lost the heap"
+    df.collect()  # AQE finalizes the plan at execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReusedExchange" in buf.getvalue(), (
+        "basket subtree no longer shared across branches"
+    )
