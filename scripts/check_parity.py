@@ -24,8 +24,13 @@ from tests.oracle import compare
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = sys.argv[1:]
+    # sf_dir is positional-first but optional; a leading flag (e.g.
+    # ``--window`` with no sf_dir) must not be mistaken for a path
+    if args and not args[0].startswith("--"):
+        sf_dir, only = args[0], args[1:]
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", args
     window: set[str] | None = None
     if "--window" in only:
         only = [a for a in only if a != "--window"]
