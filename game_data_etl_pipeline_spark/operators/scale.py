@@ -221,9 +221,10 @@ def op_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dense spine is GENERATED (sequence + explode over the global
     [min, max] hour range), never materialized from data — so silence
     in the source can't silently vanish from the output. The spine is
-    tiny (hours × types) and broadcast; the fact side aggregates
-    BEFORE the join, so the left join touches one row per non-empty
-    (hour, type), not one per event.
+    tiny (hours × types); the fact side aggregates BEFORE the join —
+    to at most one row per (hour, type) — and is the broadcast side,
+    because a left outer join builds RIGHT: a broadcast hint on the
+    preserved spine would be silently dropped by the planner.
     """
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
@@ -240,8 +241,8 @@ def op_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     return (
-        F.broadcast(spine)
-        .join(actual, ["bucket", "event_type"], "left")
+        spine
+        .join(F.broadcast(actual), ["bucket", "event_type"], "left")
         .select(
             F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
             "event_type",
@@ -534,7 +535,12 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
         .agg(F.count(F.lit(1)).cast("double").alias("v"))
     )
-    j = F.broadcast(spine).join(observed, ["bucket", "event_type"], "left")
+    # broadcast the BUILD side: a left outer join cannot broadcast its
+    # preserved (left) side — a hint there is silently dropped with a
+    # HintErrorLogger warn and the planner falls back on its own.
+    # ``observed`` is the legal build-right side and is just as small
+    # (it aggregates to at most one row per spine slot).
+    j = spine.join(F.broadcast(observed), ["bucket", "event_type"], "left")
     w_prev = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
