@@ -951,30 +951,26 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count band [30, 2000] → per-(lang, source) curated-corpus
     manifest. One lazy DataFrame end to end.
 
-    Shuffle ledger at 100 TB: IVF assignment window (vec_id), cell
-    SMJ for the dup pairs (cent_id), anti join of the keep-list
-    (doc_id), ONE span-fingerprint window (fp — min/max doc_id per
-    fp replaces the earlier countDistinct aggregate + rejoin, which
-    shuffled the span stream twice and computed the explode twice),
-    per-doc frac aggregate (doc_id), final manifest aggregate
-    (lang, source) — every key high-cardinality except the
-    manifest's, which is O(langs × sources). Embedding vectors and
-    span text never shuffle (digests and cell ids do)."""
-    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, ivf_assign
+    Shuffle ledger at 100 TB: IVF assignment window (vec_id), ONE
+    cell-id exchange into the blocked-BLAS SemDeDup stage
+    (``semdedup_canon`` — replaced the cell SMJ self-join, which
+    shuffled the vectors twice and paid an interpreted per-pair dot;
+    see its docstring for the measured trade-off), anti join of the
+    keep-list (doc_id), ONE span-fingerprint window (fp — min/max
+    doc_id per fp replaces the earlier countDistinct aggregate +
+    rejoin, which shuffled the span stream twice and computed the
+    explode twice), per-doc frac aggregate (doc_id), final manifest
+    aggregate (lang, source) — every key high-cardinality except the
+    manifest's, which is O(langs × sources). Embedding vectors cross
+    to Arrow once per cell; span text never shuffles (digests and
+    cell ids do)."""
+    from game_data_etl_pipeline_spark.llmdata.dedup import semdedup_canon
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
-    a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                        F.col("vnorm").alias("na"), F.col("cent_id").alias("bucket_a"))
-    b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                        F.col("vnorm").alias("nb"), F.col("cent_id").alias("bucket_b"))
-    cos = dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    dropped = (
-        a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(cos >= 0.3)
-        .select(F.col("vec_b").alias("doc_id"))
-        .distinct()
-    )
+    # one row per dropped vector, already unique — no distinct needed
+    dropped = semdedup_canon(assigned).select(F.col("vec_id").alias("doc_id"))
     terms = F.split(F.col("text"), " ")
     spans_arr = F.when(F.size(terms) < 15, F.array()).otherwise(
         F.expr(

@@ -558,14 +558,22 @@ def test_rfm_scores_has_no_window(spark):
 
 
 def test_knn_graph_and_keeplist_pair_joins_are_hash(spark):
-    """The all-pairs stages of op_sim_knn_graph and
-    op_dedup_semantic_keeplist must meet on the IVF cell id as a hash
-    join (SortMerge/ShuffledHash); the only nested loop allowed is the
-    k-bounded broadcast centroid-assignment pass."""
-    for name in ("op_sim_knn_graph", "op_dedup_semantic_keeplist"):
-        f = I.facts(SPECS[name].fn(spark, SF))
-        hash_joins = [j for j in f.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
-        assert hash_joins, f"{name}: pair join is not a hash join: {f.joins}"
+    """The all-pairs stage of op_sim_knn_graph must meet on the IVF
+    cell id as a hash join (SortMerge/ShuffledHash); the only nested
+    loop allowed is the k-bounded broadcast centroid-assignment pass.
+    op_dedup_semantic_keeplist's pair stage is the blocked-BLAS
+    ``semdedup_canon`` form (r6): ONE cell-id hash exchange into
+    FlatMapGroupsInPandas — no self-join at all — plus the final
+    vec_id-keyed hash join of the verdicts."""
+    f = I.facts(SPECS["op_sim_knn_graph"].fn(spark, SF))
+    hash_joins = [j for j in f.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
+    assert hash_joins, f"op_sim_knn_graph: pair join is not a hash join: {f.joins}"
+
+    keep_plan = I.explain_str(SPECS["op_dedup_semantic_keeplist"].fn(spark, SF))
+    assert "FlatMapGroupsInPandas" in keep_plan, "keeplist lost its Arrow cell stage"
+    fk = I.facts(SPECS["op_dedup_semantic_keeplist"].fn(spark, SF))
+    hash_joins = [j for j in fk.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
+    assert hash_joins, f"keeplist: verdict join is not a hash join: {fk.joins}"
 
 
 def test_substring_spans_single_fingerprint_shuffle(spark):
