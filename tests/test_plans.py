@@ -558,16 +558,20 @@ def test_rfm_scores_has_no_window(spark):
 
 
 def test_knn_graph_and_keeplist_pair_joins_are_hash(spark):
-    """The all-pairs stage of op_sim_knn_graph must meet on the IVF
-    cell id as a hash join (SortMerge/ShuffledHash); the only nested
-    loop allowed is the k-bounded broadcast centroid-assignment pass.
-    op_dedup_semantic_keeplist's pair stage is the blocked-BLAS
-    ``semdedup_canon`` form (r6): ONE cell-id hash exchange into
-    FlatMapGroupsInPandas — no self-join at all — plus the final
+    """The all-pairs stages of op_sim_knn_graph and
+    op_dedup_semantic_keeplist are the blocked-BLAS Arrow form (r6):
+    ONE cell-id hash exchange into FlatMapGroupsInPandas — no cell
+    self-join at all, and in knn's case no vec_id rank window over
+    Σ|cell|² pair rows either (only top-3 rows per vector leave the
+    stage). The only nested loop allowed anywhere is the k-bounded
+    broadcast centroid-assignment pass; keeplist keeps its final
     vec_id-keyed hash join of the verdicts."""
-    f = I.facts(SPECS["op_sim_knn_graph"].fn(spark, SF))
-    hash_joins = [j for j in f.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
-    assert hash_joins, f"op_sim_knn_graph: pair join is not a hash join: {f.joins}"
+    knn_plan = I.explain_str(SPECS["op_sim_knn_graph"].fn(spark, SF))
+    assert "FlatMapGroupsInPandas" in knn_plan, "knn_graph lost its Arrow cell stage"
+    fknn = I.facts(SPECS["op_sim_knn_graph"].fn(spark, SF))
+    assert "SortMergeJoin" not in fknn.joins and "ShuffledHashJoin" not in fknn.joins, (
+        f"knn_graph regressed to a cell self-join: {fknn.joins}"
+    )
 
     keep_plan = I.explain_str(SPECS["op_dedup_semantic_keeplist"].fn(spark, SF))
     assert "FlatMapGroupsInPandas" in keep_plan, "keeplist lost its Arrow cell stage"
