@@ -30,7 +30,9 @@ from game_data_etl_pipeline_spark.catalog import load_table
 from game_data_etl_pipeline_spark.registry import register
 
 
-def semdedup_canon(assigned: DataFrame, threshold: float = 0.3) -> DataFrame:
+def semdedup_canon(
+    assigned: DataFrame, threshold: float = 0.3, stripe_bytes: int = 64_000_000
+) -> DataFrame:
     """Within-cell SemDeDup verdicts: for every vector that has an
     EARLIER same-cell vector with cosine >= ``threshold``, emit
     ``(vec_id, canon)`` where canon is the smallest such neighbor id
@@ -66,7 +68,10 @@ def semdedup_canon(assigned: DataFrame, threshold: float = 0.3) -> DataFrame:
         x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         xn = x / np.where(norms == 0.0, 1.0, norms)
-        stripe = max(1, int(64_000_000 / (8 * n)))
+        # stripe_bytes is injectable so tests can force multi-stripe
+        # execution on small cells (the default only splits past ~2.8k
+        # vectors per cell, which no test fixture reaches)
+        stripe = max(1, int(stripe_bytes / (8 * n)))
         out_vec, out_canon = [], []
         rows = np.arange(n)[:, None]
         for j0 in range(0, n, stripe):

@@ -32,6 +32,10 @@ def _dbl(arr: Column) -> Column:
 
 _DOT_PANDAS = None
 
+# Gram-stripe memory cap for the blocked-BLAS cell stages; tests
+# shrink it to force the multi-stripe path on small fixtures
+_GRAM_STRIPE_BYTES = 64_000_000
+
 
 def dot_pandas():
     """Arrow-batched SIMD dot product (float64 accumulation, matching
@@ -707,6 +711,10 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # bind at call time so the closure ships the value to the Python
+    # workers (tests shrink the module global to force multi-stripe)
+    stripe_cap = _GRAM_STRIPE_BYTES
+
     def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
@@ -722,7 +730,7 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         xn = x / np.where(norms == 0.0, 1.0, norms)
         k = min(3, n - 1)
         out = []
-        stripe = max(1, int(64_000_000 / (8 * n)))
+        stripe = max(1, int(stripe_cap / (8 * n)))
         for i0 in range(0, n, stripe):
             g = xn[i0 : i0 + stripe] @ xn.T
             for r in range(g.shape[0]):

@@ -314,3 +314,34 @@ def test_sim_ivf_trained_audit_booleans(spark, sf_dir):
     assert row["full_assignment"] is True
     assert row["fixed_k_bound"] is True
     assert row["assignment_is_argmax"] is True
+
+
+def test_gram_striping_is_result_invariant(spark, sf_dir):
+    """The blocked-BLAS cell stages compute their Gram matrices in
+    memory-capped stripes; the default cap only splits cells past
+    ~2.8k vectors, which no fixture reaches — so this forces a tiny
+    cap (one-column/one-row stripes on every fixture cell) and pins
+    that the output is IDENTICAL to the unstriped run for BOTH
+    consumers. Guards the stripe index arithmetic (the global column
+    offset in the row<col mask, the per-stripe self-exclusion), which
+    single-stripe runs never exercise."""
+    from game_data_etl_pipeline_spark.llmdata import similarity as sim
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.dedup import semdedup_canon
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
+
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
+
+    wide = {tuple(r) for r in semdedup_canon(assigned).collect()}
+    narrow = {tuple(r) for r in semdedup_canon(assigned, stripe_bytes=8).collect()}
+    assert wide and wide == narrow
+
+    knn = sim.op_sim_knn_graph
+    base = {tuple(r) for r in knn(spark, sf_dir).collect()}
+    old = sim._GRAM_STRIPE_BYTES
+    sim._GRAM_STRIPE_BYTES = 8
+    try:
+        striped = {tuple(r) for r in knn(spark, sf_dir).collect()}
+    finally:
+        sim._GRAM_STRIPE_BYTES = old
+    assert base and base == striped
