@@ -968,7 +968,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
 
     docs = load_table(spark, sf_dir, "documents")
-    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"), form="argmax")
     # one row per dropped vector, already unique — no distinct needed
     dropped = semdedup_canon(assigned).select(F.col("vec_id").alias("doc_id"))
     terms = F.split(F.col("text"), " ")

@@ -75,7 +75,11 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def ivf_assign(
-    emb: DataFrame, *, extra_cols: tuple[str, ...] = (), cents: DataFrame | None = None
+    emb: DataFrame,
+    *,
+    extra_cols: tuple[str, ...] = (),
+    cents: DataFrame | None = None,
+    form: str = "window",
 ) -> DataFrame:
     """Shared IVF coarse quantization: assign every vector to its
     nearest centroid (ties broken by cent_id). Input must carry
@@ -99,23 +103,31 @@ def ivf_assign(
     from raising the trained k, monitored by op_sim_cell_profile.
     Tested in tests/test_llmdata.py::test_ivf_trained_fixed_k.
 
-    Form chosen by MEASUREMENT, and the obvious rewrite loses: a
-    per-row `array_max(transform(centroid_array, struct(cos,
-    -cent_id)))` against a broadcast collect_list of centroids avoids
-    the n×k row blow-up and the rank-window shuffle, and is 3× faster
-    IN ISOLATION (0.32 s vs 0.97 s at sf0.1). But every consumer of
-    this assignment references it at least TWICE (both sides of the
-    knn/keeplist/near-dup self-joins; queries + corpus in op_sim_ivf)
-    — and the window form's vec_id Exchange is REUSED across those
-    references while the array form re-executes its whole map side
-    per reference: end-to-end the window form wins (knn graph 1.77 s
-    vs 2.56 s median-of-5 at sf0.1). The shuffle you can reuse beats
-    the shuffle you avoid. max_by is worse than both (SCALE.md
-    trade-offs). Round-5 re-measure: explicitly materializing the
-    assignment with localCheckpoint(eager=False) before the self-join
-    ALSO loses to exchange reuse (knn graph 1.59 s vs 1.48 s
-    median-of-5 at sf0.1) — the checkpoint write costs more than the
-    second exchange read it saves."""
+    ``form`` picks between two value-identical physical shapes, and
+    the right one DEPENDS ON THE CONSUMER — both directions are
+    measured:
+
+    - ``"window"`` (default): n×k row blow-up against the broadcast
+      centroid set, rank window on vec_id. 3× slower in isolation
+      (0.97 s vs 0.32 s at sf0.1) but its vec_id Exchange is REUSED
+      when the consumer references the assignment more than once ON
+      THE SAME SHAPE — both sides of op_dedup_embedding_cosine's
+      cell self-join (r6 re-measure with the argmax alternative:
+      window 1.85 s vs argmax 2.49 s — reuse still wins there), and
+      queries + corpus in op_sim_ivf. max_by is worse than both, and
+      localCheckpoint materialization also loses (1.59 s vs 1.48 s,
+      r5 re-measure) — both in SCALE.md trade-offs.
+    - ``"argmax"``: per-row `array_max(transform(cands, struct(cos,
+      -cent_id)))` against ONE broadcast collect_list of centroids —
+      no row blow-up, no window, no exchange at all. Wins when the
+      consumer reads the assignment once (knn graph 1.54 s → 1.21 s
+      after the r6 blocked-BLAS rewrite made the Arrow cell stage the
+      sole reader; also q_curation_pipeline_v3, op_sim_cell_profile,
+      op_sim_ivf_trained) — AND when multiple readers shuffle on
+      DIFFERENT keys, where the window's exchange can't be reused
+      anyway: the keep-list's cent_id-groupBy + vec_id-join pair
+      measured 2.46 s → 1.76 s on the swap. The rule is not "how
+      many readers" but "can the vec_id exchange actually be shared"."""
     emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
     if cents is None:
         cents = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -123,11 +135,30 @@ def ivf_assign(
             F.col("embedding").alias("ce"),
             F.col("vnorm").alias("cnorm"),
         )
+    keep = ["vec_id", *extra_cols, "embedding", "vnorm", "cent_id"]
+    if form == "argmax":
+        carr = cents.agg(F.collect_list(F.struct("cent_id", "ce", "cnorm")).alias("cands"))
+        cos_c = lambda c: dot_expr(F.col("embedding"), c["ce"]) / (  # noqa: E731
+            F.col("vnorm") * c["cnorm"]
+        )
+        # struct comparison is lexicographic: max cos first, then max
+        # -cent_id = MIN cent_id — the window's (cs DESC, cent_id)
+        # tie-break exactly
+        best = F.array_max(
+            F.transform(
+                F.col("cands"),
+                lambda c: F.struct(cos_c(c).alias("cs"), (-c["cent_id"]).alias("negid")),
+            )
+        )
+        return (
+            emb.join(F.broadcast(carr), F.lit(True))
+            .withColumn("cent_id", (-best["negid"]).cast("long"))
+            .select(*keep)
+        )
     # norms precomputed per side: inlining cosine_expr would redo the
     # vector norm once per centroid (k×) and once per candidate pair
     sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    keep = ["vec_id", *extra_cols, "embedding", "vnorm", "cent_id"]
     return (
         emb.join(F.broadcast(cents), F.lit(True))
         .select(*keep, sim_to_cent.alias("cs"))
@@ -752,7 +783,7 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"), form="argmax")
     return (
         assigned.select("cent_id", "vec_id", "embedding")
         .groupBy("cent_id")
@@ -802,7 +833,7 @@ def op_sim_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-seed or raise k, a bad pair_work means the cells are too
     coarse. Two tiny aggregates over the shared ivf_assign pass."""
     cells = (
-        ivf_assign(load_table(spark, sf_dir, "embeddings"))
+        ivf_assign(load_table(spark, sf_dir, "embeddings"), form="argmax")
         .groupBy("cent_id")
         .agg(F.count(F.lit(1)).alias("cell_n"))
     )
@@ -860,7 +891,7 @@ def op_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
-    assigned = ivf_assign(emb, cents=cents)
+    assigned = ivf_assign(emb, cents=cents, form="argmax")
 
     sim = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
     per_vec = (
