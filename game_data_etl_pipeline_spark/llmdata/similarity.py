@@ -537,7 +537,13 @@ def op_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs BOTH the rank-1 corpus assignment AND the queries' rank-≤2
     probe cells, and deriving them from one shared ``scored`` subtree
     lets AQE reuse the exchange — measured faster end-to-end than two
-    independent array passes (1.36 s vs 1.88 s at sf0.1)."""
+    independent array passes (1.36 s vs 1.88 s at sf0.1). R6
+    re-measure after the family's argmax swap: a probe-FIRST variant
+    (filter the 3 query vectors before any n×k work, top-2 cells from
+    a sorted struct array, argmax corpus assignment) ALSO loses,
+    1.66 s vs 1.40 s same-host — rerank reads the assignment on both
+    join sides with the same shape, so this stays a window-form
+    consumer like op_dedup_embedding_cosine."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
