@@ -345,3 +345,18 @@ def test_gram_striping_is_result_invariant(spark, sf_dir):
     finally:
         sim._GRAM_STRIPE_BYTES = old
     assert base and base == striped
+
+
+def test_ivf_assign_forms_agree(spark, sf_dir):
+    """ivf_assign's two physical forms (rank window vs per-row array
+    argmax) are interchangeable per consumer ON THE PROMISE that they
+    assign identically — same nearest centroid, same min-cent_id
+    tie-break. Pin it: any drift (e.g. a comparator change in the
+    argmax struct) would silently re-bucket every cell-based op."""
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = {(r["vec_id"], r["cent_id"]) for r in ivf_assign(emb, form="window").select("vec_id", "cent_id").collect()}
+    a = {(r["vec_id"], r["cent_id"]) for r in ivf_assign(emb, form="argmax").select("vec_id", "cent_id").collect()}
+    assert w and w == a
