@@ -33,19 +33,41 @@ ITERATIONS = 3
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector (cosine): broadcast k rows, rank."""
-    from pyspark.sql import Window
-
-    sim = dot_expr(F.col("embedding"), F.col("ce")) / (
-        norm_expr(F.col("embedding")) * norm_expr(F.col("ce"))
+    """Nearest centroid per vector (cosine): per-row array argmax over
+    one broadcast collect_list of the k centroids — ivf_assign's
+    form="argmax" shape. The earlier broadcast-join + rank-window form
+    cost one vec_id exchange PER Lloyd iteration, and the
+    exchange-reuse argument that keeps the window form elsewhere
+    doesn't apply here: each iteration's result is shared through the
+    eager localCheckpoint, not through a reusable exchange. Measured
+    at sf0.1 (3 iterations end-to-end): 2.65 s → 1.72 s, final
+    assignment and sim values identical. Norms are precomputed per
+    side (the old form re-derived the vector norm once per centroid,
+    k× the flops for the same doubles). Ties break to the smallest
+    cluster id via the struct max on (sim, -cluster) — the window's
+    (sim DESC, cluster) order exactly."""
+    carr = (
+        centroids.withColumn("cnorm", norm_expr(F.col("ce")))
+        .agg(F.collect_list(F.struct("cluster", "ce", "cnorm")).alias("cands"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster"))
+    sim_c = lambda c: dot_expr(F.col("embedding"), c["ce"]) / (  # noqa: E731
+        F.col("vnorm") * c["cnorm"]
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(sim_c(c).alias("sim"), (-c["cluster"]).alias("negid")),
+        )
+    )
     return (
-        emb.join(F.broadcast(centroids), F.lit(True))
-        .select("vec_id", "embedding", "cluster", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster", F.col("sim").alias("sim_to_centroid"))
+        emb.withColumn("vnorm", norm_expr(F.col("embedding")))
+        .join(F.broadcast(carr), F.lit(True))
+        .select(
+            "vec_id",
+            "embedding",
+            (-best["negid"]).cast("int").alias("cluster"),
+            best["sim"].alias("sim_to_centroid"),
+        )
     )
 
 
