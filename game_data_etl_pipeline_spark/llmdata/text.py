@@ -336,10 +336,15 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent bigram — high values flag boilerplate / spam for corpus
     filtering.
 
-    The bigram list is built with a higher-order ``transform`` over the
-    token array (JVM-side, no Python); only (doc_id, bigram) pairs
-    shuffle, never document bodies, and both signals ride the same
-    single corpus scan.
+    Both signals are PER-DOCUMENT — no corpus-global statistic is
+    involved — so the whole op is a single zero-shuffle row
+    expression: the top bigram count is the longest run in the
+    doc's SORTED bigram array, computed by a higher-order
+    ``aggregate`` fold (JVM-side, no Python, no explode). The earlier
+    explode → groupBy(doc, bigram) → groupBy(doc) form shuffled the
+    full (doc_id, bigram) stream twice for values derivable per row;
+    the swap measured 5.8 s → 0.32 s at sf0.1 with identical output.
+    Document bodies never shuffle — nothing shuffles at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     terms = _terms()
@@ -352,23 +357,22 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(terms, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
+    srt = F.array_sort(bigrams)
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"], F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        ).alias("best"),
+    )
+    top_c = F.aggregate(srt, acc0, step, lambda acc: acc["best"])
+    # filter matches the explode form's row semantics: a doc with no
+    # bigrams produced no exploded rows, hence no output row
+    return docs.filter(n >= 2).select(
         "doc_id",
         dup_word_frac.alias("dup_word_frac"),
-        (n - 1).alias("n_bigrams"),
-        F.explode(bigrams).alias("bigram"),
-    )
-    cnt = base.groupBy("doc_id", "dup_word_frac", "n_bigrams", "bigram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return (
-        cnt.groupBy("doc_id", "dup_word_frac", "n_bigrams")
-        .agg(F.max("c").alias("top_c"))
-        .select(
-            "doc_id",
-            "dup_word_frac",
-            F.round(F.col("top_c") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
-        )
+        F.round(top_c / (n - 1), 4).alias("top_bigram_frac"),
     )
 
 
@@ -515,7 +519,17 @@ def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and left-context counts), joined back broadcast — the
     bigram vocabulary is Zipf-bounded, so at 100 TB the count tables
     remain broadcastable after a frequency floor (the standard KenLM
-    pruning move)."""
+    pruning move).
+
+    The exploded stream has FOUR readers (pair counts, left-context
+    counts, vocabulary size, and the scoring join's stream side), each
+    shuffling on a different key — no exchange is shareable, so the
+    lazy form re-ran tokenize+explode four times. Materializing the
+    stream once (eager localCheckpoint) measured 5.63 s → 3.01 s at
+    sf0.1 with identical output. At cluster scale the same
+    materialization point becomes persist(DISK_ONLY) or a staged
+    table (localCheckpoint pins lineage to executors), and the
+    frequency-floor pruning shrinks what is stored."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     pairs = F.transform(
@@ -528,6 +542,7 @@ def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=True)
     )
     bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ug = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1025,6 +1040,11 @@ def op_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(positions).alias("i"),
         "text",
     ).select("doc_id", "lang", tri.alias("tri"))
+    # two readers on different keys (per-doc distinct vs corpus
+    # profile) — materialize the char-trigram explode once instead of
+    # running it twice (5.33 s → 4.18 s at sf0.1, identical output;
+    # persist(DISK_ONLY)/staged table at cluster scale)
+    tris = tris.localCheckpoint(eager=True)
     doc_tris = tris.dropDuplicates(["doc_id", "lang", "tri"])
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
     profile = (

@@ -712,14 +712,13 @@ def test_copurchase_generates_pairs_without_a_join(spark):
     explode over per-order sorted part arrays — the plan must contain
     NO shuffled join at all (the only joins allowed are the broadcast
     survivor/count joins and the 1-row n_orders nested loop), no cross
-    product, and the top-20 cut must stay a heap. The one wide
-    exchange of lineitem (groupBy l_orderkey) must be REUSED across
-    the pairs / part-count / order-total branches in the AQE final
-    plan — the naive distinct-per-branch form scanned and shuffled
-    lineitem four times."""
-    import contextlib
-    import io
-
+    product, and the top-20 cut must stay a heap. The basket subtree
+    is shared across the pairs / part-count / order-total branches by
+    an eager localCheckpoint (r6 measurement: materializing the
+    per-order array table once beats ReuseExchange 6.39 s → 2.84 s —
+    the reused exchange still re-ran the collect_set agg above it in
+    every branch), so the plan reads from checkpointed scans with no
+    lineitem scan and no wide exchange at all."""
     df = SPECS["q_copurchase_lift"].fn(spark, SF)
     plan = I.explain_str(df)
     assert "CartesianProduct" not in plan, "pair generation degenerated to a cross product"
@@ -727,10 +726,9 @@ def test_copurchase_generates_pairs_without_a_join(spark):
         "pair generation reintroduced a shuffled join"
     )
     assert "TakeOrderedAndProject" in plan, "top-20 cut lost the heap"
-    df.collect()  # AQE finalizes the plan at execution
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    assert "ReusedExchange" in buf.getvalue(), (
-        "basket subtree no longer shared across branches"
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, (
+        "basket subtree is no longer checkpoint-materialized"
+    )
+    assert "parquet" not in plan.lower(), (
+        "a branch re-reads lineitem instead of the checkpointed baskets"
     )
