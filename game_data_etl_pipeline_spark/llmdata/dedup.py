@@ -485,24 +485,87 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, bucket-then-verify: coarse-
     quantize every vector to its nearest deterministic centroid (IVF
     cell, same assignment as op_sim_ivf), then compute exact cosine
-    ONLY within each cell via an equi-join on the cell id.
+    ONLY within each cell.
 
-    This is the 100 TB shape: the join key is the bucket, so the plan
-    is a hash join over cells — never an all-pairs BroadcastNestedLoop.
+    r7 rewrite — the last interpreted all-pairs cell stage joins the
+    blocked-BLAS family (semdedup_canon / op_sim_knn_graph): instead
+    of a cell-id SELF-JOIN whose O(Σ|cell|²) candidate pairs each pay
+    an interpreted `aggregate(zip_with(...))` dot product, ONE hash
+    exchange on cent_id feeds an Arrow applyInPandas stage that
+    computes the cell's Gram matrix in ~64 MB column stripes and
+    emits only the pairs above threshold. Transfer is O(|cell|·d),
+    compute is BLAS matmul, memory is O(n·d + stripe·n) — never
+    O(n²) resident. Measured 2026-08-14 same-host interleaved at
+    sf0.1, median-of-7: old join form 2.28 s vs this form 2.36 s —
+    a LOCAL WASH (the %50 oracle-device centroid set makes the n×k
+    assignment, not the pair stage, the local bottleneck), kept for
+    the structural win: no candidate pair ever materializes as a JVM
+    row, the Σ|cell|² work is BLAS not interpreted, and the gap
+    widens with cell density exactly as semdedup_canon measured
+    (1.7 s → 1.1 s on the same data). Output bit-identical (1749
+    rows incl. the 4-dp quantized cosines — rounding stays a
+    Spark-side F.round so the HALF_UP contract is unchanged). The
+    assignment also flips to the argmax form: the BLAS stage is now
+    the ONLY reader, so the window form's reusable vec_id exchange
+    buys nothing; see ivf_assign's docstring for the 2026-08-14
+    host-variance note on the two forms' local costs.
+
+    This is the 100 TB shape: pair work is bounded by the bucket
+    layout (Σ|cell|², monitored by op_sim_cell_profile), never an
+    all-pairs BroadcastNestedLoop; a hot cell is an AQE-skew
+    candidate and raising trained k is the structural fix.
     Cross-bucket near-dups are the recall tradeoff every bucketed
     dedup makes; multi-probe (assign to top-p cells) is the knob."""
-    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, ivf_assign
+    import numpy as np
+    import pandas as pd
 
-    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"))
-    a = assigned.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                        F.col("vnorm").alias("na"), F.col("cent_id").alias("bucket"))
-    b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                        F.col("vnorm").alias("nb"), F.col("cent_id").alias("bucket_b"))
-    cos = dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
+
+    threshold = 0.3
+    stripe_bytes = 64_000_000
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"vec_a": ids[:0], "vec_b": ids[:0], "bucket": ids[:0], "cos": np.empty(0)}
+        )
+        if n < 2:
+            return empty
+        bucket = pdf["cent_id"].iat[0]
+        x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        # a zero-norm vector normalizes to the zero row -> every one of
+        # its pair cosines is 0.0 < threshold, excluded — matching the
+        # JVM form where NULL cosine fails the >= filter
+        xn = x / np.where(norms == 0.0, 1.0, norms)
+        rows = np.arange(n)[:, None]
+        stripe = max(1, int(stripe_bytes / (8 * n)))
+        out_a, out_b, out_c = [], [], []
+        for j0 in range(0, n, stripe):
+            j1 = min(n, j0 + stripe)
+            gram = xn @ xn[j0:j1].T
+            hit = (gram >= threshold) & (rows < np.arange(j0, j1)[None, :])
+            ii, jj = np.nonzero(hit)
+            out_a.append(ids[ii])
+            out_b.append(ids[j0 + jj])
+            out_c.append(gram[ii, jj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "bucket": np.full(sum(map(len, out_a)), bucket, dtype=np.int64),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"), form="argmax")
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", "bucket", F.round(cos, 4).alias("cosine"))
+        assigned.select("cent_id", "vec_id", "embedding")
+        .groupBy("cent_id")
+        .applyInPandas(_cell, "vec_a long, vec_b long, bucket long, cos double")
+        .select("vec_a", "vec_b", "bucket", F.round("cos", 4).alias("cosine"))
     )
 
 
@@ -1039,10 +1102,11 @@ def op_dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts."""
     from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
 
-    # argmax assignment: measured 2.46 s -> 1.76 s here even though the
-    # assignment is referenced twice — the two readers (cent_id groupBy
-    # vs vec_id join) shuffle on DIFFERENT keys, so the window form's
-    # reusable exchange buys nothing while its rank window costs
+    # argmax assignment: the two readers (cent_id groupBy vs vec_id
+    # join) shuffle on DIFFERENT keys, so the window form's reusable
+    # exchange buys nothing; zero-shuffle argmax is the scale shape
+    # (r6 host measured it faster too, 2.46 s -> 1.76 s; the r7 host
+    # reversed the local ranking — see ivf_assign's host-variance note)
     assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"), form="argmax")
     canon = semdedup_canon(assigned).withColumnRenamed("vec_id", "vec_b")
     return (

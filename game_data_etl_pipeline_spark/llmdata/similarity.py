@@ -108,26 +108,37 @@ def ivf_assign(
     measured:
 
     - ``"window"`` (default): n×k row blow-up against the broadcast
-      centroid set, rank window on vec_id. 3× slower in isolation
-      (0.97 s vs 0.32 s at sf0.1) but its vec_id Exchange is REUSED
-      when the consumer references the assignment more than once ON
-      THE SAME SHAPE — both sides of op_dedup_embedding_cosine's
-      cell self-join (r6 re-measure with the argmax alternative:
-      window 1.85 s vs argmax 2.49 s — reuse still wins there), and
-      queries + corpus in op_sim_ivf. max_by is worse than both, and
-      localCheckpoint materialization also loses (1.59 s vs 1.48 s,
-      r5 re-measure) — both in SCALE.md trade-offs.
+      centroid set, rank window on vec_id. Its vec_id Exchange is
+      REUSED when the consumer references the assignment more than
+      once ON THE SAME SHAPE — queries + corpus in op_sim_ivf. The
+      n×k blow-up SHUFFLES through the rank window, so this form
+      never scales past bounded k × modest n. max_by is worse than
+      both, and localCheckpoint materialization also loses (1.59 s
+      vs 1.48 s, r5 re-measure) — both in SCALE.md trade-offs.
     - ``"argmax"``: per-row `array_max(transform(cands, struct(cos,
       -cent_id)))` against ONE broadcast collect_list of centroids —
-      no row blow-up, no window, no exchange at all. Wins when the
-      consumer reads the assignment once (knn graph 1.54 s → 1.21 s
-      after the r6 blocked-BLAS rewrite made the Arrow cell stage the
-      sole reader; also q_curation_pipeline_v3, op_sim_cell_profile,
-      op_sim_ivf_trained) — AND when multiple readers shuffle on
-      DIFFERENT keys, where the window's exchange can't be reused
-      anyway: the keep-list's cent_id-groupBy + vec_id-join pair
-      measured 2.46 s → 1.76 s on the swap. The rule is not "how
-      many readers" but "can the vec_id exchange actually be shared"."""
+      no row blow-up, no window, NO EXCHANGE AT ALL. Used by every
+      single-reader consumer (knn graph, op_dedup_embedding_cosine's
+      BLAS stage, the semantic keep-list, q_curation_pipeline_v3,
+      op_sim_cell_profile, op_sim_ivf_trained): zero shuffle is the
+      only shape that survives 100 TB, where the window form would
+      shuffle n×k assignment rows.
+
+    HOST-VARIANCE NOTE (2026-08-14, same-session interleaved
+    medians at sf0.1): on this round's host the window form was
+    LOCALLY faster inside several argmax consumers (knn 1.41 vs
+    1.89 s, keep-list 1.35 vs 1.99 s, curation_v3 1.64 vs 2.12 s;
+    cell_profile and ivf_trained were ties) — the reverse of the
+    r6-host measurements (e.g. keep-list 2.46 window vs 1.76
+    argmax). The interpreted per-element cost of the nested HOF dot
+    dominates locally when the %50 oracle device inflates k to n/50,
+    and which engine path wins flips with the host. The form choice
+    is therefore pinned to the SCALE shape, not the day's host:
+    argmax's zero-shuffle assignment wins at any realistic n×k
+    (trained fixed-k centroids, ivf_trained_centroids), so
+    single-reader consumers stay argmax."""
+    if form not in ("window", "argmax"):
+        raise ValueError(f"ivf_assign form must be 'window' or 'argmax', got {form!r}")
     emb = emb.withColumn("vnorm", norm_expr(F.col("embedding")))
     if cents is None:
         cents = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -138,8 +149,12 @@ def ivf_assign(
     keep = ["vec_id", *extra_cols, "embedding", "vnorm", "cent_id"]
     if form == "argmax":
         carr = cents.agg(F.collect_list(F.struct("cent_id", "ce", "cnorm")).alias("cands"))
-        cos_c = lambda c: dot_expr(F.col("embedding"), c["ce"]) / (  # noqa: E731
-            F.col("vnorm") * c["cnorm"]
+        # try_divide, not /: a zero-norm embedding must yield NULL
+        # cosine (not an ANSI DIVIDE_BY_ZERO error); all-NULL cs
+        # structs then compare on negid alone, so the zero vector
+        # lands in the MIN cent_id — the window form's tie-break
+        cos_c = lambda c: F.try_divide(  # noqa: E731
+            dot_expr(F.col("embedding"), c["ce"]), F.col("vnorm") * c["cnorm"]
         )
         # struct comparison is lexicographic: max cos first, then max
         # -cent_id = MIN cent_id — the window's (cs DESC, cent_id)
@@ -153,11 +168,20 @@ def ivf_assign(
         return (
             emb.join(F.broadcast(carr), F.lit(True))
             .withColumn("cent_id", (-best["negid"]).cast("long"))
+            # degenerate EMPTY centroid set: collect_list gives [],
+            # array_max NULL — drop those rows so both forms agree
+            # with the window form's zero-row broadcast-join output
+            .filter(F.col("cent_id").isNotNull())
             .select(*keep)
         )
     # norms precomputed per side: inlining cosine_expr would redo the
-    # vector norm once per centroid (k×) and once per candidate pair
-    sim_to_cent = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
+    # vector norm once per centroid (k×) and once per candidate pair.
+    # try_divide: a zero-norm embedding gets NULL cs for every
+    # centroid and the (cs DESC, cent_id) window then assigns it the
+    # MIN cent_id — same answer as the argmax form's negid tie-break.
+    sim_to_cent = F.try_divide(
+        dot_expr(F.col("embedding"), F.col("ce")), F.col("vnorm") * F.col("cnorm")
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
     return (
         emb.join(F.broadcast(cents), F.lit(True))
@@ -764,15 +788,27 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1, keepdims=True)
+        zero = (norms == 0.0).ravel()
         xn = x / np.where(norms == 0.0, 1.0, norms)
         k = min(3, n - 1)
         out = []
         stripe = max(1, int(stripe_cap / (8 * n)))
         for i0 in range(0, n, stripe):
             g = xn[i0 : i0 + stripe] @ xn.T
+            # a zero vector's cosine is NULL in the replaced JVM form,
+            # ranked last under NULLS LAST — mask both directions to
+            # -inf (sorts after any real cosine incl. negatives; the
+            # stable argsort keeps the ascending-neighbor_id tie-break)
+            # and restore NULL on emit below
+            g[:, zero] = -np.inf
+            g[zero[i0 : i0 + stripe], :] = -np.inf
             for r in range(g.shape[0]):
                 row = g[r]
-                row[i0 + r] = -np.inf  # self is never a neighbor
+                # NaN, not -inf: argsort puts NaN after +-inf, so self
+                # stays excluded even when every candidate is a masked
+                # -inf (zero-norm query in an all-zero cell) — k is
+                # min(3, n-1), so the NaN slot is never selected
+                row[i0 + r] = np.nan  # self is never a neighbor
                 # columns are vec_id-sorted, so a STABLE sort on -cos
                 # breaks ties by ascending neighbor_id — the window
                 # form's (cos DESC, neighbor_id) order exactly
@@ -790,11 +826,16 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assigned = ivf_assign(load_table(spark, sf_dir, "embeddings"), form="argmax")
+    # -inf marks a masked zero-norm pair — surface it as the NULL
+    # cosine the JVM form produced (rank order already matches)
+    cos_or_null = F.when(F.col("cos") == F.lit(float("-inf")), F.lit(None)).otherwise(
+        F.col("cos")
+    )
     return (
         assigned.select("cent_id", "vec_id", "embedding")
         .groupBy("cent_id")
         .applyInPandas(_cell, "vec_id long, neighbor_id long, cos double, rank int")
-        .select("vec_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+        .select("vec_id", "neighbor_id", F.round(cos_or_null, 4).alias("cosine"), "rank")
     )
 
 

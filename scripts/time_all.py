@@ -28,8 +28,9 @@ def main() -> int:
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     spark = get_spark("time_all")
     specs = registry.all_specs()
-    # warm-up absorbs session/codegen/footer costs
-    specs["q_revenue_by_region"].fn(spark, sf_dir).count()
+    # warm-up absorbs session/codegen/footer costs; any spec will do
+    warm = specs.get("q_revenue_by_region") or next(iter(specs.values()))
+    warm.fn(spark, sf_dir).count()
     rows: list[tuple[float, str]] = []
     for name, spec in specs.items():
         if "streaming" in spec.tags:
@@ -44,9 +45,12 @@ def main() -> int:
     for dt, name in rows[:top_n]:
         print(f"{dt:8.3f}  {name}")
     finite = [d for d, _ in rows if d != float("inf")]
-    print(f"\ntotal {sum(finite):.1f} s over {len(finite)} queries "
-          f"(median {sorted(finite)[len(finite) // 2]:.3f} s)")
-    return 0
+    if finite:
+        print(f"\ntotal {sum(finite):.1f} s over {len(finite)} queries "
+              f"(median {sorted(finite)[len(finite) // 2]:.3f} s)")
+    else:
+        print("\nno query completed")
+    return 0 if finite else 1
 
 
 if __name__ == "__main__":

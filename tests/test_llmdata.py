@@ -360,3 +360,75 @@ def test_ivf_assign_forms_agree(spark, sf_dir):
     w = {(r["vec_id"], r["cent_id"]) for r in ivf_assign(emb, form="window").select("vec_id", "cent_id").collect()}
     a = {(r["vec_id"], r["cent_id"]) for r in ivf_assign(emb, form="argmax").select("vec_id", "cent_id").collect()}
     assert w and w == a
+
+
+def test_knn_graph_zero_vector_ranks_last(spark, tmp_path):
+    """Zero-norm embeddings have undefined cosine. Contract (the JVM
+    NULLS-LAST semantics the blocked-BLAS stage must preserve): a
+    zero vector's neighbor rows carry NULL cosine and pick the
+    lowest neighbor ids; a zero vector never outranks any real
+    cosine (even negative ones) in other vectors' lists; and the
+    IVF assignment itself must not raise ANSI DIVIDE_BY_ZERO
+    (try_divide -> NULL cs -> deterministic min-cent_id bucket)."""
+    import duckdb
+
+    sf = str(tmp_path)
+    duckdb.sql(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (0::BIGINT, [1.0, 0.0, 0.0]::FLOAT[], 1),
+            (1::BIGINT, [0.9, 0.1, 0.0]::FLOAT[], 1),
+            (2::BIGINT, [0.0, 1.0, 0.0]::FLOAT[], 2),
+            (3::BIGINT, [0.0, 0.0, 0.0]::FLOAT[], 3),
+            (4::BIGINT, [-1.0, 0.2, 0.0]::FLOAT[], 2)
+          ) t(vec_id, embedding, label)
+        ) TO '{sf}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    rows = SPECS["op_sim_knn_graph"].fn(spark, sf).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    # the zero vector's own list: NULL cosines, lowest neighbor ids
+    zero_rows = sorted(by_vec[3], key=lambda r: r.rank)
+    assert [r.neighbor_id for r in zero_rows] == [0, 1, 2]
+    assert all(r.cosine is None for r in zero_rows)
+    # the zero vector never outranks a real cosine: vec 4's true
+    # neighbors include two NEGATIVE cosines, which must all beat it
+    for vid in (0, 1, 2, 4):
+        assert all(r.cosine is not None for r in by_vec[vid]), by_vec[vid]
+        assert 3 not in {r.neighbor_id for r in by_vec[vid]}
+
+
+def test_ivf_assign_rejects_unknown_form(spark, sf_dir):
+    """A typo'd form must raise, not silently fall through to the
+    window shape (that would defeat the per-consumer measured choice)."""
+    import pytest as _pytest
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with _pytest.raises(ValueError, match="window.*argmax|argmax.*window"):
+        ivf_assign(emb, form="argmx")
+
+
+def test_ivf_assign_forms_agree_on_empty_centroids(spark, sf_dir):
+    """Degenerate EMPTY centroid set: the window form's broadcast join
+    yields zero rows; the argmax form must agree (not emit every row
+    with a NULL cent_id)."""
+    import pyspark.sql.functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign, norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    none = (
+        emb.filter(F.col("vec_id") < 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            norm_expr(F.col("embedding")).alias("cnorm"),
+        )
+    )
+    assert ivf_assign(emb, cents=none, form="window").count() == 0
+    assert ivf_assign(emb, cents=none, form="argmax").count() == 0

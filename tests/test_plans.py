@@ -160,15 +160,20 @@ def test_subquery_decorrelation_no_nested_loop(spark):
         assert all("NestedLoop" not in j and "Cartesian" not in j for j in f.joins), (name, f.joins)
 
 
-def test_embedding_cosine_pair_join_is_hash_not_bnlj(spark):
-    """Round-2 fix contract: the near-dup PAIR join must meet on the
-    bucket key (SortMerge/ShuffledHash), never as an all-pairs
-    BroadcastNestedLoopJoin over the vectors. The only permissible
-    nested-loop is the tiny broadcast centroid-assignment cross join
-    (bounded by k centroids, not by n²)."""
-    f = I.facts(SPECS["op_dedup_embedding_cosine"].fn(spark, SF))
-    hash_joins = [j for j in f.joins if j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
-    assert hash_joins, f"pair join is not a hash join: {f.joins}"
+def test_embedding_cosine_is_single_exchange_blas_stage(spark):
+    """r7 contract (replaces the round-2 pair-join shape): the near-dup
+    pair stage is ONE hash exchange on cent_id feeding the blocked-BLAS
+    Arrow stage (FlatMapGroupsInPandas) — no pair self-join at all, so
+    no O(Σ|cell|²) rows ever shuffle. The only permissible nested-loop
+    is the 1-row broadcast of the collect_list'd centroid set (argmax
+    assignment — bounded by k centroids, not by n²)."""
+    df = SPECS["op_dedup_embedding_cosine"].fn(spark, SF)
+    f = I.facts(df)
+    # 2 = the k-row SinglePartition fold of the centroid collect_list
+    # + the one cent_id hash exchange (same shape as op_sim_knn_graph)
+    assert f.exchanges == 2, f"expected centroid-fold + cent_id exchanges, got {f.exchanges}"
+    assert "FlatMapGroupsInPandas" in I.explain_str(df, "simple")
+    assert all("SortMergeJoin" not in j and "ShuffledHashJoin" not in j for j in f.joins), f.joins
 
 
 def test_new_analytics_no_nested_loop(spark):
