@@ -69,6 +69,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_narrow_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is narrower than the cores.
+
+    Zero-shuffle per-row plans (the array-fold text ops) inherit the
+    scan's split count as their ONLY parallelism. The local fixtures are
+    one parquet file with one row group, so such a plan runs every row
+    on a single core no matter how many exist — measured 3.2 s for
+    op_text_bigram_logprob's fold at sf0.1 on one core vs 0.4 s widened.
+    At cluster scale a 100 TB scan has orders of magnitude more splits
+    than cores, the condition below is false, and NO exchange is added —
+    the zero-shuffle property is preserved exactly where it matters.
+    The check itself (getNumPartitions on the analyzed plan) launches
+    no job.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Register each fixture table as a temp view named after the table.
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.catalog import load_table, widen_narrow_scan
 from game_data_etl_pipeline_spark.registry import register
 
 # tiny embedded English function-word list for the heuristic language ID
@@ -514,22 +514,35 @@ def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (op_text_unigram_logprob), sharper at spotting shuffled-word
     gibberish that unigram statistics cannot see.
 
-    One tokenize pass feeds both training counts and scoring: the
-    bigram table is an exploded pair stream aggregated twice (pair
-    counts and left-context counts), joined back broadcast — the
-    bigram vocabulary is Zipf-bounded, so at 100 TB the count tables
-    remain broadcastable after a frequency floor (the standard KenLM
-    pruning move).
+    r7 rewrite (the op_text_repetition fold, commit b893527, applied
+    to a corpus-trained signal): training makes ONE pass — explode
+    pairs → groupBy(w1,w2) with map-side combine, then groupBy(w1)
+    stacks the three derived signals (pair map c(w1,w2), left-context
+    map c(w1), vocabulary V) into a single 1-row fold of broadcast
+    MAP columns (the centroid collect_list pattern; three separate
+    aggregates would each re-run the explode subtree — the r6
+    shared-subtree lesson). Scoring is then a zero-shuffle
+    per-document array fold: each doc walks its own bigram sequence
+    with two broadcast-map lookups per step — no explode, no scoring
+    join, no groupBy(doc_id), and document bodies never shuffle. The
+    r6 form materialized the exploded stream once (eager
+    localCheckpoint) for its FOUR readers; this form has ONE reader
+    of one explode, so the checkpoint (and its construction-time
+    side effect flagged in r6 ADVICE) is gone.
 
-    The exploded stream has FOUR readers (pair counts, left-context
-    counts, vocabulary size, and the scoring join's stream side), each
-    shuffling on a different key — no exchange is shareable, so the
-    lazy form re-ran tokenize+explode four times. Materializing the
-    stream once (eager localCheckpoint) measured 5.63 s → 3.01 s at
-    sf0.1 with identical output. At cluster scale the same
-    materialization point becomes persist(DISK_ONLY) or a staged
-    table (localCheckpoint pins lineage to executors), and the
-    frequency-floor pruning shrinks what is stored."""
+    Zero-shuffle cuts both ways locally: the fixture is ONE parquet
+    row group, so a plan with no exchange runs every per-doc fold on
+    ONE core. widen_narrow_scan adds a round-robin exchange only when
+    the scan is narrower than the cores — a no-op condition at
+    cluster scale, where this plan's no-text-shuffle property is the
+    point. Measured same-host at sf0.1, median-of-3: 3.58 s (r6
+    checkpoint form) → 1.05 s (one-pass train + widened fold).
+
+    At 100 TB the count maps stay broadcastable after a frequency
+    floor (the standard KenLM pruning move); lookups use
+    try_element_at, so under held-out training an unseen bigram
+    would surface as a NULL score (trained-on-self never misses —
+    the oracle's inner join has the same no-miss property here)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     pairs = F.transform(
@@ -539,25 +552,59 @@ def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bigrams = (
-        docs.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .localCheckpoint(eager=True)
+        widen_narrow_scan(docs.select("text"), spark)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ug = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bigrams.agg(F.countDistinct("w2").cast("double").alias("v"))
-    logp = -F.log2((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
-    return (
-        bigrams.join(F.broadcast(bg), ["w1", "w2"])
-        .join(F.broadcast(ug), "w1")
-        .join(F.broadcast(vocab))
-        .groupBy("doc_id")
+    # tokens are split on ' ', so no token contains a space and the
+    # concat key is collision-free
+    bkey = lambda w1, w2: F.concat_ws(" ", w1, w2)  # noqa: E731
+    # ONE training pass: bg has three derived signals (pair map,
+    # left-context map, vocabulary size); three separate aggregates
+    # would each re-run the explode+groupBy subtree (lazy subtrees
+    # re-execute per consumer — the r6 shared-subtree lesson), so
+    # stack them through one groupBy(w1) into a single 1-row fold and
+    # a SINGLE broadcast join (measured 3.2 s → 1.2 s at sf0.1)
+    model = (
+        bg.groupBy("w1")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(logp), 4).alias("avg_bits_per_token"),
+            F.collect_list(
+                F.struct(bkey(F.col("w1"), F.col("w2")).alias("k"), F.col("c12").alias("c"))
+            ).alias("entries"),
+            F.sum("c12").alias("c1"),
+            F.collect_set("w2").alias("w2s"),
         )
-        .filter(F.col("n_bigrams") >= 4)
+        .agg(
+            F.map_from_entries(F.flatten(F.collect_list("entries"))).alias("m12"),
+            F.map_from_entries(F.collect_list(F.struct("w1", "c1"))).alias("m1"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("w2s"))))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    # materialize the token array as a COLUMN before the fold: an
+    # expression referenced inside a HOF lambda is re-evaluated per
+    # element (element_at(split(text), i) re-splits the text every
+    # step — O(L²) per doc), a column reference is evaluated once
+    t = F.col("toks")
+    n_bigrams = (F.size(t) - 1).cast("long")
+    step = lambda acc, i: acc + -F.log2(  # noqa: E731
+        (F.try_element_at(F.col("m12"), bkey(F.element_at(t, i + 1), F.element_at(t, i + 2))) + 0.5)
+        / (F.try_element_at(F.col("m1"), F.element_at(t, i + 1)) + 0.5 * F.col("v"))
+    )
+    bits_sum = F.aggregate(F.sequence(F.lit(0), F.size(t) - 2), F.lit(0.0), step)
+    return (
+        widen_narrow_scan(docs.select("doc_id", "text"), spark)
+        .select("doc_id", toks.alias("toks"))
+        .filter(n_bigrams >= 4)
+        .join(F.broadcast(model))
+        .select(
+            "doc_id",
+            n_bigrams.alias("n_bigrams"),
+            F.round(bits_sum / n_bigrams, 4).alias("avg_bits_per_token"),
+        )
     )
 
 
@@ -1022,12 +1069,29 @@ def op_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Train-on-self here (the fixture is its own labeled corpus); at
     scale the profile is fit once on held-out labeled data and
-    broadcast — which is exactly the shape below: the profile is
-    O(langs × 50) rows and enters the scoring join as a broadcast,
-    so classification is one linear scan of the trigram stream plus
-    two bounded aggregates. No Python anywhere."""
+    broadcast — exactly the shape below. No Python anywhere.
+
+    r7 rewrite (the op_text_repetition fold applied to scoring): the
+    char-trigram explode keeps ONE reader — the profile training
+    groupBy(lang, tri) — so the r6 localCheckpoint (two readers,
+    5.33 s → 4.18 s then) is gone, along with its construction-time
+    side effect. The whole O(langs × 50) profile folds into a single
+    broadcast row of (plang, trigram-array) structs, and scoring
+    becomes a zero-shuffle per-document expression: each doc builds
+    its own DISTINCT trigram array in place and takes
+    size(array_intersect(...)) against every profile, argmax by
+    min-struct over (-n_hits, plang) — the exact (n_hits DESC,
+    plang) tie-break the r6 rank window computed with a
+    dropDuplicates shuffle + broadcast join + two windows. The only
+    data-sized exchanges left are the bounded training aggregate, the
+    1-row profile fold, the langs² confusion-matrix groupBy, and the
+    widen_narrow_scan round-robin that exists ONLY under a
+    narrower-than-cores local scan (one fixture row group would
+    otherwise run every per-doc intersect on one core; at cluster
+    scale the condition is false and text never shuffles). Measured
+    same-host at sf0.1, median-of-3: 4.09 s (r6 checkpoint form) →
+    1.52 s (single-core un-widened fold measured 5.03 s)."""
     docs = load_table(spark, sf_dir, "documents")
-    tri = F.substring(F.col("text"), F.col("i"), 3)
     # Guard like op_text_ngrams: a doc shorter than 3 chars has NO
     # trigrams (explode of the empty array drops the row), matching
     # the oracle's exclusive range — the unguarded sequence form
@@ -1035,42 +1099,43 @@ def op_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions = F.when(F.length("text") < 3, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), F.length("text") - 2)
     )
-    tris = docs.select(
-        "doc_id", "lang",
-        F.explode(positions).alias("i"),
-        "text",
-    ).select("doc_id", "lang", tri.alias("tri"))
-    # two readers on different keys (per-doc distinct vs corpus
-    # profile) — materialize the char-trigram explode once instead of
-    # running it twice (5.33 s → 4.18 s at sf0.1, identical output;
-    # persist(DISK_ONLY)/staged table at cluster scale)
-    tris = tris.localCheckpoint(eager=True)
-    doc_tris = tris.dropDuplicates(["doc_id", "lang", "tri"])
+    tri_arr = F.transform(positions, lambda i: F.col("text").substr(i, F.lit(3)))
+    tris = widen_narrow_scan(docs.select("lang", "text"), spark).select(
+        "lang", F.explode(tri_arr).alias("tri")
+    )
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
-    profile = (
+    profs = (
         tris.groupBy("lang", "tri")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("rnk", F.row_number().over(w_prof))
         .filter(F.col("rnk") <= 50)
-        .select(F.col("lang").alias("plang"), "tri")
+        .groupBy(F.col("lang").alias("plang"))
+        .agg(F.collect_set("tri").alias("ptris"))
+        .agg(F.collect_list(F.struct("plang", "ptris")).alias("profs"))
     )
-    hits = (
-        doc_tris.join(F.broadcast(profile), "tri")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # materialize the doc's distinct-trigram array as a COLUMN before
+    # the profile transform: an expression referenced inside a HOF
+    # lambda is re-evaluated per element, i.e. the whole trigram
+    # build + distinct would rerun once per language
+    scored = F.filter(
+        F.transform(
+            F.col("profs"),
+            lambda p: F.struct(
+                (-F.size(F.array_intersect(F.col("dtris"), p["ptris"]))).alias("neg_hits"),
+                p["plang"].alias("plang"),
+            ),
+        ),
+        lambda s: s["neg_hits"] < 0,
     )
-    w_pred = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), "plang")
-    pred = (
-        hits.withColumn("rn", F.row_number().over(w_pred))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("plang").alias("predicted"))
-    )
+    # array_min on the all-zero-hits (empty after filter) case is NULL
+    predicted = F.coalesce(F.array_min(scored)["plang"], F.lit("unknown"))
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id", "left")
+        widen_narrow_scan(docs.select("lang", "text"), spark)
+        .select("lang", F.array_distinct(tri_arr).alias("dtris"))
+        .join(F.broadcast(profs))
         .groupBy(
             F.col("lang").alias("labeled_lang"),
-            F.coalesce(F.col("predicted"), F.lit("unknown")).alias("predicted_lang"),
+            predicted.alias("predicted_lang"),
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
