@@ -432,3 +432,57 @@ def test_ivf_assign_forms_agree_on_empty_centroids(spark, sf_dir):
     )
     assert ivf_assign(emb, cents=none, form="window").count() == 0
     assert ivf_assign(emb, cents=none, form="argmax").count() == 0
+
+
+def test_bpe_training_is_deterministic_and_merges_frequent_pairs():
+    """Same word-count table -> bit-identical merge list (the property
+    that makes the broadcast closure reproducible across executors and
+    rounds), and the most frequent word collapses to ONE token."""
+    from game_data_etl_pipeline_spark.llmdata.text import _bpe_encode_word, _train_bpe
+
+    wc = [("the", 100), ("there", 30), ("then", 20), ("cat", 5), ("dog", 1)]
+    m1 = _train_bpe(wc, n_merges=64)
+    m2 = _train_bpe(list(wc), n_merges=64)
+    assert m1 == m2 and len(m1) > 0
+    ranks = {p: i for i, p in enumerate(m1)}
+    assert _bpe_encode_word("the", ranks) == ["the</w>"]
+    # an unseen word still encodes (falls back toward characters) and
+    # its symbols concatenate losslessly
+    syms = _bpe_encode_word("zebra", ranks)
+    assert "".join(syms) == "zebra</w>"
+
+
+def test_bpe_roundtrip_and_band_hold_on_fixture(spark, sf_dir):
+    """Every fixture document must detokenize bit-exactly and land in
+    the token band — the booleans the oracle asserts TRUE, checked
+    here with a hard failure message listing offenders."""
+    out = SPECS["op_text_bpe_tokens"].fn(spark, sf_dir)
+    bad = out.filter(~(out.roundtrip_ok & out.token_band_ok)).collect()
+    assert bad == [], f"BPE audit failed for: {[r.doc_id for r in bad][:5]}"
+
+
+def test_bpe_compresses_below_char_count(spark, sf_dir):
+    """A trained tokenizer must beat character-level tokenization on
+    the corpus it was trained on: total BPE tokens < total chars."""
+    import pyspark.sql.functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.text import _bpe_encode_word, _train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(512)
+        .collect()
+    )
+    ranks = {p: i for i, p in enumerate(_train_bpe([(r.w, r.n) for r in wc], 256))}
+    sample = docs.select("text").limit(50).collect()
+    n_toks = sum(
+        len(_bpe_encode_word(w, ranks)) for r in sample for w in r.text.split(" ")
+    )
+    n_chars = sum(len(r.text) for r in sample)
+    assert n_toks < n_chars
