@@ -744,3 +744,117 @@ def op_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fmt(F.col("purchase_ts"), "purchase_ts"),
         )
     )
+
+
+@register(
+    "op_stream_incremental_dedup",
+    tags=("streaming", "dedup", "upsert"),
+    oracle="""
+        WITH arrivals AS (
+            SELECT doc_id, doc_id % 3 AS batch_id, md5(text) AS fingerprint
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   (doc_id + 1000000) % 3 AS batch_id,
+                   md5(text) AS fingerprint
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, batch_id, fingerprint,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                      ORDER BY batch_id, doc_id) AS rn
+            FROM arrivals
+        )
+        SELECT doc_id, fingerprint, CAST(batch_id AS INT) AS admitted_in_batch
+        FROM ranked WHERE rn = 1
+    """,
+)
+def op_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGESTION-SIDE incremental dedup: documents arrive in ordered
+    micro-batches and each batch is admitted only if its content
+    fingerprint has never been seen — the composition of
+    op_stream_foreachbatch_upsert's persistent-sink pattern with
+    op_dedup_cross_snapshot's digest semantics, and the shape a 100 TB
+    corpus actually deduplicates at (you dedup the daily crawl delta
+    against the accumulated store, never the whole corpus again).
+
+    The stream is the corpus PLUS a shifted re-crawl copy of itself
+    (doc_id + 1e6, same text — the op_stream_dedup duplication device,
+    since the fixture has no natural exact dups), split into 3
+    micro-batches by doc_id % 3 and replayed in batch order through a
+    file source (maxFilesPerTrigger=1, mtime-ordered like
+    op_stream_foreachbatch_upsert). Each foreachBatch transaction:
+
+    1. within-batch dedup: groupBy(fingerprint).min(doc_id) — first
+       writer wins inside a batch;
+    2. anti-join the survivors against the persistent fingerprint
+       STORE (parquet; only 32-hex digests + the admitting doc_id,
+       never document bodies);
+    3. append survivors to the admitted sink and their fingerprints
+       to the store — the store grows monotonically across batches.
+
+    Batch-equivalent contract (the DuckDB oracle): the admitted set
+    equals keep-first over arrival order, i.e. per fingerprint the
+    min (batch_id, doc_id) wins. That equivalence is what makes
+    incremental dedup trustworthy: replaying the same corpus through
+    any batch split admits the same documents.
+
+    At 100 TB: the anti-join shuffles 16-byte digests, not text; the
+    store is bucketed/compacted by fingerprint so the per-delta
+    anti-join co-locates (here: plain parquet, the Delta/Iceberg
+    MERGE INTO equivalent); per-batch work is O(delta + matching
+    store partitions), never O(corpus). State lives in the STORE, not
+    in streaming memory — unlike dropDuplicatesWithinWatermark this
+    dedups against ALL history with zero executor state.
+    tests/test_streaming.py::test_incremental_dedup_store_grows pins
+    the micro-batch mechanics (store growth, cross-batch drop)."""
+    work = os.path.join(
+        "/tmp", "spark_graft_incdedup", sf_dir.strip("/").replace("/", "_")
+    )
+    stage = os.path.join(work, "incoming")
+    store = os.path.join(work, "store")
+    admitted = os.path.join(work, "admitted")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    arrivals = (
+        docs.unionByName(recrawl)
+        .withColumn("batch_id", (F.col("doc_id") % 3).cast("int"))
+        .withColumn("fingerprint", F.md5("text"))
+        .select("doc_id", "batch_id", "fingerprint")
+    )
+    batch_names = []
+    for b in range(3):
+        name = f"batch{b}"
+        arrivals.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
+            os.path.join(stage, name)
+        )
+        batch_names.append(name)
+    now = 1_700_000_000
+    for i, d in enumerate(batch_names):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = batch_df.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("batch_id").alias("admitted_in_batch"),
+        )
+        if os.path.isdir(store):
+            seen = spark.read.parquet(store).select("fingerprint")
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
+        fresh.select("doc_id", "fingerprint", "admitted_in_batch").write.mode(
+            "append"
+        ).parquet(admitted)
+        fresh.select("fingerprint", "doc_id").write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema("doc_id long, batch_id int, fingerprint string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(admitted)

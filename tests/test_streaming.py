@@ -1,0 +1,75 @@
+"""Micro-batch mechanics the oracle comparison cannot see.
+
+The registry's oracle parity proves op_stream_incremental_dedup's
+FINAL admitted set equals batch keep-first; these tests pin the
+incremental mechanics that make it an ingestion-side dedup — the
+fingerprint store grows monotonically across micro-batches and a
+cross-batch duplicate is dropped by the store anti-join, not by
+within-batch dedup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from game_data_etl_pipeline_spark import registry
+
+SPECS = registry.all_specs()
+
+
+def test_incremental_dedup_store_grows(spark, sf_dir):
+    out = SPECS["op_stream_incremental_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+
+    # the persistent store holds exactly the admitted fingerprints
+    work = os.path.join(
+        "/tmp", "spark_graft_incdedup", sf_dir.strip("/").replace("/", "_")
+    )
+    store = spark.read.parquet(os.path.join(work, "store"))
+    assert store.count() == len(rows)
+    assert {r.fingerprint for r in store.collect()} == {r.fingerprint for r in rows}
+
+    # store growth + anti-join, visible in the admission pattern: with
+    # the +1e6 shift (1e6 % 3 == 1) every fingerprint's first arrival
+    # lands in batch 0 or 1 (min(b, (b+1) % 3) is never 2), so batches
+    # 0 and 1 admit and batch 2 — a full third of the arrivals — is
+    # dropped ENTIRELY by the store anti-join: the strongest proof the
+    # store accumulated across batches
+    by_batch = {r.admitted_in_batch for r in rows}
+    assert by_batch == {0, 1}
+
+    # cross-batch drop: the re-crawl copy of doc d lands in batch
+    # (d + 1e6) % 3 != d % 3 for d % 3 in {0, 1} (1e6 % 3 == 1), so
+    # its duplicate fingerprint reaches a LATER or EARLIER batch and
+    # must lose to the store/min — no fingerprint is admitted twice
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps))
+
+    # keep-first: the admitted doc for any fingerprint is the minimal
+    # (batch_id, doc_id) arrival; original docs (id < 1e6) win over
+    # their re-crawl copy whenever they arrive in an earlier-or-equal
+    # batch, which holds for d % 3 == 2 -> copy in batch 0... so just
+    # assert the global invariant directly: no admitted doc_id has a
+    # smaller-batch twin left out
+    admitted = {r.fingerprint: (r.admitted_in_batch, r.doc_id) for r in rows}
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    arrivals = (
+        docs.unionByName(recrawl)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("batch_id"),
+            F.md5("text").alias("fingerprint"),
+        )
+        .collect()
+    )
+    best: dict[str, tuple[int, int]] = {}
+    for r in arrivals:
+        key = (r.batch_id, r.doc_id)
+        if r.fingerprint not in best or key < best[r.fingerprint]:
+            best[r.fingerprint] = key
+    assert admitted == best
