@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -134,19 +135,26 @@ def _load() -> None:
     _LOADED = True
 
 
-def _driver_verified_counts() -> dict[str, int]:
-    """How many times each query earned a driver CORRECTNESS row.
+def _driver_verified_counts() -> dict[str, tuple[int, int]]:
+    """(green-row count, last green round) per query name.
 
     The driver verifies the FIRST 50 entries of ``queries()`` each
     round and writes CORRECTNESS_r{N}.json to the repo root. Counting
     green rows (hash_match, or the weaker rows-only check for
     oracle-less entries) lets ``all_specs`` order never-verified
-    queries first — the verification window rotates itself and a
-    failed row automatically re-enters the window next round.
+    queries first; the last-green-round secondary key then resurfaces
+    the STALEST rows (a row from round 1 vouches for a tree five
+    rewrites ago) ahead of equally-counted fresher ones — the
+    verification window rotates itself, a failed row automatically
+    re-enters next round, and old rows cycle back for re-verification
+    against the current tree.
     """
     counts: dict[str, int] = {}
+    last_round: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
@@ -156,27 +164,31 @@ def _driver_verified_counts() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                counts[name] = counts.get(name, 0) + 1
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            green = row.get("hash_match") is True
+            if not green and row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # A rows-only row only counts for a spec that is STILL
                 # oracle-less; once a query gains an oracle it re-enters
                 # the window for the stronger hash check.
                 spec = _REGISTRY.get(name)
-                if spec is not None and spec.oracle is None:
-                    counts[name] = counts.get(name, 0) + 1
-    return counts
+                green = spec is not None and spec.oracle is None
+            if green:
+                counts[name] = counts.get(name, 0) + 1
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    return {name: (c, last_round.get(name, 0)) for name, c in counts.items()}
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """Registry contents, least-driver-verified first (see
-    ``_driver_verified_counts``); ties keep registration order."""
+    """Registry contents, least-driver-verified first, then stalest
+    (earliest last-green-round) first (see ``_driver_verified_counts``);
+    remaining ties keep registration order."""
     _load()
     verified = _driver_verified_counts()
     order = {name: i for i, name in enumerate(_REGISTRY)}
     return {
         name: _REGISTRY[name]
-        for name in sorted(_REGISTRY, key=lambda n: (verified.get(n, 0), order[n]))
+        for name in sorted(
+            _REGISTRY, key=lambda n: (*verified.get(n, (0, 0)), order[n])
+        )
     }
 
 
