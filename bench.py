@@ -44,6 +44,13 @@ V2_EXTRA = (
     "op_rfm_scores",           # broadcast-cut-points quintile scoring
     "op_agg_equidepth",        # r6 rewrite: broadcast decile cut points
     "op_sim_ivf_trained",      # production IVF: Lloyd loop + trained assignment
+    # r7 additions: the two per-doc fold rewrites and the trained BPE
+    # tokenizer, so their wall-clock is tracked from the round they
+    # changed shape
+    "op_text_bigram_logprob",  # r7 rewrite: one-pass train + broadcast-map fold
+    "op_text_langid_trigram",  # r7 rewrite: broadcast profile + per-doc intersect
+    "op_text_bpe_tokens",      # r7: trained BPE via bounded collect + pandas_udf
+    "op_sim_pq_adc",           # r7: PQ codebooks + ADC shortlist + exact rerank
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -197,7 +204,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r6-v2-28q-median",
+                    "suite": "r7-v2-32q-median",
                     "total": v2_total,
                     "queries": v2_timings,
                     "spread": {name: spr[name] for name in v2_timings},
