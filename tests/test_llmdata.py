@@ -555,3 +555,12 @@ def test_pq_adc_separates_synthetic_clusters(spark):
         a = {codes[i][s] for i in range(64) if i % 2 == 0}
         b = {codes[i][s] for i in range(64) if i % 2 == 1}
         assert not (a & b), f"subspace {s}: clusters share codes {a & b}"
+
+
+def test_ivfpq_audits_hold(spark, sf_dir):
+    """The composed IVF-PQ query's audit booleans must hold on the
+    fixture: every query scanned strictly fewer candidates than exist
+    (the pruning contract) AND cleared the recall floor."""
+    out = SPECS["op_sim_ivfpq"].fn(spark, sf_dir)
+    bad = out.filter(~(out.pruned_scan & out.recall_floor_met)).collect()
+    assert bad == [], f"IVF-PQ audit failed for queries: {[r.query_id for r in bad]}"

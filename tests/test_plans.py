@@ -737,3 +737,44 @@ def test_copurchase_generates_pairs_without_a_join(spark):
     assert "parquet" not in plan.lower(), (
         "a branch re-reads lineitem instead of the checkpointed baskets"
     )
+
+
+def test_bpe_is_one_arrow_stage_no_scoring_shuffle(spark):
+    """r7 contract: op_text_bpe_tokens applies the trained tokenizer in
+    ONE Arrow-batched python stage over the scan; the only exchanges
+    permitted are the local widen_narrow_scan round-robin (absent at
+    cluster scale by construction) and the bounded word-count training
+    aggregate that happens before the plan is built (driver collect —
+    not in this plan at all). No join of any kind: the merge table
+    travels in the UDF closure."""
+    df = SPECS["op_text_bpe_tokens"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    f = I.facts(df)
+    assert plan.count("ArrowEvalPython") == 1, "expected exactly one Arrow stage"
+    assert f.joins == [], f.joins
+    assert f.exchanges <= 1, f"only the local widen may shuffle, got {f.exchanges}"
+
+
+def test_bigram_logprob_single_broadcast_no_wide_join(spark):
+    """r7 contract: scoring joins ONE single-row broadcast model (the
+    folded count maps) — never a sort-merge/shuffled-hash join, and
+    the training side's exchanges are the bounded count aggregates
+    plus the local widens."""
+    df = SPECS["op_text_bigram_logprob"].fn(spark, SF)
+    f = I.facts(df)
+    assert all(
+        "SortMergeJoin" not in j and "ShuffledHashJoin" not in j for j in f.joins
+    ), f.joins
+    assert f.broadcasts == 1, f"expected the single model broadcast, got {f.broadcasts}"
+
+
+def test_pq_family_never_sort_merge_joins(spark):
+    """r7 contract: op_sim_pq_adc / op_sim_ivfpq move only codes, cell
+    ids, LUT maps and shortlists between stages — every join is a
+    broadcast (1-row codebook/query folds or the tiny shortlist); a
+    SortMergeJoin anywhere means an unbounded side started shuffling."""
+    for name in ("op_sim_pq_adc", "op_sim_ivfpq"):
+        f = I.facts(SPECS[name].fn(spark, SF))
+        assert all(
+            "SortMergeJoin" not in j and "ShuffledHashJoin" not in j for j in f.joins
+        ), (name, f.joins)
