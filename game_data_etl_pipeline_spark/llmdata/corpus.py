@@ -1058,3 +1058,85 @@ def op_corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("score"), 6).alias("max_score"),
         )
     )
+
+
+@register(
+    "op_pack_greedy",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        WITH RECURSIVE sized AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+            FROM documents
+        ),
+        walk AS (
+            SELECT lang, r, doc_id, n, 0 AS pack_id, n AS fill
+            FROM sized WHERE r = 1
+            UNION ALL
+            SELECT s.lang, s.r, s.doc_id, s.n,
+                   CASE WHEN w.fill + s.n <= {PACK_BUDGET}
+                        THEN w.pack_id ELSE w.pack_id + 1 END,
+                   CASE WHEN w.fill + s.n <= {PACK_BUDGET}
+                        THEN w.fill + s.n ELSE s.n END
+            FROM walk w JOIN sized s ON s.lang = w.lang AND s.r = w.r + 1
+        )
+        SELECT doc_id, lang, CAST(pack_id AS INT) AS pack_id,
+               CAST(fill AS BIGINT) AS fill_after
+        FROM walk
+    """,
+)
+def op_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy sequence packing — the semantics op_pack_sequences
+    deliberately approximates: a document NEVER straddles two packs.
+    Walk each language's documents in doc_id order; if the current
+    pack can't fit the next document, close it and open a new one
+    (an oversized single document gets a pack to itself). This is the
+    packing real training-batch construction does — the cumsum
+    bucketing of op_pack_sequences splits a document across pack
+    boundaries, which is fine for budget ACCOUNTING but not for
+    building attention-masked training sequences.
+
+    The recurrence is sequential by construction (pack state depends
+    on every prior document in the shard), so the Spark side is one
+    applyInPandas per shard — an integer loop over the shard's
+    (doc_id, n_tokens) pairs, Arrow-batched, never the text bodies —
+    and the DuckDB oracle replays the IDENTICAL integer recurrence as
+    a recursive CTE (the op_timeseries_ewma pattern: same sequential
+    arithmetic on both engines; all-integer state, so no float
+    discipline needed at all). Shards here are languages; at 100 TB
+    the shard key becomes (lang, file/bucket id) so each group stays
+    bounded and packing parallelism scales with the corpus — packing
+    is only ever meaningful WITHIN a shard anyway, because training
+    shards are shuffled units."""
+    import pandas as pd
+
+    budget = PACK_BUDGET
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fills = [], []
+        pack, fill = -1, 0
+        for n in pdf["n"]:
+            if pack < 0 or fill + n > budget:
+                pack += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            pack_ids.append(pack)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "pack_id": pack_ids,
+                "fill_after": fills,
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    return sized.groupBy("lang").applyInPandas(
+        _pack, "doc_id long, lang string, pack_id int, fill_after long"
+    )

@@ -858,3 +858,193 @@ def op_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(admitted)
+
+
+@register(
+    "op_stream_incremental_fuzzy_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+        WITH arrivals AS (
+            SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_id, text
+            FROM documents WHERE doc_id < 200
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM arrivals
+        ),
+        shingled AS (
+            SELECT DISTINCT doc_id, UNNEST(
+                list_transform(range(len(t) - 2),
+                               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+            ) AS term
+            FROM toks
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   MIN(CAST(('0x' || substring(md5(term || '#0'), 1, 8)) AS BIGINT)) AS s0,
+                   MIN(CAST(('0x' || substring(md5(term || '#1'), 1, 8)) AS BIGINT)) AS s1,
+                   MIN(CAST(('0x' || substring(md5(term || '#2'), 1, 8)) AS BIGINT)) AS s2,
+                   MIN(CAST(('0x' || substring(md5(term || '#3'), 1, 8)) AS BIGINT)) AS s3,
+                   MIN(CAST(('0x' || substring(md5(term || '#4'), 1, 8)) AS BIGINT)) AS s4,
+                   MIN(CAST(('0x' || substring(md5(term || '#5'), 1, 8)) AS BIGINT)) AS s5,
+                   MIN(CAST(('0x' || substring(md5(term || '#6'), 1, 8)) AS BIGINT)) AS s6,
+                   MIN(CAST(('0x' || substring(md5(term || '#7'), 1, 8)) AS BIGINT)) AS s7
+            FROM shingled GROUP BY doc_id
+        ),
+        sb AS (
+            SELECT a.doc_id, a.batch_id, s.s0, s.s1, s.s2, s.s3, s.s4, s.s5, s.s6, s.s7
+            FROM arrivals a JOIN sigs s ON a.doc_id = s.doc_id
+        ),
+        blocked AS (
+            SELECT DISTINCT d.doc_id
+            FROM sb d JOIN sb o
+              ON (o.batch_id < d.batch_id
+                  OR (o.batch_id = d.batch_id AND o.doc_id < d.doc_id))
+             AND ((d.s0 = o.s0 AND d.s1 = o.s1) OR (d.s2 = o.s2 AND d.s3 = o.s3)
+                  OR (d.s4 = o.s4 AND d.s5 = o.s5) OR (d.s6 = o.s6 AND d.s7 = o.s7))
+             AND ((CASE WHEN d.s0 = o.s0 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s1 = o.s1 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s2 = o.s2 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s3 = o.s3 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s4 = o.s4 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s5 = o.s5 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s6 = o.s6 THEN 1 ELSE 0 END)
+                + (CASE WHEN d.s7 = o.s7 THEN 1 ELSE 0 END)) >= 4
+        )
+        SELECT a.doc_id, a.batch_id AS admitted_in_batch
+        FROM arrivals a
+        WHERE a.doc_id NOT IN (SELECT doc_id FROM blocked)
+    """,
+)
+def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side NEAR-duplicate dedup: the fuzzy sibling of
+    op_stream_incremental_dedup, two-stage like op_dedup_fuzzy_pipeline.
+    Each arriving document carries its 8-component MinHash signature
+    over DISTINCT 3-GRAM SHINGLES (the md5 hash family of
+    op_dedup_minhash_banded, but on the shingle basis the corpus'
+    ground-truth near-dup pairs are defined by — unigram MinHash is
+    useless on this fixture's ~31-word vocabulary, where ANY two
+    documents have unigram Jaccard ~0.65: measured, a unigram
+    signature blocked 196 of 200 documents). An arrival is dropped
+    when some EARLIER arrival (any earlier micro-batch via the
+    persistent signature store, or a smaller doc_id within its own
+    batch) both (a) collides on >= 1 of the 4 signature bands — the
+    LSH candidate gate — and (b) matches >= 4 of the 8 components,
+    the MinHash estimate of shingle-Jaccard >= 0.5 — the verify
+    stage banded pipelines always run on their candidates.
+
+    The store accumulates every SEEN arrival's signature, admitted or
+    not (streaming-filter semantics: once a signature is on record,
+    later lookalikes are re-crawl noise). Seen-store means admission
+    never feeds back into the predicate, so batch-equivalence is a
+    pure self-join over arrival order — no recursion — and the DuckDB
+    oracle replays it bit-exactly (the md5 family is engine-identical).
+
+    At 100 TB: signatures are computed once per document map-side; the
+    store holds 8 bigints per document ever seen (never text or
+    shingles); the per-batch candidate join is band-bucketed (here the
+    bounded 200-doc window keeps the demo join direct; the production
+    form explodes (band, value) keys exactly like
+    op_dedup_minhash_banded so candidates equi-join); verification
+    touches only band-colliding pairs. The known fixture near-dup
+    pairs (8,12) and (0,50) straddle batches: the later member of each
+    must be dropped, pinned in tests/test_streaming.py."""
+    work = os.path.join(
+        "/tmp", "spark_graft_incfuzzy", sf_dir.strip("/").replace("/", "_")
+    )
+    stage = os.path.join(work, "incoming")
+    store = os.path.join(work, "store")
+    admitted = os.path.join(work, "admitted")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    terms = docs.select(
+        "doc_id", F.explode(shingles).alias("term")
+    ).dropDuplicates(["doc_id", "term"])
+    h = lambda j: F.min(  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#{j}"))), 1, 8), 16, 10
+        ).cast("bigint")
+    ).alias(f"s{j}")
+    sigs = terms.groupBy("doc_id").agg(*[h(j) for j in range(8)]).withColumn(
+        "batch_id", (F.col("doc_id") % 3).cast("int")
+    )
+    names = []
+    for b in range(3):
+        name = f"batch{b}"
+        sigs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
+            os.path.join(stage, name)
+        )
+        names.append(name)
+    now = 1_700_000_000
+    for i, d in enumerate(names):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    scols = [f"s{j}" for j in range(8)]
+
+    def _match_pred(left_prefix: str = "", right_prefix: str = "o_"):
+        band_hit = None
+        for b in range(4):
+            hit = (
+                F.col(f"{left_prefix}s{2 * b}") == F.col(f"{right_prefix}s{2 * b}")
+            ) & (
+                F.col(f"{left_prefix}s{2 * b + 1}")
+                == F.col(f"{right_prefix}s{2 * b + 1}")
+            )
+            band_hit = hit if band_hit is None else (band_hit | hit)
+        matches = sum(
+            F.when(
+                F.col(f"{left_prefix}s{j}") == F.col(f"{right_prefix}s{j}"), 1
+            ).otherwise(0)
+            for j in range(8)
+        )
+        return band_hit & (matches >= 4)
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df
+        peer = rows.select(
+            F.col("doc_id").alias("o_id"), *[F.col(s).alias(f"o_{s}") for s in scols]
+        )
+        blocked = (
+            rows.join(peer, _match_pred() & (F.col("o_id") < F.col("doc_id")))
+            .select("doc_id")
+            .distinct()
+        )
+        if os.path.isdir(store):
+            seen = spark.read.parquet(store).select(
+                *[F.col(s).alias(f"o_{s}") for s in scols]
+            )
+            blocked = (
+                blocked.unionByName(
+                    rows.join(seen, _match_pred()).select("doc_id").distinct()
+                )
+                .distinct()
+            )
+        ok = (
+            rows.select("doc_id", F.col("batch_id").alias("admitted_in_batch"))
+            .join(blocked, "doc_id", "left_anti")
+        )
+        ok.write.mode("append").parquet(admitted)
+        # seen-store: EVERY arrival's signature goes on record
+        rows.select(*scols).write.mode("append").parquet(store)
+
+    schema = "doc_id long, " + ", ".join(f"s{j} long" for j in range(8)) + ", batch_id int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(admitted)

@@ -564,3 +564,37 @@ def test_ivfpq_audits_hold(spark, sf_dir):
     out = SPECS["op_sim_ivfpq"].fn(spark, sf_dir)
     bad = out.filter(~(out.pruned_scan & out.recall_floor_met)).collect()
     assert bad == [], f"IVF-PQ audit failed for queries: {[r.query_id for r in bad]}"
+
+
+def test_pack_greedy_invariants(spark, sf_dir):
+    """First-fit packing contract: no pack exceeds the budget unless it
+    holds a single oversized document; pack ids are contiguous from 0
+    per language; fill_after really is the running pack fill."""
+    import pyspark.sql.functions as F
+
+    from game_data_etl_pipeline_spark.llmdata.corpus import PACK_BUDGET
+
+    out = SPECS["op_pack_greedy"].fn(spark, sf_dir).collect()
+    by_pack: dict[tuple[str, int], list] = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_pack.setdefault((r.lang, r.pack_id), []).append(r)
+    # docs in the documents table are whitespace-tokenized; recompute
+    # sizes independently to check fills
+    docs = {
+        r.doc_id: r.n
+        for r in SPECS["op_pack_greedy"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for (lang, pack), rows in by_pack.items():
+        total = sum(docs[r.doc_id] for r in rows)
+        assert total <= PACK_BUDGET or len(rows) == 1, (lang, pack, total)
+        running = 0
+        for r in rows:
+            running += docs[r.doc_id]
+            assert r.fill_after == running, (lang, pack, r.doc_id)
+    for lang in {k[0] for k in by_pack}:
+        ids = sorted(p for (la, p) in by_pack if la == lang)
+        assert ids == list(range(len(ids))), (lang, ids)

@@ -778,3 +778,15 @@ def test_pq_family_never_sort_merge_joins(spark):
         assert all(
             "SortMergeJoin" not in j and "ShuffledHashJoin" not in j for j in f.joins
         ), (name, f.joins)
+
+
+def test_pack_greedy_is_single_exchange_grouped_stage(spark):
+    """r7 contract: true greedy packing is ONE hash exchange on the
+    shard key feeding a grouped Arrow stage (FlatMapGroupsInPandas) —
+    the sequential recurrence runs inside each shard; nothing else
+    shuffles and no join exists."""
+    df = SPECS["op_pack_greedy"].fn(spark, SF)
+    f = I.facts(df)
+    assert f.exchanges == 1, f"expected one shard exchange, got {f.exchanges}"
+    assert "FlatMapGroupsInPandas" in I.explain_str(df, "simple")
+    assert f.joins == [], f.joins

@@ -73,3 +73,19 @@ def test_incremental_dedup_store_grows(spark, sf_dir):
         if r.fingerprint not in best or key < best[r.fingerprint]:
             best[r.fingerprint] = key
     assert admitted == best
+
+
+def test_incremental_fuzzy_dedup_drops_known_near_dups(spark, sf_dir):
+    """The known fixture near-dup pairs (8,12) and (0,50) straddle
+    micro-batches (doc_id % 3 puts each pair's members in different
+    batches), so in each pair the LATER arrival must be dropped by the
+    band store and the earlier one admitted."""
+    out = SPECS["op_stream_incremental_fuzzy_dedup"].fn(spark, sf_dir)
+    admitted = {r.doc_id: r.admitted_in_batch for r in out.collect()}
+    # pair (8, 12): 12 arrives in batch 0, 8 in batch 2 -> 12 wins
+    assert 12 in admitted and 8 not in admitted
+    # pair (0, 50): 0 arrives in batch 0, 50 in batch 2 -> 0 wins
+    assert 0 in admitted and 50 not in admitted
+    # no admitted doc shares a band with an earlier admitted doc: the
+    # oracle pins full equivalence; here just sanity-check volume
+    assert 0 < len(admitted) < 200
