@@ -52,6 +52,7 @@ V2_EXTRA = (
     "op_text_bpe_tokens",      # r7: trained BPE via bounded collect + pandas_udf
     "op_sim_pq_adc",           # r7: PQ codebooks + ADC shortlist + exact rerank
     "op_sim_ivfpq",            # r7: composed IVF-PQ (prune + ADC + rerank)
+    "q_curation_pipeline_v4",  # r7: v3 curation -> true greedy packing endpoint
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -205,7 +206,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r7-v2-33q-median",
+                    "suite": "r7-v2-34q-median",
                     "total": v2_total,
                     "queries": v2_timings,
                     "spread": {name: spr[name] for name in v2_timings},

@@ -964,6 +964,17 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest's, which is O(langs × sources). Embedding vectors cross
     to Arrow once per cell; span text never shuffles (digests and
     cell ids do)."""
+    curated = curated_docs(spark, sf_dir)
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v3 curation chain up to the per-doc survivor set
+    (doc_id, lang, source, n_tokens) — shared by q_curation_pipeline_v3
+    (manifest aggregate) and q_curation_pipeline_v4 (greedy packing)."""
     from game_data_etl_pipeline_spark.llmdata.dedup import semdedup_canon
     from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign
 
@@ -987,7 +998,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = flagged.groupBy("doc_id").agg(
         (F.count(F.when(F.col("is_dup"), 1)) / F.count(F.lit(1))).alias("dup_frac")
     )
-    curated = (
+    return (
         docs.select("doc_id", "lang", "source", F.size(terms).alias("n_tokens"))
         .join(dropped, "doc_id", "left_anti")
         .join(frac, "doc_id", "left")
@@ -995,10 +1006,6 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= 0.2)
             & F.col("n_tokens").between(30, 2000)
         )
-    )
-    return curated.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
 
 
@@ -1108,9 +1115,19 @@ def op_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded and packing parallelism scales with the corpus — packing
     is only ever meaningful WITHIN a shard anyway, because training
     shards are shuffled units."""
-    import pandas as pd
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    return sized.groupBy("lang").applyInPandas(
+        _greedy_pack_fn(PACK_BUDGET), "doc_id long, lang string, pack_id int, fill_after long"
+    )
 
-    budget = PACK_BUDGET
+
+def _greedy_pack_fn(budget: int):
+    """Per-shard first-fit packing loop over (doc_id, lang, n) rows —
+    shared by op_pack_greedy and q_curation_pipeline_v4."""
+    import pandas as pd
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -1133,10 +1150,111 @@ def op_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n")
+    return _pack
+
+
+@register(
+    "q_curation_pipeline_v4",
+    tags=("llm", "corpus"),
+    oracle=f"""
+        WITH RECURSIVE cents AS (
+            SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC, c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS terms FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(0, GREATEST(len(terms) - 14, 0), 5),
+                          i -> array_to_string(terms[i+1:i+15], ' '))) AS span
+            FROM toks
+        ),
+        flagged AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY span)
+                     != MAX(doc_id) OVER (PARTITION BY span) AS is_dup
+            FROM spans
+        ),
+        frac AS (
+            SELECT doc_id,
+                   COUNT(*) FILTER (WHERE is_dup) * 1.0 / COUNT(*) AS dup_frac
+            FROM flagged
+            GROUP BY doc_id
+        ),
+        curated AS (
+            SELECT t.doc_id, d.lang, len(t.terms) AS n
+            FROM toks t
+            JOIN documents d ON t.doc_id = d.doc_id
+            LEFT JOIN frac f ON t.doc_id = f.doc_id
+            WHERE t.doc_id NOT IN (SELECT vec_id FROM dropped)
+              AND COALESCE(f.dup_frac, 0) <= 0.2
+              AND len(t.terms) BETWEEN 30 AND 2000
+        ),
+        seq AS (
+            SELECT doc_id, lang, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+            FROM curated
+        ),
+        walk AS (
+            SELECT lang, r, doc_id, n, 0 AS pack_id, n AS fill
+            FROM seq WHERE r = 1
+            UNION ALL
+            SELECT s.lang, s.r, s.doc_id, s.n,
+                   CASE WHEN w.fill + s.n <= {PACK_BUDGET}
+                        THEN w.pack_id ELSE w.pack_id + 1 END,
+                   CASE WHEN w.fill + s.n <= {PACK_BUDGET}
+                        THEN w.fill + s.n ELSE s.n END
+            FROM walk w JOIN seq s ON s.lang = w.lang AND s.r = w.r + 1
+        )
+        SELECT lang, CAST(pack_id AS INT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS pack_tokens
+        FROM walk
+        GROUP BY lang, pack_id
+    """,
+)
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain run to its training-batch ENDPOINT: v3's
+    survivor set (SemDeDup keep-list → substring-span gate → token
+    band) flows straight into TRUE greedy sequence packing
+    (op_pack_greedy's first-fit recurrence, shared code) and the
+    output is the pack manifest — (lang, pack_id, n_docs,
+    pack_tokens), the unit a training job actually consumes. v1-v3
+    end at corpus ACCOUNTING; v4 ends at batches.
+
+    Composition cost over v3 is one extra exchange: the curated
+    per-doc rows (three int/string columns, no text) shuffle once on
+    the shard key into the grouped Arrow packing stage. Everything
+    upstream keeps v3's shuffle ledger verbatim (see
+    q_curation_pipeline_v3's docstring); the DuckDB oracle appends
+    the packing recursive CTE to v3's chain, so the whole composed
+    pipeline — semantic dedup through pack assignment — is
+    value-oracled end to end."""
+    packed = curated_docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_tokens").alias("n")
+    ).groupBy("lang").applyInPandas(
+        _greedy_pack_fn(PACK_BUDGET),
+        "doc_id long, lang string, pack_id int, fill_after long",
     )
-    return sized.groupBy("lang").applyInPandas(
-        _pack, "doc_id long, lang string, pack_id int, fill_after long"
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("fill_after").cast("bigint").alias("pack_tokens"),
     )
