@@ -940,12 +940,12 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
     oracle replays it bit-exactly (the md5 family is engine-identical).
 
     At 100 TB: signatures are computed once per document map-side; the
-    store holds 8 bigints per document ever seen (never text or
-    shingles); the per-batch candidate join is band-bucketed (here the
-    bounded 200-doc window keeps the demo join direct; the production
-    form explodes (band, value) keys exactly like
-    op_dedup_minhash_banded so candidates equi-join); verification
-    touches only band-colliding pairs. The known fixture near-dup
+    store holds 8 bigints + 4 band keys per document ever seen (never
+    text or shingles); candidate generation is an EQUI-join on the
+    (band, value) LSH key against the store's band table — exactly
+    op_dedup_minhash_banded's bucketed shape, so only bucket
+    collisions ever materialize as pairs — and verification joins
+    only those candidate pairs back to their signatures. The known fixture near-dup
     pairs (8,12) and (0,50) straddle batches: the later member of each
     must be dropped, pinned in tests/test_streaming.py."""
     work = os.path.join(
@@ -993,51 +993,84 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
 
     scols = [f"s{j}" for j in range(8)]
 
-    def _match_pred(left_prefix: str = "", right_prefix: str = "o_"):
-        band_hit = None
+    def _band_rows(df: DataFrame, id_col: str) -> DataFrame:
+        """Explode a signature frame to LSH key rows (id, band, bv) —
+        the bucketed form both the candidate join and the store use."""
+        parts = None
         for b in range(4):
-            hit = (
-                F.col(f"{left_prefix}s{2 * b}") == F.col(f"{right_prefix}s{2 * b}")
-            ) & (
-                F.col(f"{left_prefix}s{2 * b + 1}")
-                == F.col(f"{right_prefix}s{2 * b + 1}")
+            part = df.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")
+                ).alias("bv"),
             )
-            band_hit = hit if band_hit is None else (band_hit | hit)
-        matches = sum(
-            F.when(
-                F.col(f"{left_prefix}s{j}") == F.col(f"{right_prefix}s{j}"), 1
-            ).otherwise(0)
-            for j in range(8)
-        )
-        return band_hit & (matches >= 4)
+            parts = part if parts is None else parts.unionByName(part)
+        return parts
 
-    def admit(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df
-        peer = rows.select(
-            F.col("doc_id").alias("o_id"), *[F.col(s).alias(f"o_{s}") for s in scols]
+    n_matches = sum(
+        F.when(F.col(f"s{j}") == F.col(f"o_s{j}"), 1).otherwise(0) for j in range(8)
+    )
+
+    def _verify(cands: DataFrame, rows: DataFrame, others: DataFrame) -> DataFrame:
+        """Exact-ish verify stage: join the candidate (doc_id, o_id)
+        pairs back to both signatures, keep those matching >= 4 of 8
+        components (estimated shingle-Jaccard >= 0.5)."""
+        peer = others.select(
+            F.col("o_id"), *[F.col(s).alias(f"o_{s}") for s in scols]
         )
-        blocked = (
-            rows.join(peer, _match_pred() & (F.col("o_id") < F.col("doc_id")))
+        return (
+            cands.join(rows.select("doc_id", *scols), "doc_id")
+            .join(peer, "o_id")
+            .filter(n_matches >= 4)
             .select("doc_id")
             .distinct()
         )
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df
+        batch_bands = _band_rows(rows, "doc_id")
+        # candidate generation is an EQUI-join on the (band, value) LSH
+        # key — within the batch and against the store's band table —
+        # never an all-pairs or theta join; only bucket collisions
+        # materialize as pairs, exactly like op_dedup_minhash_banded
+        peer_bands = batch_bands.select(
+            F.col("doc_id").alias("o_id"), "band", "bv"
+        )
+        cands = (
+            batch_bands.join(peer_bands, ["band", "bv"])
+            .filter(F.col("o_id") < F.col("doc_id"))
+            .select("doc_id", "o_id")
+            .distinct()
+        )
+        blocked = _verify(
+            cands, rows, rows.select(F.col("doc_id").alias("o_id"), *scols)
+        )
         if os.path.isdir(store):
-            seen = spark.read.parquet(store).select(
-                *[F.col(s).alias(f"o_{s}") for s in scols]
-            )
-            blocked = (
-                blocked.unionByName(
-                    rows.join(seen, _match_pred()).select("doc_id").distinct()
+            store_sigs = spark.read.parquet(store)
+            store_cands = (
+                batch_bands.join(
+                    spark.read.parquet(store + "_bands"), ["band", "bv"]
                 )
+                .select("doc_id", "o_id")
                 .distinct()
             )
+            blocked = blocked.unionByName(
+                _verify(store_cands, rows, store_sigs)
+            ).distinct()
         ok = (
             rows.select("doc_id", F.col("batch_id").alias("admitted_in_batch"))
             .join(blocked, "doc_id", "left_anti")
         )
         ok.write.mode("append").parquet(admitted)
-        # seen-store: EVERY arrival's signature goes on record
-        rows.select(*scols).write.mode("append").parquet(store)
+        # seen-store: EVERY arrival goes on record — signatures (for
+        # the verify join) and band keys (for the candidate equi-join)
+        rows.select(F.col("doc_id").alias("o_id"), *scols).write.mode(
+            "append"
+        ).parquet(store)
+        batch_bands.select(
+            F.col("doc_id").alias("o_id"), "band", "bv"
+        ).write.mode("append").parquet(store + "_bands")
 
     schema = "doc_id long, " + ", ".join(f"s{j} long" for j in range(8)) + ", batch_id int"
     stream = (
