@@ -75,3 +75,77 @@ def test_gamemode_transform_never_throws_and_keeps_defaults(spark, records):
     for row in out:
         assert row["duration"] is not None  # missing -> ''
         assert row["allows_timeouts"] in (True, False)  # missing -> false
+
+
+@given(
+    words=st.lists(
+        st.text(
+            # anything except the space delimiter; includes unicode and
+            # the '<', '/', '>' chars of the end-of-word marker itself
+            st.characters(blacklist_characters=" "),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    counts=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_roundtrip_is_lossless_on_arbitrary_text(words, counts):
+    """BPE's lossless-encoding invariant holds for ARBITRARY words —
+    including empty strings, unicode, and words containing the literal
+    '</w>' marker characters: concatenating a word's symbols always
+    reproduces word + '</w>', so detokenization is exact regardless of
+    what the merge table learned."""
+    from game_data_etl_pipeline_spark.llmdata.text import _bpe_encode_word, _train_bpe
+
+    wc = [(w, counts.draw(st.integers(1, 50))) for w in words if w]
+    merges = _train_bpe(wc, n_merges=64)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        syms = _bpe_encode_word(w, ranks)
+        assert "".join(syms) == w + "</w>"
+        assert len(syms) >= 1
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=200),
+    budget=st.integers(min_value=1, max_value=2048),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_pack_invariants_on_arbitrary_sizes(tokens, budget):
+    """First-fit packing invariants for arbitrary document sizes and
+    budgets — including documents larger than the budget (a pack to
+    themselves) and zero-token documents: pack ids are contiguous and
+    non-decreasing, no multi-doc pack exceeds the budget, and a new
+    pack opens ONLY when the document wouldn't fit."""
+    import pandas as pd
+
+    from game_data_etl_pipeline_spark.llmdata.corpus import _greedy_pack_fn
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(tokens)),
+            "lang": ["xx"] * len(tokens),
+            "n": tokens,
+        }
+    )
+    out = _greedy_pack_fn(budget)(pdf)
+    packs: dict[int, int] = {}
+    prev_pack = -1
+    for row, n in zip(out.itertuples(index=False), tokens):
+        assert row.pack_id in (prev_pack, prev_pack + 1)
+        if row.pack_id != prev_pack:
+            # a new pack must have been NECESSARY (unless first doc)
+            if prev_pack >= 0:
+                assert packs[prev_pack] + n > budget
+            assert row.fill_after == n
+        else:
+            assert packs[row.pack_id] + n == row.fill_after
+        packs[row.pack_id] = row.fill_after
+        prev_pack = row.pack_id
+    for pid, fill in packs.items():
+        members = [t for r, t in zip(out.itertuples(index=False), tokens) if r.pack_id == pid]
+        assert fill == sum(members)
+        assert fill <= budget or len(members) == 1
