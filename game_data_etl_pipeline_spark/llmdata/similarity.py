@@ -1301,9 +1301,16 @@ def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 cells probed the expected fraction is ~25%, measured 0.23-0.27
     per query at every SF); (4) ADC top-IVFPQ_SHORTLIST reranks
     exactly. PQ here quantizes RAW vectors (IVF+flat-PQ); classic
-    residual quantization (encode x - coarse_centroid) is the known
-    refinement and would reuse these exact stages with one extra
-    zip_with subtraction before pq_encode.
+    residual quantization (encode x - coarse_centroid) was MEASURED
+    and REJECTED for this corpus (2026-08-15, numpy replica of both
+    variants, shortlist-50 recalls): raw 0.6-0.9 / residual 0.6-0.9
+    at sf0.01, raw 0.6-0.8 / residual 0.5-0.7 at sf0.1 — the
+    fixture's near-equidistant vectors have weak cluster structure,
+    so residuals are no smaller than raw vectors and the extra
+    coupling (per-probed-cell LUTs, k x the LUT work) buys nothing.
+    On a naturally clustered corpus residual PQ is the standard win;
+    the swap is one zip_with subtraction before pq_encode plus
+    cell-keyed LUTs.
 
     Self-validating like op_sim_pq_adc: deterministic within-bound
     counts hash-compare against DuckDB; ``recall_floor_met`` asserts
