@@ -353,3 +353,17 @@ def test_equidepth_buckets_partition_orders(spark, sf_dir):
         assert abs(r.n - target) <= 0.1 * target + max_tie, (
             f"bucket {r.bucket} population {r.n} vs target {target}"
         )
+
+
+def test_widen_narrow_scan_only_widens_narrow_frames(spark):
+    """widen_narrow_scan's contract: a narrower-than-cores frame gets
+    round-robin widened to defaultParallelism; a frame already at or
+    above it is returned UNTOUCHED (no exchange added — the property
+    that makes the helper free at cluster scale)."""
+    from game_data_etl_pipeline_spark.catalog import widen_narrow_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert widen_narrow_scan(narrow, spark).rdd.getNumPartitions() == target
+    wide = spark.range(100).repartition(target)
+    assert widen_narrow_scan(wide, spark) is wide
