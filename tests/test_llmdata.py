@@ -598,3 +598,12 @@ def test_pack_greedy_invariants(spark, sf_dir):
     for lang in {k[0] for k in by_pack}:
         ids = sorted(p for (la, p) in by_pack if la == lang)
         assert ids == list(range(len(ids))), (lang, ids)
+
+
+def test_nb_classifier_beats_chance(spark, sf_dir):
+    """The trained source classifier's audit booleans must hold on the
+    fixture (the oracle asserts them TRUE): train accuracy clears both
+    the absolute floor and the 1/n_classes chance rate."""
+    out = SPECS["op_text_nb_source_classifier"].fn(spark, sf_dir)
+    bad = out.filter(~(out.accuracy_floor_met & out.above_chance)).collect()
+    assert bad == [], f"NB audit failed for sources: {[r.source for r in bad][:5]}"
