@@ -1437,3 +1437,137 @@ def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (recall >= 0.4).alias("recall_floor_met"),
         )
     )
+
+
+@register(
+    "op_sim_hybrid_rrf",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t
+            WHERE term IN ('vector', 'stream', 'spark')
+            GROUP BY doc_id, dl, term
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        st AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS tot_dl
+            FROM documents
+        ),
+        bm AS (
+            SELECT doc_id,
+                   ROUND(SUM(ROUND(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_dl)),
+                   4)), 4) AS bm25
+            FROM tf JOIN dfq USING (term), st
+            GROUP BY doc_id
+        ),
+        lex AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+                FROM bm
+            ) WHERE lex_rank <= 20
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS cos
+            FROM embeddings, q WHERE vec_id != 0
+        ),
+        sem AS (
+            SELECT doc_id, sem_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+                FROM scored
+            ) WHERE sem_rank <= 20
+        )
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex_rank, sem_rank,
+               ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                     + COALESCE(1.0 / (60 + sem_rank), 0.0), 6) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    """,
+)
+def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (k=60): fuse the
+    BM25 lexical top-20 (op_text_bm25's scorer, query terms 'vector
+    stream spark') with the embedding-cosine top-20 for a semantic
+    query (vec 0's embedding; documents and embeddings are 1:1 on
+    doc_id = vec_id) — the production retrieval stack's standard
+    two-tower fusion, tying the engine's sparse and dense retrieval
+    families together.
+
+    Scale shape: each side reduces to its top-K through
+    `orderBy().limit(K)` — physically TakeOrderedAndProject, a
+    per-partition K-heap plus a K-sized driver merge, NEVER a global
+    sort. Ranks are then assigned WITHOUT a window: the <=K survivors
+    collapse into one sorted array (collect_list -> sort_array) and
+    posexplode emits (rank-1, row) — input bounded at K by the limit,
+    so the single-row stage is constant work and the registry's
+    global-window lint stays clean. The fusion join is K-vs-K.
+
+    Float discipline: cosine is rounded to 4dp BEFORE ranking (ties
+    then break on doc_id, a total order both engines replay; BM25 is
+    already 4dp by construction); 1.0/(60+rank) of an integer rank is
+    the same IEEE op in both engines and the two-term sum is written
+    in the same order, rounded 6dp.
+    """
+    from game_data_etl_pipeline_spark.llmdata.text import op_text_bm25
+
+    K = 20
+
+    def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
+        arr = F.sort_array(
+            F.collect_list(F.struct((-F.col(score)).alias("ns"), F.col("doc_id").alias("doc_id")))
+        )
+        return (
+            top.agg(arr.alias("arr"))
+            .select(F.posexplode("arr").alias("pos", "s"))
+            .select(
+                F.col("s.doc_id").alias("doc_id"),
+                (F.col("pos") + 1).cast("int").alias(rank_name),
+            )
+        )
+
+    lex_top = op_text_bm25(spark, sf_dir).orderBy(F.desc("bm25"), "doc_id").limit(K)
+    lex = _ranked(lex_top, "bm25", "lex_rank")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), norm_expr(F.col("embedding")).alias("qnorm")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot_expr(F.col("embedding"), F.col("qe"))
+                / (norm_expr(F.col("embedding")) * F.col("qnorm")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    sem = _ranked(scored.orderBy(F.desc("cos"), "doc_id").limit(K), "cos", "sem_rank")
+
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(sem, "doc_id", "full")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+    )

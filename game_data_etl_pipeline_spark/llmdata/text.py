@@ -1551,3 +1551,201 @@ def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(audit))
         .select("source", "n_docs", "accuracy_floor_met", "above_chance")
     )
+
+
+@register(
+    "op_text_bm25",
+    tags=("llm", "text"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t
+            WHERE term IN ('vector', 'stream', 'spark')
+            GROUP BY doc_id, dl, term
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        st AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS tot_dl
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(SUM(ROUND(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_dl)),
+               4)), 4) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM tf JOIN dfq USING (term), st
+        GROUP BY doc_id
+    """,
+)
+def op_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scoring (k1=1.2, b=0.75) of every
+    document against a fixed query term set — the sparse/lexical
+    complement to the embedding-ANN retrieval family (op_sim_*):
+    production retrieval stacks run both and fuse.
+
+    Scale shape: the corpus is scanned ONCE — the scan collapses each
+    document to the narrow (doc_id, dl, query-term hits) projection,
+    which is materialized (the bigram_logprob/langid_trigram
+    materialize-once pattern; Catalyst does NOT reuse the scan across
+    the tf / df / corpus-stats consumers, verified by the absence of
+    ReusedExchange in the executed plan, so without the barrier the
+    100 TB text column would be read three times). The materialized
+    stream is tiny — two ints plus only the matching query terms per
+    doc. Document frequency and the corpus stats (N, total length)
+    are broadcast back into the per-hit score; document bodies never
+    shuffle.
+
+    Float discipline: both engines evaluate the identical operation
+    sequence (dl/avgdl expressed as dl*n_docs/tot_dl — never a
+    pre-divided avgdl — and 1-b folded to the exact-binary 0.25);
+    the only cross-engine exposure is the libm LN ulp, handled like
+    op_text_tfidf by rounding per-term scores to 4dp; the outer SUM
+    adds 4dp-rounded values whose magnitudes sit far from rounding
+    boundaries, so order-of-addition cannot flip the final ROUND.
+    """
+    query_terms = ("vector", "stream", "spark")
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    base = widen_narrow_scan(
+        docs.select(
+            "doc_id",
+            F.size(_terms()).alias("dl"),
+            F.filter(_terms(), lambda t: t.isin(*query_terms)).alias("hits"),
+        ),
+        spark,
+    ).localCheckpoint()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") * F.col("n_docs") / F.col("tot_dl"))
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+
+
+@register(
+    "op_text_pmi_bigrams",
+    tags=("llm", "text"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        uni AS (
+            SELECT UNNEST(w) AS term FROM t
+        ),
+        c1 AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY term
+        ),
+        bg AS (
+            SELECT w[p + 1] AS w1, w[p + 2] AS w2
+            FROM t, UNNEST(range(len(w) - 1)) AS u(p)
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram
+            FROM bg GROUP BY w1, w2
+        ),
+        st AS (
+            SELECT (SELECT COUNT(*) FROM uni) AS w_tot,
+                   (SELECT COUNT(*) FROM bg) AS bg_tot
+        )
+        SELECT c12.w1, c12.w2, c12.c_bigram,
+               ROUND(LN(
+                   (c12.c_bigram * 1.0 * st.w_tot * st.w_tot)
+                   / (st.bg_tot * 1.0 * a.c * b.c)
+               ), 4) + 0.0 AS pmi
+        FROM c12
+        JOIN c1 a ON a.term = c12.w1
+        JOIN c1 b ON b.term = c12.w2
+        CROSS JOIN st
+        WHERE c12.c_bigram >= 5
+    """,
+)
+def op_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information
+    for every adjacent word pair with support >= 5 — the classic
+    phrase-detection signal (word2vec's phrase pass, KenLM pruning)
+    a curation pipeline uses to find multi-word expressions worth
+    treating as units.
+
+    Scale shape: TWO corpus scans, one per count stream — per-doc
+    bigram arrays via a zip_with over two shifted slices (no
+    self-join of the token stream, which is the naive quadratic-ish
+    formulation) and the unigram stream from the same split. Both
+    aggregations are map-side-combinable word-counts whose key
+    spaces are vocabulary-bounded (Zipf: ~10^5-10^6 unigrams,
+    ~10^7-10^8 surviving bigrams at 100 TB — executor-trivial after
+    partial aggregation); both are materialized once (Catalyst does
+    not share scan subtrees across consumers — same finding as
+    op_text_bm25) so the scalar totals W and Bt are RE-AGGREGATED
+    from the bounded count tables (SUM(c), SUM(c_bigram)) instead of
+    paying a third and fourth scan of the text column. The unigram
+    table and the two totals broadcast into the bigram stream;
+    document bodies never shuffle. Emitting ALL supported pairs
+    (vocabulary-bounded) instead of a top-k keeps the output
+    deterministic — no cross-engine tie at a LIMIT boundary.
+
+    Float discipline: identical operation order both engines —
+    (c12 * 1.0 * W * W) / (Bt * 1.0 * c1 * c2), integer products
+    promoted to double BEFORE they can overflow 64-bit at corpus
+    scale — and the lone LN ulp exposure is absorbed by ROUND(,4)
+    exactly as op_text_tfidf does. PMI of an independent pair is
+    ~0 and ROUND can land on IEEE -0.0 in one engine and +0.0 in
+    the other (observed on the fixture), so both sides normalize
+    with the registry's `+ 0.0` idiom.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _terms()
+    toks = widen_narrow_scan(docs.select(w.alias("w")), spark)
+    uni = toks.select(F.explode("w").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram")).localCheckpoint()
+    c12 = c12_all.filter(F.col("c_bigram") >= 5)
+    stats = c1.agg(F.sum("c").alias("w_tot")).crossJoin(
+        c12_all.agg(F.sum("c_bigram").alias("bg_tot"))
+    )
+    a, b = c1.alias("a"), c1.alias("b")
+    pmi = F.log(
+        (F.col("c_bigram") * 1.0 * F.col("w_tot") * F.col("w_tot"))
+        / (F.col("bg_tot") * 1.0 * F.col("a.c") * F.col("b.c"))
+    )
+    return (
+        c12.join(F.broadcast(a), F.col("a.term") == F.col("w1"))
+        .join(F.broadcast(b), F.col("b.term") == F.col("w2"))
+        .crossJoin(F.broadcast(stats))
+        .select("w1", "w2", "c_bigram", (F.round(pmi, 4) + 0.0).alias("pmi"))
+    )

@@ -790,3 +790,22 @@ def test_pack_greedy_is_single_exchange_grouped_stage(spark):
     assert f.exchanges == 1, f"expected one shard exchange, got {f.exchanges}"
     assert "FlatMapGroupsInPandas" in I.explain_str(df, "simple")
     assert f.joins == [], f.joins
+
+
+def test_retrieval_ops_plan_contracts(spark):
+    """r7 retrieval additions. op_text_bm25 collapses the corpus scan
+    to a materialized narrow (doc_id, dl, query-hits) projection —
+    Catalyst does not reuse scan subtrees across its tf / df / stats
+    consumers (no ReusedExchange appears), so without the barrier the
+    100 TB text column would be read three times: the final plan must
+    therefore contain NO parquet scan at all. op_sim_hybrid_rrf must
+    reduce both ranker sides with TakeOrderedAndProject K-heaps (never
+    a global sort) and assign ranks without any single-partition
+    window (the sort_array/posexplode form over the K survivors)."""
+    bm = I.explain_str(SPECS["op_text_bm25"].fn(spark, SF))
+    assert "Scan parquet" not in bm, "bm25 re-scans the corpus past the barrier"
+    rrf = I.explain_str(SPECS["op_sim_hybrid_rrf"].fn(spark, SF), "simple")
+    assert rrf.count("TakeOrderedAndProject") == 2, rrf.count("TakeOrderedAndProject")
+    assert I.num_global_window_sorts(rrf) == 0
+    pmi = I.explain_str(SPECS["op_text_pmi_bigrams"].fn(spark, SF))
+    assert "Scan parquet" not in pmi, "pmi re-scans the corpus past the count tables"
