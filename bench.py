@@ -53,6 +53,10 @@ V2_EXTRA = (
     "op_sim_pq_adc",           # r7: PQ codebooks + ADC shortlist + exact rerank
     "op_sim_ivfpq",            # r7: composed IVF-PQ (prune + ADC + rerank)
     "q_curation_pipeline_v4",  # r7: v3 curation -> true greedy packing endpoint
+    "op_text_nb_source_classifier",  # r7: trained NB curation classifier
+    "op_text_bm25",            # r7: lexical retrieval scoring (one-scan form)
+    "op_text_pmi_bigrams",     # r7: collocation mining (two materialized counts)
+    "op_sim_hybrid_rrf",       # r7: BM25 + cosine reciprocal-rank fusion
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -206,7 +210,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r7-v2-34q-median",
+                    "suite": "r7-v2-38q-median",
                     "total": v2_total,
                     "queries": v2_timings,
                     "spread": {name: spr[name] for name in v2_timings},
