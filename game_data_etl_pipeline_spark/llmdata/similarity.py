@@ -1571,3 +1571,196 @@ def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lex.join(sem, "doc_id", "full")
         .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
     )
+
+
+@register(
+    "op_sim_mmr",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS rel
+            FROM embeddings, q WHERE vec_id != 0
+        ),
+        cands AS (
+            SELECT doc_id, rel FROM scored ORDER BY rel DESC, doc_id LIMIT 20
+        ),
+        pairs AS (
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE a.vec_id IN (SELECT doc_id FROM cands)
+              AND b.vec_id IN (SELECT doc_id FROM cands)
+        ),
+        sel1 AS (
+            SELECT doc_id, rel, 0.5 * rel AS m
+            FROM cands ORDER BY rel DESC, doc_id LIMIT 1
+        ),
+        rem2 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1)
+        ),
+        sel2 AS (SELECT doc_id, rel, m FROM rem2 ORDER BY m DESC, doc_id LIMIT 1),
+        rem3 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1
+                                                       UNION SELECT doc_id FROM sel2)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1
+                                                UNION SELECT doc_id FROM sel2)
+        ),
+        sel3 AS (SELECT doc_id, rel, m FROM rem3 ORDER BY m DESC, doc_id LIMIT 1),
+        rem4 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1
+                                                       UNION SELECT doc_id FROM sel2
+                                                       UNION SELECT doc_id FROM sel3)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1
+                                                UNION SELECT doc_id FROM sel2
+                                                UNION SELECT doc_id FROM sel3)
+        ),
+        sel4 AS (SELECT doc_id, rel, m FROM rem4 ORDER BY m DESC, doc_id LIMIT 1),
+        rem5 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1
+                                                       UNION SELECT doc_id FROM sel2
+                                                       UNION SELECT doc_id FROM sel3
+                                                       UNION SELECT doc_id FROM sel4)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1
+                                                UNION SELECT doc_id FROM sel2
+                                                UNION SELECT doc_id FROM sel3
+                                                UNION SELECT doc_id FROM sel4)
+        ),
+        sel5 AS (SELECT doc_id, rel, m FROM rem5 ORDER BY m DESC, doc_id LIMIT 1)
+        SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id, rel,
+               ROUND(m, 6) + 0.0 AS mmr
+        FROM (
+            SELECT 1 AS sel_rank, * FROM sel1
+            UNION ALL SELECT 2, * FROM sel2
+            UNION ALL SELECT 3, * FROM sel3
+            UNION ALL SELECT 4, * FROM sel4
+            UNION ALL SELECT 5, * FROM sel5
+        )
+    """,
+)
+def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance (lambda=0.5): greedily select 5
+    diverse results from the cosine top-20 for query vec 0 — the
+    diversification stage that finishes the retrieval stack (ANN
+    recall -> op_sim_hybrid_rrf fusion -> MMR de-redundancy), and the
+    same primitive a data-curation pipeline uses to pick diverse
+    exemplars from a near-dup cluster.
+
+    Scale shape: relevance reduces the corpus to the top-20 through a
+    TakeOrderedAndProject heap; the 20x20 pairwise-cosine matrix and
+    the candidate list are then materialized ONCE (constant-size —
+    the greedy loop must not replay the corpus scan per step), and
+    each of the 5 selection steps is a constant-work join/aggregate
+    over those bounded frames ending in another 1-row heap. No step
+    touches the corpus again; nothing unbounded ever sits in one
+    task. On a cluster the loop costs 5 tiny jobs after one scan.
+
+    Determinism: relevance and pairwise cosines are rounded to 4dp
+    BEFORE any comparison, every argmax breaks ties on doc_id, and
+    0.5*rel - 0.5*max(sim) is the same IEEE sequence in both engines
+    on identical inputs — the DuckDB oracle replays the 5 greedy
+    steps unrolled and must pick the identical chain. Emitted mmr is
+    6dp with the -0.0 normalization.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), norm_expr(F.col("embedding")).alias("qnorm")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                dot_expr(F.col("embedding"), F.col("qe"))
+                / (norm_expr(F.col("embedding")) * F.col("qnorm")),
+                4,
+            ).alias("rel"),
+        )
+    )
+    cands = (
+        scored.orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("doc_id"), "rel", "embedding")
+        .localCheckpoint()
+    )
+    a = cands.select(
+        F.col("doc_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        norm_expr(F.col("embedding")).alias("n1"),
+    )
+    b = cands.select(
+        F.col("doc_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        norm_expr(F.col("embedding")).alias("n2"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("d1") != F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                dot_expr(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    cands = cands.drop("embedding")
+
+    first = (
+        cands.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("sel_rank"),
+            "doc_id",
+            "rel",
+            (0.5 * F.col("rel")).alias("m"),
+        )
+    )
+    picks = [first]
+    for step in range(2, 6):
+        sel_ids = [p.select("doc_id") for p in picks]
+        selected = sel_ids[0]
+        for s in sel_ids[1:]:
+            selected = selected.union(s)
+        ms = (
+            pairs.join(
+                F.broadcast(selected.withColumnRenamed("doc_id", "d2")), "d2"
+            )
+            .groupBy("d1")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            cands.join(selected, "doc_id", "left_anti")
+            .join(ms, F.col("doc_id") == F.col("d1"))
+            .select("doc_id", "rel", (0.5 * F.col("rel") - 0.5 * F.col("maxsim")).alias("m"))
+            .orderBy(F.desc("m"), "doc_id")
+            .limit(1)
+            .select(F.lit(step).cast("int").alias("sel_rank"), "doc_id", "rel", "m")
+        )
+        picks.append(pick.localCheckpoint())
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "sel_rank", "doc_id", "rel", (F.round(F.col("m"), 6) + 0.0).alias("mmr")
+    )

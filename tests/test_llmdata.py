@@ -607,3 +607,19 @@ def test_nb_classifier_beats_chance(spark, sf_dir):
     out = SPECS["op_text_nb_source_classifier"].fn(spark, sf_dir)
     bad = out.filter(~(out.accuracy_floor_met & out.above_chance)).collect()
     assert bad == [], f"NB audit failed for sources: {[r.source for r in bad][:5]}"
+
+
+def test_mmr_greedy_invariants(spark, sf_dir):
+    """MMR's greedy chain: 5 distinct picks ranked 1..5, and from
+    rank 2 onward the selected score is monotone non-increasing —
+    for a fixed candidate maxsim can only grow as the selected set
+    grows, so step i+1's winner cannot beat step i's (a violation
+    means the loop compared against the wrong selected set). Rank 1
+    is excluded: its score carries no diversity penalty, and with
+    NEGATIVE cosines in play rank 2's penalized score can lawfully
+    exceed it (observed on the fixture: 0.16725 < 0.16925)."""
+    rows = SPECS["op_sim_mmr"].fn(spark, sf_dir).orderBy("sel_rank").collect()
+    assert [r.sel_rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.doc_id for r in rows}) == 5
+    scores = [r.mmr for r in rows[1:]]
+    assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1)), scores
