@@ -1567,8 +1567,16 @@ def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
         6,
     )
+    # the FULL OUTER fusion of the two K-row lists as union + group-by:
+    # Spark cannot broadcast either side of a full outer join, so the
+    # join form compiles to a SortMergeJoin — bounded here (2K rows)
+    # but pointlessly so; one K-keyed aggregate carries both ranks
+    both = lex.withColumn("sem_rank", F.lit(None).cast("int")).unionByName(
+        sem.withColumn("lex_rank", F.lit(None).cast("int"))
+    )
     return (
-        lex.join(sem, "doc_id", "full")
+        both.groupBy("doc_id")
+        .agg(F.max("lex_rank").alias("lex_rank"), F.max("sem_rank").alias("sem_rank"))
         .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
     )
 

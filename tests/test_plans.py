@@ -807,5 +807,9 @@ def test_retrieval_ops_plan_contracts(spark):
     rrf = I.explain_str(SPECS["op_sim_hybrid_rrf"].fn(spark, SF), "simple")
     assert rrf.count("TakeOrderedAndProject") == 2, rrf.count("TakeOrderedAndProject")
     assert I.num_global_window_sorts(rrf) == 0
+    # the fusion is union + group-by, NOT a full outer join: Spark
+    # cannot broadcast a full outer side, so the join form would
+    # compile to a SortMergeJoin
+    assert "SortMergeJoin" not in rrf
     pmi = I.explain_str(SPECS["op_text_pmi_bigrams"].fn(spark, SF))
     assert "Scan parquet" not in pmi, "pmi re-scans the corpus past the count tables"
