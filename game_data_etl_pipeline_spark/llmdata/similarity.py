@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata import text as _text
 from game_data_etl_pipeline_spark.registry import register
 
 
@@ -1439,38 +1440,41 @@ def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosine_to_query0(emb: DataFrame) -> DataFrame:
+    """(doc_id, cos) for every vector vs vec 0's embedding, cosine
+    rounded to 4dp BEFORE any ranking — the shared scoring block of
+    op_sim_hybrid_rrf and op_sim_mmr. The two ops' composed story
+    (RRF's semantic top-20 == MMR's candidate top-20) depends on
+    both using bit-identical scores, so the discipline lives here
+    once. SQL twin: ROUND(list_cosine_similarity(embedding, qe), 4)
+    over vec_id != 0."""
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), norm_expr(F.col("embedding")).alias("qnorm")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(
+                dot_expr(F.col("embedding"), F.col("qe"))
+                / (norm_expr(F.col("embedding")) * F.col("qnorm")),
+                4,
+            ).alias("cos"),
+        )
+    )
+
+
 @register(
     "op_sim_hybrid_rrf",
     tags=("llm", "similarity"),
-    oracle="""
-        WITH t AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS dl,
-                   UNNEST(string_split(text, ' ')) AS term
-            FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM t
-            WHERE term IN ('vector', 'stream', 'spark')
-            GROUP BY doc_id, dl, term
-        ),
-        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        st AS (
-            SELECT COUNT(*) AS n_docs,
-                   SUM(len(string_split(text, ' '))) AS tot_dl
-            FROM documents
-        ),
-        bm AS (
-            SELECT doc_id,
-                   ROUND(SUM(ROUND(
-                       LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_dl)),
-                   4)), 4) AS bm25
-            FROM tf JOIN dfq USING (term), st
-            GROUP BY doc_id
-        ),
+    # the BM25 side of the oracle is COMPOSED from op_text_bm25's
+    # shared CTE chain (text.BM25_CTES) — one string to edit, the two
+    # oracles cannot drift (text.py does not import this module, so
+    # the top-level import is cycle-free)
+    oracle=_text.BM25_CTES
+    + """,
         lex AS (
             SELECT doc_id, lex_rank FROM (
                 SELECT doc_id,
@@ -1524,8 +1528,6 @@ def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same IEEE op in both engines and the two-term sum is written
     in the same order, rounded 6dp.
     """
-    from game_data_etl_pipeline_spark.llmdata.text import op_text_bm25
-
     K = 20
 
     def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
@@ -1541,25 +1543,11 @@ def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    lex_top = op_text_bm25(spark, sf_dir).orderBy(F.desc("bm25"), "doc_id").limit(K)
+    lex_top = _text.op_text_bm25(spark, sf_dir).orderBy(F.desc("bm25"), "doc_id").limit(K)
     lex = _ranked(lex_top, "bm25", "lex_rank")
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), norm_expr(F.col("embedding")).alias("qnorm")
-    )
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                dot_expr(F.col("embedding"), F.col("qe"))
-                / (norm_expr(F.col("embedding")) * F.col("qnorm")),
-                4,
-            ).alias("cos"),
-        )
-    )
+    scored = _cosine_to_query0(emb).drop("embedding")
     sem = _ranked(scored.orderBy(F.desc("cos"), "doc_id").limit(K), "cos", "sem_rank")
 
     rrf = F.round(
@@ -1689,26 +1677,11 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp with the -0.0 normalization.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), norm_expr(F.col("embedding")).alias("qnorm")
-    )
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "embedding",
-            F.round(
-                dot_expr(F.col("embedding"), F.col("qe"))
-                / (norm_expr(F.col("embedding")) * F.col("qnorm")),
-                4,
-            ).alias("rel"),
-        )
-    )
+    scored = _cosine_to_query0(emb).withColumnRenamed("cos", "rel")
     cands = (
-        scored.orderBy(F.desc("rel"), "vec_id")
+        scored.orderBy(F.desc("rel"), "doc_id")
         .limit(20)
-        .select(F.col("vec_id").alias("doc_id"), "rel", "embedding")
+        .select("doc_id", "rel", "embedding")
         .localCheckpoint()
     )
     a = cands.select(
@@ -1744,12 +1717,9 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (0.5 * F.col("rel")).alias("m"),
         )
     )
-    picks = [first]
+    picks = [first.localCheckpoint()]
+    selected = picks[0].select("doc_id")
     for step in range(2, 6):
-        sel_ids = [p.select("doc_id") for p in picks]
-        selected = sel_ids[0]
-        for s in sel_ids[1:]:
-            selected = selected.union(s)
         ms = (
             pairs.join(
                 F.broadcast(selected.withColumnRenamed("doc_id", "d2")), "d2"
@@ -1766,6 +1736,7 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(step).cast("int").alias("sel_rank"), "doc_id", "rel", "m")
         )
         picks.append(pick.localCheckpoint())
+        selected = selected.union(picks[-1].select("doc_id"))
     out = picks[0]
     for p in picks[1:]:
         out = out.union(p)

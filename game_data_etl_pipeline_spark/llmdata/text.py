@@ -1553,10 +1553,12 @@ def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_text_bm25",
-    tags=("llm", "text"),
-    oracle="""
+# BM25 oracle building blocks, shared verbatim with op_sim_hybrid_rrf's
+# oracle (which composes the same scorer): a future change to the query
+# terms, k1/b, or the idf expression edits ONE string, so the two
+# oracles cannot drift apart (the f-string-composition convention of
+# corpus.py / multimodal.py).
+BM25_CTES = """
         WITH t AS (
             SELECT doc_id,
                    len(string_split(text, ' ')) AS dl,
@@ -1574,16 +1576,26 @@ def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT COUNT(*) AS n_docs,
                    SUM(len(string_split(text, ' '))) AS tot_dl
             FROM documents
-        )
-        SELECT doc_id,
-               ROUND(SUM(ROUND(
-                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                   * (tf * 2.2)
-                   / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_dl)),
-               4)), 4) AS bm25,
-               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-        FROM tf JOIN dfq USING (term), st
-        GROUP BY doc_id
+        ),
+        bm AS (
+            SELECT doc_id,
+                   ROUND(SUM(ROUND(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_dl)),
+                   4)), 4) AS bm25,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM tf JOIN dfq USING (term), st
+            GROUP BY doc_id
+        )"""
+
+
+@register(
+    "op_text_bm25",
+    tags=("llm", "text"),
+    oracle=BM25_CTES
+    + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
     """,
 )
 def op_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
