@@ -59,6 +59,7 @@ V2_EXTRA = (
     "op_sim_hybrid_rrf",       # r7: BM25 + cosine reciprocal-rank fusion
     "op_sim_mmr",              # r7: MMR diversity selection over the top-20
     "op_graph_triangle_counts",  # r7: degree-oriented triangles, co-purchase graph
+    "op_corpus_shard_manifest",  # r7: order-independent publish-integrity manifest
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -212,7 +213,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r7-v2-40q-median",
+                    "suite": "r7-v2-41q-median",
                     "total": v2_total,
                     "queries": v2_timings,
                     "spread": {name: spr[name] for name in v2_timings},

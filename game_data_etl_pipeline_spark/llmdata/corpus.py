@@ -1258,3 +1258,80 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("fill_after").cast("bigint").alias("pack_tokens"),
     )
+
+
+@register(
+    "op_corpus_shard_manifest",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   strlen(text) AS nbytes,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+                   CAST(CONCAT('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15
+                   )) AS BIGINT) AS digest
+            FROM documents
+        )
+        SELECT CAST(CONCAT('0x', substr(k, 1, 1)) AS INT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+               bit_xor(digest) AS checksum_xor,
+               CAST(SUM(digest % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+        FROM keyed
+        GROUP BY 1
+    """,
+)
+def op_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-publishing integrity manifest: for each of
+    op_corpus_shard_shuffle's 16 deterministic shards, the row count,
+    total payload bytes, and TWO order-independent content checksums
+    (bit-XOR fold and mod-prime sum of per-row md5 digests) — the
+    artifact a 100 TB dataset release ships next to its shards so any
+    consumer (or the writer itself, re-reading after publish) can
+    verify every shard without trusting the transport.
+
+    Order-independence is the load-bearing property: a distributed
+    writer materializes each shard's rows in a nondeterministic
+    order (task scheduling, retries, AQE coalescing), so a streaming
+    hash of the file would be layout-dependent — XOR and modular sum
+    are commutative-associative reductions, bit-identical however
+    the rows land, and verifiable as a map-side-combinable aggregate
+    (one shuffle of 16×4 partial states per verification pass, no
+    re-sort). The digest is the first 15 md5 hex digits (< 2^60, so
+    the BIGINT mod-sum cannot overflow below ~2^63-2^60 rows/shard);
+    keying it on doc_id || ':' || text makes both content AND id
+    assignment tamper-evident. Spark's conv(hex,16,10) and DuckDB's
+    0x-prefix cast were probe-verified to agree bit-exactly, as were
+    bit_xor and the mod-prime sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias("shard_id"),
+        F.octet_length("text").alias("nbytes"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("digest"),
+    )
+    return keyed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.expr("bit_xor(digest)").alias("checksum_xor"),
+        (F.sum(F.col("digest") % 1000000007) % 1000000007).alias("checksum_sum"),
+    )
