@@ -623,3 +623,38 @@ def test_mmr_greedy_invariants(spark, sf_dir):
     assert len({r.doc_id for r in rows}) == 5
     scores = [r.mmr for r in rows[1:]]
     assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1)), scores
+
+
+def test_shard_manifest_layout_invariant(spark, sf_dir):
+    """The manifest's whole point is that its checksums do not depend
+    on how a distributed writer lands the rows: recompute the same
+    aggregate from a deliberately different layout (repartition(7) on
+    a different key, i.e. different partition count AND intra-
+    partition order than the scan) and every per-shard row must be
+    bit-identical."""
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.corpus import op_corpus_shard_manifest
+
+    base = {r.shard_id: r for r in op_corpus_shard_manifest(spark, sf_dir).collect()}
+    assert len(base) == 16
+
+    docs = load_table(spark, sf_dir, "documents").repartition(7, "source")
+    docs.createOrReplaceTempView("___manifest_relaid")
+    relaid = spark.sql("""
+        WITH keyed AS (
+            SELECT conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 1), 16, 10) AS sid,
+                   octet_length(text) AS nbytes,
+                   CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT) AS digest
+            FROM ___manifest_relaid
+        )
+        SELECT CAST(sid AS INT) AS shard_id, COUNT(*) AS n_docs,
+               SUM(nbytes) AS total_bytes, bit_xor(digest) AS checksum_xor,
+               SUM(digest % 1000000007) % 1000000007 AS checksum_sum
+        FROM keyed GROUP BY 1
+    """).collect()
+    assert len(relaid) == 16
+    for r in relaid:
+        b = base[r.shard_id]
+        assert (r.n_docs, r.total_bytes, r.checksum_xor, r.checksum_sum) == (
+            b.n_docs, b.total_bytes, b.checksum_xor, b.checksum_sum
+        ), r.shard_id
