@@ -69,10 +69,10 @@ V2_EXTRA = (
 # "slowdown" that was entirely hardware). Update each round after the
 # driver records BENCH_r{N}.json.
 PREV = {
-    "round": 6,
-    "frozen_total_sec": 17.26,
-    "py_spin_sec": 0.5764,
-    "jvm_spin_sec": 0.2629,
+    "round": 7,
+    "frozen_total_sec": 18.50,
+    "py_spin_sec": 0.5752,
+    "jvm_spin_sec": 0.2952,
 }
 
 

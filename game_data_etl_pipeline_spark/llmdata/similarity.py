@@ -1076,6 +1076,15 @@ def pq_train(emb: DataFrame) -> DataFrame:
         .collect()
     )
     x = np.asarray([r.embedding for r in sample], dtype=np.float64)
+    if len(x) < PQ_KSUB:
+        # seeds are sub[:PQ_KSUB]; a smaller sample would emit
+        # out-of-range cents[k] (or crash in argmin on an empty one) —
+        # fail with the actionable message instead (round-7 advice)
+        raise ValueError(
+            f"PQ training sample has {len(x)} vectors; need >= PQ_KSUB="
+            f"{PQ_KSUB} (corpus too small for vec_id < {PQ_TRAIN_SAMPLE} "
+            "sampling)"
+        )
     rows: list[tuple[int, int, list[float]]] = []
     for s in range(PQ_M):
         sub = x[:, s * PQ_DSUB : (s + 1) * PQ_DSUB]
@@ -1259,85 +1268,20 @@ IVFPQ_PROBES = 2       # coarse cells each query scans (of k=8 trained)
 IVFPQ_SHORTLIST = 30   # ADC candidates handed to the exact reranker
 
 
-@register(
-    "op_sim_ivfpq",
-    tags=("llm", "similarity"),
-    oracle="""
-        WITH q AS (
-            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-            FROM embeddings WHERE vec_id < 4
-        ),
-        c AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-            FROM embeddings WHERE vec_id >= 4
-        )
-        SELECT query_id,
-               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
-                   AS n_exact_within_bound,
-               TRUE AS pruned_scan,
-               TRUE AS recall_floor_met
-        FROM q, c
-        GROUP BY query_id
-    """,
-)
-def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED production ANN path — IVF-PQ: trained coarse cells
-    prune WHICH vectors get scored, PQ-ADC scores the probed cells
-    from 8-byte codes, an exact rerank fixes the final order. Each
-    stage exists standalone in this registry (op_sim_ivf_trained /
-    op_sim_pq_adc / op_sim_rerank); this query is the evidence the
-    pieces compose into the FAISS-style IVFPQ index every production
-    vector store runs, with both scan fraction and recall audited
-    in-query.
-
-    Stage shapes (all broadcast-join / fold, no shuffle wider than
-    cell ids and codes): (1) op_kmeans_lloyd's trained k=8 centroids
-    assign every candidate a coarse cell via the zero-shuffle argmax
-    form; (2) each query takes its top-IVFPQ_PROBES cells from one
-    sorted fold over the SAME broadcast centroid row (multi-probe —
-    op_sim_rerank's recall knob); (3) ADC scores ONLY candidates
-    whose cell id equi-joins a probed cell — the scan-fraction
-    contract is probes/k of the corpus per query, audited by
-    ``pruned_scan`` (strictly fewer rows scored than exist: with 2 of
-    8 cells probed the expected fraction is ~25%, measured 0.23-0.27
-    per query at every SF); (4) ADC top-IVFPQ_SHORTLIST reranks
-    exactly. PQ here quantizes RAW vectors (IVF+flat-PQ); classic
-    residual quantization (encode x - coarse_centroid) was MEASURED
-    and REJECTED for this corpus (2026-08-15, numpy replica of both
-    variants, shortlist-50 recalls): raw 0.6-0.9 / residual 0.6-0.9
-    at sf0.01, raw 0.6-0.8 / residual 0.5-0.7 at sf0.1 — the
-    fixture's near-equidistant vectors have weak cluster structure,
-    so residuals are no smaller than raw vectors and the extra
-    coupling (per-probed-cell LUTs, k x the LUT work) buys nothing.
-    On a naturally clustered corpus residual PQ is the standard win;
-    the swap is one zip_with subtraction before pq_encode plus
-    cell-keyed LUTs.
-
-    Self-validating like op_sim_pq_adc: deterministic within-bound
-    counts hash-compare against DuckDB; ``recall_floor_met`` asserts
-    the final top-10 recalls >= 40% of the global exact top-10 —
-    DELIBERATELY below op_sim_pq_adc's 0.5 floor because pruning adds
-    its own misses (a true neighbor in an unprobed cell is
-    unreachable; measured recall 0.6-0.9 at sf0.001/0.01 and 0.6-0.8
-    at sf0.1, vs 0.6-0.9 unpruned — the floor keeps margin under
-    both). tests/test_llmdata.py::test_ivfpq_audits_hold pins the
-    booleans on the fixture.
-
-    Local cost (5.4 s median-of-3 at sf0.1) is dominated by the
-    full-corpus coarse Lloyd shared with op_sim_ivf_trained — the
-    deliberate full-data training decision documented there (IVF
-    coarse centroids should see everything; the per-iteration job
-    overhead amortizes on a cluster) — plus the audit's independent
-    exact scan, which exists to verify, not to serve queries."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    coarse = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
-    pq = pq_codebooks(spark, sf_dir)
-    # (1) coarse cell per candidate + (vec_id-keyed) PQ codes
-    cand_cells = ivf_assign(
-        emb.filter(F.col("vec_id") >= 4), cents=coarse, form="argmax"
-    ).select("vec_id", "cent_id")
-    cand_codes = pq_encode(emb.filter(F.col("vec_id") >= 4), pq)
-    cands = cand_codes.join(cand_cells, "vec_id")
+def ivfpq_serve_stages(
+    emb: DataFrame, cands: DataFrame, coarse: DataFrame, pq: DataFrame
+) -> DataFrame:
+    """IVF-PQ stages (2)-(4) plus the exact-scan audit, shared
+    VERBATIM by op_sim_ivfpq (index trained inside the query — the
+    composition evidence) and op_sim_ivfpq_serve (index read back
+    from the persisted warehouse artifact — the steady state): probe
+    selection from the broadcast coarse centroids, ADC over probed
+    cells, shortlist, exact rerank, and the recall/pruning audit.
+    Inputs: ``emb`` (vec_id, embedding — full corpus, for queries +
+    rerank + audit), ``cands`` (vec_id, codes, cent_id — the encoded
+    candidate set), ``coarse`` (cent_id, ce, cnorm), ``pq``
+    (sub_id, code, ce). See op_sim_ivfpq's docstring for the stage
+    semantics and float discipline."""
     # (2) top-IVFPQ_PROBES cells per query from the broadcast centroids
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -1427,17 +1371,111 @@ def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("dist") <= 25.0, 1)).alias("n_exact_within_bound"),
         F.collect_set(F.when(F.col("rk") <= 10, F.col("vec_id"))).alias("exact_ids"),
     )
-    recall = F.size(F.array_intersect("approx_ids", "exact_ids")) / F.size("exact_ids")
+    # the queries-side frame (exact_agg covers every query by
+    # construction) is the SPINE, with LEFT joins to the pruned-path
+    # results: a query whose probed cells hold zero candidates still
+    # emits its row — n_scanned coalesces to 0 and recall to 0.0, so
+    # the failure surfaces as recall_floor_met=false instead of a
+    # silently dropped row / oracle row-count mismatch (round-7 advice)
+    approx = F.coalesce(F.col("approx_ids"), F.array().cast("array<bigint>"))
+    recall = F.size(F.array_intersect(approx, F.col("exact_ids"))) / F.size("exact_ids")
     return (
-        final_top.join(F.broadcast(exact_agg), "query_id")
-        .join(F.broadcast(n_scanned), "query_id")
+        exact_agg.join(F.broadcast(final_top), "query_id", "left")
+        .join(F.broadcast(n_scanned), "query_id", "left")
         .select(
             "query_id",
             "n_exact_within_bound",
-            (F.col("n_scanned") < F.col("n_total")).alias("pruned_scan"),
+            (F.coalesce(F.col("n_scanned"), F.lit(0)) < F.col("n_total")).alias(
+                "pruned_scan"
+            ),
             (recall >= 0.4).alias("recall_floor_met"),
         )
     )
+
+
+@register(
+    "op_sim_ivfpq",
+    tags=("llm", "similarity"),
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               TRUE AS pruned_scan,
+               TRUE AS recall_floor_met
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN path — IVF-PQ: trained coarse cells
+    prune WHICH vectors get scored, PQ-ADC scores the probed cells
+    from 8-byte codes, an exact rerank fixes the final order. Each
+    stage exists standalone in this registry (op_sim_ivf_trained /
+    op_sim_pq_adc / op_sim_rerank); this query is the evidence the
+    pieces compose into the FAISS-style IVFPQ index every production
+    vector store runs, with both scan fraction and recall audited
+    in-query.
+
+    Stage shapes (all broadcast-join / fold, no shuffle wider than
+    cell ids and codes): (1) op_kmeans_lloyd's trained k=8 centroids
+    assign every candidate a coarse cell via the zero-shuffle argmax
+    form; (2) each query takes its top-IVFPQ_PROBES cells from one
+    sorted fold over the SAME broadcast centroid row (multi-probe —
+    op_sim_rerank's recall knob); (3) ADC scores ONLY candidates
+    whose cell id equi-joins a probed cell — the scan-fraction
+    contract is probes/k of the corpus per query, audited by
+    ``pruned_scan`` (strictly fewer rows scored than exist: with 2 of
+    8 cells probed the expected fraction is ~25%, measured 0.23-0.27
+    per query at every SF); (4) ADC top-IVFPQ_SHORTLIST reranks
+    exactly. PQ here quantizes RAW vectors (IVF+flat-PQ); classic
+    residual quantization (encode x - coarse_centroid) was MEASURED
+    and REJECTED for this corpus (2026-08-15, numpy replica of both
+    variants, shortlist-50 recalls): raw 0.6-0.9 / residual 0.6-0.9
+    at sf0.01, raw 0.6-0.8 / residual 0.5-0.7 at sf0.1 — the
+    fixture's near-equidistant vectors have weak cluster structure,
+    so residuals are no smaller than raw vectors and the extra
+    coupling (per-probed-cell LUTs, k x the LUT work) buys nothing.
+    On a naturally clustered corpus residual PQ is the standard win;
+    the swap is one zip_with subtraction before pq_encode plus
+    cell-keyed LUTs.
+
+    Self-validating like op_sim_pq_adc: deterministic within-bound
+    counts hash-compare against DuckDB; ``recall_floor_met`` asserts
+    the final top-10 recalls >= 40% of the global exact top-10 —
+    DELIBERATELY below op_sim_pq_adc's 0.5 floor because pruning adds
+    its own misses (a true neighbor in an unprobed cell is
+    unreachable; measured recall 0.6-0.9 at sf0.001/0.01 and 0.6-0.8
+    at sf0.1, vs 0.6-0.9 unpruned — the floor keeps margin under
+    both). tests/test_llmdata.py::test_ivfpq_audits_hold pins the
+    booleans on the fixture.
+
+    Local cost (5.4 s median-of-3 at sf0.1) is dominated by the
+    full-corpus coarse Lloyd shared with op_sim_ivf_trained — the
+    deliberate full-data training decision documented there (IVF
+    coarse centroids should see everything; the per-iteration job
+    overhead amortizes on a cluster) — plus the audit's independent
+    exact scan, which exists to verify, not to serve queries."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    pq = pq_codebooks(spark, sf_dir)
+    # (1) coarse cell per candidate + (vec_id-keyed) PQ codes
+    cand_cells = ivf_assign(
+        emb.filter(F.col("vec_id") >= 4), cents=coarse, form="argmax"
+    ).select("vec_id", "cent_id")
+    cand_codes = pq_encode(emb.filter(F.col("vec_id") >= 4), pq)
+    cands = cand_codes.join(cand_cells, "vec_id")
+    # (2)-(4) + audits: the serving stages shared with
+    # op_sim_ivfpq_serve (ann_index.py), which runs them against the
+    # PERSISTED index instead of the frames trained above
+    return ivfpq_serve_stages(emb, cands, coarse, pq)
 
 
 def _cosine_to_query0(emb: DataFrame) -> DataFrame:
@@ -1569,6 +1607,81 @@ def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mmr_select(
+    cands: DataFrame, pairs: DataFrame, *, steps: int = 5, lam: float = 0.5
+) -> DataFrame:
+    """The MMR greedy selection loop, shared by op_sim_mmr (over the
+    cosine top-20) and q_retrieval_pipeline (over the RRF-fused
+    top-10): given bounded ``cands`` (doc_id, rel) and the bounded
+    pairwise-similarity matrix ``pairs`` (d1, d2, sim — 4dp-rounded),
+    greedily pick ``steps`` rows maximizing lam*rel - (1-lam)*max(sim
+    to selected), ties on doc_id. Both inputs MUST already be
+    constant-size (materialized) — each step is constant work ending
+    in a 1-row heap; no step touches a corpus. Returns (sel_rank,
+    doc_id, rel, m) with m unrounded (callers round for output)."""
+    first = (
+        cands.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("sel_rank"),
+            "doc_id",
+            "rel",
+            (lam * F.col("rel")).alias("m"),
+        )
+    )
+    picks = [first.localCheckpoint()]
+    selected = picks[0].select("doc_id")
+    for step in range(2, steps + 1):
+        ms = (
+            pairs.join(
+                F.broadcast(selected.withColumnRenamed("doc_id", "d2")), "d2"
+            )
+            .groupBy("d1")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            cands.join(selected, "doc_id", "left_anti")
+            .join(ms, F.col("doc_id") == F.col("d1"))
+            .select(
+                "doc_id",
+                "rel",
+                (lam * F.col("rel") - (1 - lam) * F.col("maxsim")).alias("m"),
+            )
+            .orderBy(F.desc("m"), "doc_id")
+            .limit(1)
+            .select(F.lit(step).cast("int").alias("sel_rank"), "doc_id", "rel", "m")
+        )
+        picks.append(pick.localCheckpoint())
+        selected = selected.union(picks[-1].select("doc_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out
+
+
+def pairwise_cosine(cands: DataFrame) -> DataFrame:
+    """4dp-rounded pairwise cosine matrix over a BOUNDED candidate
+    frame carrying (doc_id, embedding) — the diversity input of
+    mmr_select, materialized by the caller."""
+    a = cands.select(
+        F.col("doc_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        norm_expr(F.col("embedding")).alias("n1"),
+    )
+    b = cands.select(
+        F.col("doc_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        norm_expr(F.col("embedding")).alias("n2"),
+    )
+    return a.join(F.broadcast(b), F.col("d1") != F.col("d2")).select(
+        "d1",
+        "d2",
+        F.round(
+            dot_expr(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
+        ).alias("sim"),
+    )
+
+
 @register(
     "op_sim_mmr",
     tags=("llm", "similarity"),
@@ -1684,62 +1797,8 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rel", "embedding")
         .localCheckpoint()
     )
-    a = cands.select(
-        F.col("doc_id").alias("d1"),
-        F.col("embedding").alias("e1"),
-        norm_expr(F.col("embedding")).alias("n1"),
-    )
-    b = cands.select(
-        F.col("doc_id").alias("d2"),
-        F.col("embedding").alias("e2"),
-        norm_expr(F.col("embedding")).alias("n2"),
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("d1") != F.col("d2"))
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                dot_expr(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
-            ).alias("sim"),
-        )
-        .localCheckpoint()
-    )
-    cands = cands.drop("embedding")
-
-    first = (
-        cands.orderBy(F.desc("rel"), "doc_id")
-        .limit(1)
-        .select(
-            F.lit(1).cast("int").alias("sel_rank"),
-            "doc_id",
-            "rel",
-            (0.5 * F.col("rel")).alias("m"),
-        )
-    )
-    picks = [first.localCheckpoint()]
-    selected = picks[0].select("doc_id")
-    for step in range(2, 6):
-        ms = (
-            pairs.join(
-                F.broadcast(selected.withColumnRenamed("doc_id", "d2")), "d2"
-            )
-            .groupBy("d1")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        pick = (
-            cands.join(selected, "doc_id", "left_anti")
-            .join(ms, F.col("doc_id") == F.col("d1"))
-            .select("doc_id", "rel", (0.5 * F.col("rel") - 0.5 * F.col("maxsim")).alias("m"))
-            .orderBy(F.desc("m"), "doc_id")
-            .limit(1)
-            .select(F.lit(step).cast("int").alias("sel_rank"), "doc_id", "rel", "m")
-        )
-        picks.append(pick.localCheckpoint())
-        selected = selected.union(picks[-1].select("doc_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
+    pairs = pairwise_cosine(cands).localCheckpoint()
+    out = mmr_select(cands.drop("embedding"), pairs, steps=5, lam=0.5)
     return out.select(
         "sel_rank", "doc_id", "rel", (F.round(F.col("m"), 6) + 0.0).alias("mmr")
     )

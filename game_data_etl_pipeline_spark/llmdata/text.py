@@ -761,7 +761,15 @@ def op_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.try_element_at(F.col("m12"), bkey(F.element_at(t, i + 1), F.element_at(t, i + 2))) + 0.5)
         / (F.try_element_at(F.col("m1"), F.element_at(t, i + 1)) + 0.5 * F.col("v"))
     )
-    bits_sum = F.aggregate(F.sequence(F.lit(0), F.size(t) - 2), F.lit(0.0), step)
+    # guard the fold itself, not just via the n_bigrams filter below:
+    # F.sequence(0, size-2) on a 1-token doc yields the DESCENDING
+    # [0, -1] and element_at(t, 0) then errors — correctness must not
+    # depend on Catalyst keeping the filter physically below this
+    # projection (round-7 advice)
+    bits_sum = F.when(
+        F.size(t) >= 2,
+        F.aggregate(F.sequence(F.lit(0), F.size(t) - 2), F.lit(0.0), step),
+    ).otherwise(F.lit(0.0))
     return (
         widen_narrow_scan(docs.select("doc_id", "text"), spark)
         .select("doc_id", toks.alias("toks"))
@@ -1493,11 +1501,24 @@ def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``accuracy_floor_met`` (train accuracy >= 0.07) and
     ``above_chance`` (accuracy > 1/n_classes). The floor clears every
     measured SF; determinism (same data -> same accuracy) means no
-    flakiness."""
+    flakiness.
+
+    Plan consolidation (round-8, verdict item 4): the r7 form derived
+    the tokenized corpus TWICE — one widen+explode chain for training
+    and a second widen+distinct chain for scoring — because Catalyst
+    does not reuse scan subtrees across consumers; at 14 exchanges it
+    was the heaviest plan of the r7 wave. This form materializes the
+    narrow (doc_id, source, dterms) projection ONCE (the BM25
+    materialize-once barrier) and feeds training (explode of the
+    array), priors, AND scoring from the same bounded frame — the
+    text column is read exactly once and never again."""
     docs = load_table(spark, sf_dir, "documents")
-    dterms = widen_narrow_scan(docs.select("doc_id", "source", "text"), spark).select(
-        "doc_id", "source", F.explode(F.array_distinct(_terms())).alias("term")
+    base = (
+        widen_narrow_scan(docs.select("doc_id", "source", "text"), spark)
+        .select("doc_id", "source", F.array_distinct(_terms()).alias("dterms"))
+        .localCheckpoint()
     )
+    dterms = base.select("source", F.explode("dterms").alias("term"))
     per_class = (
         dterms.groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1508,7 +1529,7 @@ def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("term").alias("terms"),
         )
     )
-    priors = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    priors = base.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
     model = (
         per_class.join(priors, "source")
         .agg(
@@ -1535,11 +1556,13 @@ def op_text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda cl: F.struct((-loglik(cl)).alias("neg"), cl["source"].alias("src")),
         )
     )
+    # scored is read twice (accuracy audit + per-source counts) and
+    # holds the expensive per-doc fold — materialize the narrow
+    # (source, hit) result once so the fold runs once, not per reader
     scored = (
-        widen_narrow_scan(docs.select("doc_id", "source", "text"), spark)
-        .select("doc_id", "source", F.array_distinct(_terms()).alias("dterms"))
-        .join(F.broadcast(model))
+        base.join(F.broadcast(model))
         .select("source", (best["src"] == F.col("source")).cast("int").alias("hit"))
+        .localCheckpoint()
     )
     audit = scored.agg(
         (F.avg("hit") >= 0.07).alias("accuracy_floor_met"),

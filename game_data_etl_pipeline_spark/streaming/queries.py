@@ -34,6 +34,21 @@ from game_data_etl_pipeline_spark.streaming.engine import events_stream, run_to_
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # == DuckDB strftime '%f' microseconds
 
 
+def _session_workdir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Per-SESSION scratch root for the file-source/sink ops. Keyed by
+    the Spark application id as well as the fixture dir so two
+    concurrent sessions on the same fixture get disjoint stage/store/
+    sink trees instead of rmtree-ing each other's (round-7 advice);
+    within one session the rmtree-then-rebuild remains the intended
+    idempotent-rerun semantics."""
+    return os.path.join(
+        "/tmp",
+        f"spark_graft_{tag}",
+        spark.sparkContext.applicationId,
+        sf_dir.strip("/").replace("/", "_"),
+    )
+
+
 def _fmt(col, alias: str):
     return F.date_format(col, _TS_FMT).alias(alias)
 
@@ -203,7 +218,7 @@ def op_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     a correction file updating keys < 100; merge-by-key keeps the
     latest version per event_id. The merge is anti-join + union —
     MERGE INTO emulated on plain parquet."""
-    work = os.path.join("/tmp", "spark_graft_upsert", sf_dir.strip("/").replace("/", "_"))
+    work = _session_workdir(spark, "upsert", sf_dir)
     stage = os.path.join(work, "incoming")
     target = os.path.join(work, "target")
     shutil.rmtree(work, ignore_errors=True)
@@ -531,7 +546,7 @@ def op_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checkpoint's file-sink log, so the guarantee holds end to end
     (source offsets AND sink manifest), not just in the engine.
     """
-    work = os.path.join("/tmp", "spark_graft_ckpt", sf_dir.strip("/").replace("/", "_"))
+    work = _session_workdir(spark, "ckpt", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     stage = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "checkpoint")
@@ -808,9 +823,7 @@ def op_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedups against ALL history with zero executor state.
     tests/test_streaming.py::test_incremental_dedup_store_grows pins
     the micro-batch mechanics (store growth, cross-batch drop)."""
-    work = os.path.join(
-        "/tmp", "spark_graft_incdedup", sf_dir.strip("/").replace("/", "_")
-    )
+    work = _session_workdir(spark, "incdedup", sf_dir)
     stage = os.path.join(work, "incoming")
     store = os.path.join(work, "store")
     admitted = os.path.join(work, "admitted")
@@ -948,9 +961,7 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
     only those candidate pairs back to their signatures. The known fixture near-dup
     pairs (8,12) and (0,50) straddle batches: the later member of each
     must be dropped, pinned in tests/test_streaming.py."""
-    work = os.path.join(
-        "/tmp", "spark_graft_incfuzzy", sf_dir.strip("/").replace("/", "_")
-    )
+    work = _session_workdir(spark, "incfuzzy", sf_dir)
     stage = os.path.join(work, "incoming")
     store = os.path.join(work, "store")
     admitted = os.path.join(work, "admitted")

@@ -658,3 +658,20 @@ def test_shard_manifest_layout_invariant(spark, sf_dir):
         assert (r.n_docs, r.total_bytes, r.checksum_xor, r.checksum_sum) == (
             b.n_docs, b.total_bytes, b.checksum_xor, b.checksum_sum
         ), r.shard_id
+
+
+def test_pq_train_rejects_undersized_sample(spark):
+    """A training frame with fewer than PQ_KSUB vectors must fail with
+    the actionable ValueError, not an IndexError from out-of-range
+    centroid seeds (round-7 advice)."""
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata.similarity import PQ_DSUB, PQ_KSUB, PQ_M, pq_train
+
+    dims = PQ_M * PQ_DSUB
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * dims) for i in range(PQ_KSUB - 1)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="PQ training sample"):
+        pq_train(tiny)

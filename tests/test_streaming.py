@@ -22,9 +22,9 @@ def test_incremental_dedup_store_grows(spark, sf_dir):
     rows = out.collect()
 
     # the persistent store holds exactly the admitted fingerprints
-    work = os.path.join(
-        "/tmp", "spark_graft_incdedup", sf_dir.strip("/").replace("/", "_")
-    )
+    from game_data_etl_pipeline_spark.streaming.queries import _session_workdir
+
+    work = _session_workdir(spark, "incdedup", sf_dir)
     store = spark.read.parquet(os.path.join(work, "store"))
     assert store.count() == len(rows)
     assert {r.fingerprint for r in store.collect()} == {r.fingerprint for r in rows}
