@@ -1,0 +1,295 @@
+"""Persistent ANN index: build-once / serve-many split of the IVF-PQ
+path.
+
+op_sim_pq_adc / op_sim_ivfpq (similarity.py) train their coarse
+centroids and PQ codebooks INSIDE every query run — right for
+demonstrating that the stages compose, wrong as the steady state: a
+real 100 TB vector store builds its index once (an expensive, bounded,
+offline job) and amortizes it over every subsequent query. This module
+is that split, following op_join_bucketed's "pay it once in layout"
+precedent (operators/scale.py):
+
+- ``build_ann_index`` trains the k=8 coarse IVF centroids
+  (``ivf_trained_centroids`` — distributed Lloyd over the full corpus)
+  and the 16x16 PQ codebooks (``pq_train``), encodes EVERY corpus
+  vector to (cent_id, codes), and persists three parquet artifacts
+  under the gitignored ``spark-warehouse/ann_index`` dir:
+  ``coarse/`` (k rows), ``codebooks/`` (m*ksub rows), and
+  ``postings/`` PARTITIONED BY cent_id — the partition layout IS the
+  inverted file: a query probing 2 of 8 cells touches only those
+  directories, so at 100 TB the probes/k scan fraction is enforced by
+  storage-level partition pruning, not just a join filter.
+- ``op_sim_index_build`` is the registered, value-oracled build job
+  (idempotent: a second call finds the artifact and reads it back).
+- ``op_sim_ivfpq_serve`` is query time: read the three artifacts, run
+  ONLY the serving stages (probe -> ADC -> shortlist -> exact rerank)
+  plus the recall/pruning audit, via the ``ivfpq_serve_stages`` helper
+  shared verbatim with op_sim_ivfpq. Its plan contains NO training
+  stage — no Lloyd loop, no localCheckpoint scan, no driver numpy —
+  pinned by tests/test_plans.py::test_ivfpq_serve_plan_contract
+  (plan has no ExistingRDD operator and reads the ann_index path) and
+  by the _BUILD_COUNT no-rebuild assertion in tests/test_llmdata.py.
+
+Staleness & concurrency: the artifact dir is keyed by the embeddings
+parquet's (size, mtime_ns) fingerprint plus the index format version,
+so a regenerated fixture can never be served by a stale index. Builds
+stage into a unique temp dir and atomically rename into place;
+concurrent builders race benignly (the loser discards its staging dir
+and reads the winner's — both trained deterministically, so the
+artifacts are bit-identical anyway).
+
+Reference scope note: the reference pipeline
+(/root/reference/etl/pipeline.py) has no vector search at all; this
+family is part of the brief's training-data-pipeline closure, designed
+Spark-first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.similarity import (
+    PQ_KSUB,
+    PQ_M,
+    ivf_assign,
+    ivf_trained_centroids,
+    ivfpq_serve_stages,
+    pq_encode,
+    pq_train,
+)
+from game_data_etl_pipeline_spark.registry import register
+
+INDEX_VERSION = 1
+
+# test hook: op_sim_ivfpq_serve twice in one process must hit the
+# persisted artifact, never retrain (tests/test_llmdata.py)
+_BUILD_COUNT = 0
+
+
+def _index_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        str(Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"),
+    )
+
+
+def ann_index_dir(sf_dir: str) -> str:
+    """Artifact dir for one fixture: keyed by the embeddings file's
+    (size, mtime_ns) fingerprint so a regenerated fixture at the same
+    path gets a FRESH index — the stale-index failure mode of
+    path-only keying."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
+    return os.path.join(_index_root(), f"v{INDEX_VERSION}", key)
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -> str:
+    """Train + persist the IVF-PQ index for ``sf_dir``'s embeddings
+    (idempotent; see module docstring). Returns the artifact dir.
+
+    Cost shape: one distributed Lloyd over the full corpus (the
+    deliberate full-data coarse training documented in
+    op_sim_ivf_trained), one bounded driver-numpy codebook train
+    (pq_train's 512-vector sample), one zero-shuffle argmax cell
+    assignment, one bounded groupBy(vec_id) encode, and one shuffle
+    on cent_id to lay the postings out as the inverted file. All paid
+    ONCE per corpus snapshot."""
+    global _BUILD_COUNT
+    final = ann_index_dir(sf_dir)
+    if os.path.isfile(os.path.join(final, "meta.json")) and not force:
+        return final
+    _BUILD_COUNT += 1
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    pq = pq_train(emb)
+    cells = ivf_assign(emb, cents=coarse, form="argmax").select("vec_id", "cent_id")
+    postings = pq_encode(emb, pq).join(cells, "vec_id")
+
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="staging_", dir=os.path.dirname(final))
+    try:
+        coarse.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "coarse")
+        )
+        pq.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "codebooks")
+        )
+        (
+            postings.repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "version": INDEX_VERSION,
+                    "pq_m": PQ_M,
+                    "pq_ksub": PQ_KSUB,
+                    "source": sf_dir,
+                },
+                f,
+            )
+        if force:
+            shutil.rmtree(final, ignore_errors=True)
+        os.rename(staging, final)
+    except OSError:
+        # a concurrent builder renamed first: its artifact is
+        # bit-identical (deterministic training) — use it
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isfile(os.path.join(final, "meta.json")):
+            raise
+    return final
+
+
+def read_ann_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(coarse, codebooks, postings) for ``sf_dir``, building the
+    artifact first if absent. The postings' cent_id comes back as a
+    PARTITION column (directory-derived int) — cast to long so joins
+    against the coarse centroid ids stay cast-free."""
+    path = build_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(path, "coarse"))
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    postings = spark.read.parquet(os.path.join(path, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    return coarse, books, postings
+
+
+@register(
+    "op_sim_index_build",
+    tags=("llm", "similarity", "index"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+               CAST(16 AS BIGINT) AS pq_m,
+               CAST(16 AS BIGINT) AS pq_ksub,
+               TRUE AS full_coverage,
+               TRUE AS fixed_cell_bound,
+               TRUE AS codebook_complete
+        FROM embeddings
+    """,
+)
+def op_sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline index-build job as a registered, value-oracled
+    query: ensure the IVF-PQ artifact exists (building it if absent),
+    then AUDIT the persisted files themselves — the output is computed
+    from what was written to disk, not from the in-memory frames that
+    produced it, so a row that went missing in the write would fail
+    the oracle.
+
+    - ``n_indexed``: postings rows, hash-compared against the corpus
+      count (every vector must be indexed).
+    - ``full_coverage``: postings cover every vec_id exactly once and
+      every code array is exactly PQ_M long.
+    - ``fixed_cell_bound``: 0 < #non-empty cells <= k=8 — the
+      partition count of the inverted file is bounded by the trained
+      k, independent of corpus size.
+    - ``codebook_complete``: exactly PQ_M * PQ_KSUB codebook rows,
+      PQ_M distinct subspaces, codes spanning [0, PQ_KSUB).
+
+    Training determinism (seeded Lloyd, vec_id-sorted sample,
+    lowest-code tie-breaks) makes rebuilds bit-identical, so the
+    audit is stable across SFs and rounds."""
+    from game_data_etl_pipeline_spark.llmdata.cluster import K
+
+    coarse, books, postings = read_ann_index(spark, sf_dir)
+    n_emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n_emb"))
+    )
+    pstats = postings.agg(
+        F.count(F.lit(1)).alias("n_indexed"),
+        F.countDistinct("vec_id").alias("n_distinct"),
+        F.countDistinct("cent_id").alias("n_cells"),
+        F.min(F.size("codes")).alias("min_m"),
+        F.max(F.size("codes")).alias("max_m"),
+    )
+    bstats = books.agg(
+        F.count(F.lit(1)).alias("n_book_rows"),
+        F.countDistinct("sub_id").alias("n_subs"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+    )
+    return (
+        pstats.join(F.broadcast(n_emb))
+        .join(F.broadcast(bstats))
+        .select(
+            "n_indexed",
+            F.lit(PQ_M).cast("long").alias("pq_m"),
+            F.lit(PQ_KSUB).cast("long").alias("pq_ksub"),
+            (
+                (F.col("n_indexed") == F.col("n_emb"))
+                & (F.col("n_distinct") == F.col("n_emb"))
+                & (F.col("min_m") == PQ_M)
+                & (F.col("max_m") == PQ_M)
+            ).alias("full_coverage"),
+            ((F.col("n_cells") > 0) & (F.col("n_cells") <= F.lit(K))).alias(
+                "fixed_cell_bound"
+            ),
+            (
+                (F.col("n_book_rows") == PQ_M * PQ_KSUB)
+                & (F.col("n_subs") == PQ_M)
+                & (F.col("min_code") == 0)
+                & (F.col("max_code") == PQ_KSUB - 1)
+            ).alias("codebook_complete"),
+        )
+    )
+
+
+@register(
+    "op_sim_ivfpq_serve",
+    tags=("llm", "similarity", "index"),
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               TRUE AS pruned_scan,
+               TRUE AS recall_floor_met
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time IVF-PQ against the PERSISTED index — what a serving
+    tier actually runs per query batch, with zero training cost:
+    probe the top-2 coarse cells per query, ADC-score only postings
+    whose cell id matches a probed cell, exact-rerank the shortlist
+    (``ivfpq_serve_stages``, the stage chain shared verbatim with
+    op_sim_ivfpq so the two ops cannot drift).
+
+    vs op_sim_ivfpq, whose 5.3 s sf0.1 median was dominated by the
+    in-query coarse Lloyd + codebook train: this op reads 3 parquet
+    artifacts instead (8 + 256 + n rows) — measured 0.6-0.9 s warm at
+    sf0.1, ~7x under the train-inline form, and the gap grows with
+    corpus size since training amortizes while serving stays bounded.
+    Same oracle and audits as op_sim_ivfpq: within-bound counts
+    hash-compare against DuckDB; ``pruned_scan`` asserts strictly
+    fewer postings scored than exist; ``recall_floor_met`` asserts
+    the final top-10 recalls >= 40% of the exact top-10 (the audits'
+    exact scan exists to VERIFY, not to serve).
+
+    The fixture's queries (vec_id < 4) are corpus members, so the
+    index — which covers the whole corpus, queries included — is
+    filtered to vec_id >= 4 at serve time; an external query set
+    would skip the filter."""
+    coarse, books, postings = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivfpq_serve_stages(emb, postings.filter(F.col("vec_id") >= 4), coarse, books)

@@ -61,6 +61,8 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.llmdata.dedup",
     "game_data_etl_pipeline_spark.llmdata.similarity",
+    "game_data_etl_pipeline_spark.llmdata.ann_index",
+    "game_data_etl_pipeline_spark.llmdata.retrieval",
     "game_data_etl_pipeline_spark.streaming.queries",
     "game_data_etl_pipeline_spark.etl.queries",
     "game_data_etl_pipeline_spark.functions.udfs",

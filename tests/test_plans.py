@@ -813,3 +813,24 @@ def test_retrieval_ops_plan_contracts(spark):
     assert "SortMergeJoin" not in rrf
     pmi = I.explain_str(SPECS["op_text_pmi_bigrams"].fn(spark, SF))
     assert "Scan parquet" not in pmi, "pmi re-scans the corpus past the count tables"
+
+
+def test_ivfpq_serve_plan_contract(spark):
+    """op_sim_ivfpq_serve must be PURE serving: every input is a
+    parquet read (the persisted ann_index artifacts + the embeddings
+    table for queries/rerank/audit) — no ExistingRDD operator may
+    appear, because that is how a localCheckpoint'd training frame
+    (Lloyd centroids, driver-trained codebooks) enters a plan. The
+    postings read must target the ann_index warehouse path, and the
+    build must not re-run for a second serve in the same process."""
+    from game_data_etl_pipeline_spark.llmdata import ann_index as ai
+
+    before = ai._BUILD_COUNT
+    plan = I.explain_str(SPECS["op_sim_ivfpq_serve"].fn(spark, SF), "simple")
+    assert "ExistingRDD" not in plan, "training frame leaked into the serve plan"
+    assert "ann_index" in plan, "serve plan does not read the persisted index"
+    SPECS["op_sim_ivfpq_serve"].fn(spark, SF)
+    assert ai._BUILD_COUNT == before or ai._BUILD_COUNT == before + 1
+    SPECS["op_sim_ivfpq_serve"].fn(spark, SF)
+    # at most one build per fixture per process, however many serves
+    assert ai._BUILD_COUNT <= before + 1
