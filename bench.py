@@ -60,6 +60,12 @@ V2_EXTRA = (
     "op_sim_mmr",              # r7: MMR diversity selection over the top-20
     "op_graph_triangle_counts",  # r7: degree-oriented triangles, co-purchase graph
     "op_corpus_shard_manifest",  # r7: order-independent publish-integrity manifest
+    # r8 additions: the persisted-index serving path (index pre-built
+    # outside the timed region, the bucketed-layout precedent) and the
+    # composed retrieval pipelines
+    "op_sim_ivfpq_serve",        # r8: IVF-PQ serving vs persisted index
+    "q_retrieval_pipeline",      # r8: BM25 + exact cosine -> RRF -> MMR
+    "q_retrieval_pipeline_ann",  # r8: same stack, index-served dense side
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -141,6 +147,14 @@ def main() -> None:
         from game_data_etl_pipeline_spark.operators.scale import _bucketed_tables
 
         _bucketed_tables(spark, sf_dir)
+    # same precedent for the ANN index: the serve ops' benched number
+    # should measure query-time against the persisted artifact, not
+    # the one-time build it amortizes (op_sim_ivfpq still times the
+    # train-inline form each rep, so both costs stay visible)
+    if any(n in V2_EXTRA for n in ("op_sim_ivfpq_serve", "q_retrieval_pipeline_ann")):
+        from game_data_etl_pipeline_spark.llmdata.ann_index import build_ann_index
+
+        build_ann_index(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -172,6 +186,15 @@ def main() -> None:
     total = sum(timings.values())
     v2_timings = {name: med[name] for name in v2_specs}
     v2_total = round(total + sum(v2_timings.values()), 4)
+    # min-of-reps totals (r8, verdict item 7): medians absorb
+    # multi-tenant bursts the calibration probes can't see (r7: one
+    # query's 5 reps spread 1.02-10.15 s within a single run while
+    # the probes sat at baseline); the sum of per-query mins is the
+    # host-noise floor and the number SCALE.md's adjudication reads.
+    total_min = round(sum(min(samples[name]) for name in specs), 4)
+    v2_total_min = round(
+        total_min + sum(min(samples[name]) for name in v2_specs), 4
+    )
 
     # probe-normalized cross-round comparison: the jvm probe is the
     # primary normalizer (the suite is JVM-codegen-bound like the
@@ -205,6 +228,7 @@ def main() -> None:
                 # n=3 -> median-of-5 methodology change, not only
                 # real wins — deltas from r4 onward are attributable.
                 "suite": "r4-frozen-23q-median",
+                "total_min": total_min,
                 "normalized_vs_prev": normalized,
                 # v2 (round 6): frozen 23q + the heavyweight behavior/
                 # window additions; same reps/medians, timed in a
@@ -213,8 +237,9 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r7-v2-41q-median",
+                    "suite": "r8-v2-44q-median",
                     "total": v2_total,
+                    "total_min": v2_total_min,
                     "queries": v2_timings,
                     "spread": {name: spr[name] for name in v2_timings},
                 },

@@ -1,0 +1,476 @@
+"""The COMPOSED retrieval stack as single registered endpoints.
+
+Round 7 verified the retrieval stages individually — BM25 lexical
+scoring (text.py), cosine/IVF-PQ dense retrieval (similarity.py,
+ann_index.py), RRF fusion and MMR diversification (similarity.py) —
+but not their composition, which is where plan-sharing bugs hide
+(a barrier dropped between stages silently re-scans the corpus; a
+rank computed off an unmaterialized frame can shift under AQE). This
+module closes that (round-8 verdict item 3):
+
+- ``q_retrieval_pipeline``: BM25 top-20 + EXACT cosine top-20 ->
+  RRF(k=60) fusion -> fused top-10 -> MMR(lambda=0.5) selection of 5,
+  one lazy chain, VALUE-ORACLED END TO END — the DuckDB oracle
+  replays every stage including the unrolled greedy MMR steps, so a
+  single drifted rank anywhere in the composition flips the value
+  hash.
+- ``q_retrieval_pipeline_ann``: the same chain with the dense side
+  swapped to the PERSISTED-INDEX IVF-PQ serve path (probe -> ADC ->
+  exact rerank), i.e. what the stack runs at 100 TB where exact
+  cosine over the corpus is unaffordable. ANN membership depends on
+  trained codebooks no SQL engine can replay, so (registry
+  discipline, the op_sim_ivfpq precedent) the output is the
+  deterministic lexical spine (hash-compared value by value) plus
+  in-query audit booleans over the approximate side.
+
+Corpus note: both sides draw candidates from the EMBEDDED corpus
+(doc_id present in embeddings) — at sf0.1 the documents table has
+5000 docs but only 2000 embeddings, and a candidate without a vector
+cannot enter MMR's diversity matrix. A production stack embeds its
+whole serving corpus; the restriction is the fixture-faithful
+equivalent.
+
+Scale shape: each ranker reduces to its top-K via
+TakeOrderedAndProject heaps (never a global sort); ranks are assigned
+by the sort_array/posexplode form over the K survivors (no
+single-partition window); fusion is union + K-keyed groupBy (Spark
+cannot broadcast a FULL OUTER side); the fused top-10 and its 10x10
+cosine matrix are materialized once and the 5 greedy MMR steps are
+constant work. The only corpus-scale stages are the two scoring scans
+(documents once — inside op_text_bm25's materialize-once barrier —
+and embeddings once per dense scorer), pinned by
+tests/test_plans.py::test_retrieval_pipeline_plan_contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata import text as _text
+from game_data_etl_pipeline_spark.llmdata.ann_index import read_ann_index
+from game_data_etl_pipeline_spark.llmdata.similarity import (
+    IVFPQ_PROBES,
+    IVFPQ_SHORTLIST,
+    PQ_DSUB,
+    PQ_M,
+    _cosine_to_query0,
+    _sqdist_expr,
+    dot_expr,
+    euclidean_expr,
+    mmr_select,
+    norm_expr,
+    pairwise_cosine,
+)
+from game_data_etl_pipeline_spark.registry import register
+
+K_EACH = 20   # per-ranker candidate list
+K_FUSED = 10  # fused candidates entering MMR
+K_OUT = 5     # MMR selections returned
+
+
+def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
+    """Rank a bounded top-K frame without a window: collapse the <=K
+    survivors into one sorted array and posexplode (rank-1, doc) —
+    op_sim_hybrid_rrf's global-window-free rank assignment."""
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct((-F.col(score)).alias("ns"), F.col("doc_id").alias("doc_id"))
+        )
+    )
+    return (
+        top.agg(arr.alias("arr"))
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias(rank_name),
+        )
+    )
+
+
+def lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 over the embedded corpus as (doc_id, lex_rank).
+    The semi-join against embeddings reads ONLY vec_id (column-pruned
+    scan) and keeps BM25's corpus statistics untouched — scores are
+    computed over the full documents table, the restriction applies
+    to the CANDIDATE list."""
+    embk = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    lex_top = (
+        _text.op_text_bm25(spark, sf_dir)
+        .join(embk, "doc_id", "left_semi")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(K_EACH)
+    )
+    return _ranked(lex_top, "bm25", "lex_rank")
+
+
+def fuse_rrf(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RRF(k=60) fusion of two bounded rank lists as union + K-keyed
+    groupBy (op_sim_hybrid_rrf's full-outer-join replacement)."""
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    both = lex.withColumn("sem_rank", F.lit(None).cast("int")).unionByName(
+        sem.withColumn("lex_rank", F.lit(None).cast("int"))
+    )
+    return (
+        both.groupBy("doc_id")
+        .agg(F.max("lex_rank").alias("lex_rank"), F.max("sem_rank").alias("sem_rank"))
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+    )
+
+
+def _mmr_over_fused(fused: DataFrame, emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(fused10, picks): take the fused top-K_FUSED, fetch their
+    embeddings (a broadcast of 10 ids against the embeddings scan),
+    materialize the bounded candidate + pairwise frames once, and run
+    the shared greedy loop with rel = 60*rrf (monotone in rrf; the
+    x60 rescale puts relevance on the pairwise-cosine scale so
+    lambda=0.5 trades them meaningfully)."""
+    fused10 = (
+        fused.orderBy(F.desc("rrf"), "doc_id").limit(K_FUSED).localCheckpoint()
+    )
+    with_emb = (
+        emb.join(
+            F.broadcast(fused10.select("doc_id", "rrf")),
+            emb["vec_id"] == F.col("doc_id"),
+        )
+        .select("doc_id", (F.col("rrf") * 60).alias("rel"), "embedding")
+        .localCheckpoint()
+    )
+    pairs = pairwise_cosine(with_emb).localCheckpoint()
+    picks = mmr_select(with_emb.drop("embedding"), pairs, steps=K_OUT, lam=0.5)
+    return fused10, picks
+
+
+# the 5 unrolled greedy MMR steps over the fused candidates — the
+# op_sim_mmr oracle pattern with rel = 60*rrf and cands = fused10
+_MMR_STEPS_SQL = """
+        sel1 AS (
+            SELECT doc_id, rel, 0.5 * rel AS m
+            FROM cands ORDER BY rel DESC, doc_id LIMIT 1
+        ),
+        rem2 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1)
+        ),
+        sel2 AS (SELECT doc_id, rel, m FROM rem2 ORDER BY m DESC, doc_id LIMIT 1),
+        rem3 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1
+                                                       UNION SELECT doc_id FROM sel2)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1
+                                                UNION SELECT doc_id FROM sel2)
+        ),
+        sel3 AS (SELECT doc_id, rel, m FROM rem3 ORDER BY m DESC, doc_id LIMIT 1),
+        rem4 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1
+                                                       UNION SELECT doc_id FROM sel2
+                                                       UNION SELECT doc_id FROM sel3)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1
+                                                UNION SELECT doc_id FROM sel2
+                                                UNION SELECT doc_id FROM sel3)
+        ),
+        sel4 AS (SELECT doc_id, rel, m FROM rem4 ORDER BY m DESC, doc_id LIMIT 1),
+        rem5 AS (
+            SELECT c.doc_id, c.rel,
+                   0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pairs p
+                                        WHERE p.d1 = c.doc_id
+                                          AND p.d2 IN (SELECT doc_id FROM sel1
+                                                       UNION SELECT doc_id FROM sel2
+                                                       UNION SELECT doc_id FROM sel3
+                                                       UNION SELECT doc_id FROM sel4)) AS m
+            FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1
+                                                UNION SELECT doc_id FROM sel2
+                                                UNION SELECT doc_id FROM sel3
+                                                UNION SELECT doc_id FROM sel4)
+        ),
+        sel5 AS (SELECT doc_id, rel, m FROM rem5 ORDER BY m DESC, doc_id LIMIT 1)
+"""
+
+
+@register(
+    "q_retrieval_pipeline",
+    tags=("llm", "retrieval", "pipeline"),
+    oracle=_text.BM25_CTES
+    + """,
+        lex AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+                FROM bm
+                WHERE doc_id IN (SELECT vec_id FROM embeddings)
+            ) WHERE lex_rank <= 20
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        scoredsem AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS cos
+            FROM embeddings, q WHERE vec_id != 0
+        ),
+        sem AS (
+            SELECT doc_id, sem_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+                FROM scoredsem
+            ) WHERE sem_rank <= 20
+        ),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+                   ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                         + COALESCE(1.0 / (60 + sem_rank), 0.0), 6) AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        ),
+        cands AS (
+            SELECT doc_id, lex_rank, sem_rank, rrf, rrf * 60 AS rel
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        ),
+        pairs AS (
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE a.vec_id IN (SELECT doc_id FROM cands)
+              AND b.vec_id IN (SELECT doc_id FROM cands)
+        ),
+"""
+    + _MMR_STEPS_SQL
+    + """
+        SELECT CAST(sel_rank AS INT) AS sel_rank, s.doc_id,
+               c.lex_rank, c.sem_rank, c.rrf,
+               ROUND(s.m, 6) + 0.0 AS mmr
+        FROM (
+            SELECT 1 AS sel_rank, * FROM sel1
+            UNION ALL SELECT 2, * FROM sel2
+            UNION ALL SELECT 3, * FROM sel3
+            UNION ALL SELECT 4, * FROM sel4
+            UNION ALL SELECT 5, * FROM sel5
+        ) s
+        JOIN cands c ON s.doc_id = c.doc_id
+    """,
+)
+def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exact retrieval stack to one endpoint: BM25 top-20 +
+    exact-cosine top-20 (query = vec 0) -> RRF(k=60) -> fused top-10
+    -> greedy MMR (lambda=0.5) -> the 5 selections with their full
+    provenance (lex_rank, sem_rank, rrf, mmr). Every stage's values
+    feed the next and the DuckDB oracle replays the whole chain —
+    this is the composition check that the individually-verified
+    stage ops cannot give.
+
+    Float discipline (all inherited from the stage ops): cosine 4dp
+    before ranking, rrf 6dp from integer ranks, rel = 60*rrf (one
+    identical multiply both engines), m = 0.5*rel - 0.5*maxsim the
+    same IEEE sequence, output mmr 6dp with -0.0 normalization; every
+    ordering breaks ties on doc_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = lex_ranked(spark, sf_dir)
+    sem_scored = _cosine_to_query0(emb).drop("embedding")
+    sem = _ranked(
+        sem_scored.orderBy(F.desc("cos"), "doc_id").limit(K_EACH), "cos", "sem_rank"
+    )
+    fused = fuse_rrf(lex, sem)
+    fused10, picks = _mmr_over_fused(fused, emb.select("vec_id", "embedding"))
+    return picks.join(F.broadcast(fused10), "doc_id").select(
+        "sel_rank",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        "rrf",
+        (F.round(F.col("m"), 6) + 0.0).alias("mmr"),
+    )
+
+
+def ann_sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-20 for query vec 0 via the PERSISTED IVF-PQ index:
+    probe the top-IVFPQ_PROBES coarse cells, ADC-score only postings
+    in probed cells, exact-rerank the shortlist, return (doc_id,
+    sem_rank) — q_retrieval_pipeline_ann's candidate generator and
+    the per-query serving shape of the 100 TB stack (the corpus-wide
+    exact scorer it replaces is the thing that stops scaling)."""
+    coarse, books, postings = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    coarse_row = coarse.agg(
+        F.collect_list(F.struct("cent_id", "ce", "cnorm")).alias("ccands")
+    )
+    qnorm = norm_expr(F.col("qe"))
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("ccands"),
+                lambda c: F.struct(
+                    (
+                        -F.try_divide(dot_expr(F.col("qe"), c["ce"]), qnorm * c["cnorm"])
+                    ).alias("negcos"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        ),
+        1,
+        IVFPQ_PROBES,
+    )
+    pq_row = books.agg(F.collect_list(F.struct("sub_id", "code", "ce")).alias("book"))
+    lut = F.map_from_entries(
+        F.transform(
+            F.col("book"),
+            lambda c: F.struct(
+                (c["sub_id"] * 256 + c["code"]).alias("k"),
+                _sqdist_expr(
+                    F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB), c["ce"]
+                ).alias("v"),
+            ),
+        )
+    )
+    probes = (
+        q0.join(F.broadcast(coarse_row))
+        .join(F.broadcast(pq_row))
+        .select(
+            "qe",
+            lut.alias("lut"),
+            F.explode(F.transform(probe_cells, lambda p: p["cent_id"])).alias("pcell"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
+    )
+    scored = (
+        postings.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .select("vec_id", "qe", adc.alias("adc_sqdist"))
+    )
+    shortlist = scored.orderBy(F.col("adc_sqdist").asc(), "vec_id").limit(
+        IVFPQ_SHORTLIST
+    )
+    rerank_d = euclidean_expr(F.col("qe"), F.col("embedding"))
+    sem_top = (
+        emb.join(F.broadcast(shortlist.select("vec_id", "qe")), "vec_id")
+        .select(F.col("vec_id").alias("doc_id"), rerank_d.alias("rdist"))
+        .orderBy(F.col("rdist").asc(), "doc_id")
+        .limit(K_EACH)
+    )
+    return _ranked(sem_top.select("doc_id", (-F.col("rdist")).alias("s")), "s", "sem_rank")
+
+
+@register(
+    "q_retrieval_pipeline_ann",
+    tags=("llm", "retrieval", "pipeline", "index"),
+    oracle=_text.BM25_CTES
+    + """,
+        lex AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+                FROM bm
+                WHERE doc_id IN (SELECT vec_id FROM embeddings)
+            ) WHERE lex_rank <= 20
+        )
+        SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY lex_rank) AS lex_top_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_lex,
+               TRUE AS sem_full,
+               TRUE AS fused_in_bounds,
+               TRUE AS selected_complete,
+               TRUE AS sem_recall_floor_met
+        FROM lex
+    """,
+)
+def q_retrieval_pipeline_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_retrieval_pipeline with the dense side swapped to the
+    persisted-index IVF-PQ serve path (``ann_sem_ranked``) — the
+    composition a 100 TB deployment actually runs, where the exact
+    corpus-wide cosine scorer is unaffordable and dense candidates
+    come from the index.
+
+    ANN membership depends on trained codebooks no SQL engine can
+    replay, so (the op_sim_ivfpq registry discipline) the output is
+    one row of deterministic values + in-query audits over the live
+    composed chain:
+
+    - ``lex_top_docs`` / ``n_lex``: the lexical top-20 doc ids in
+      rank order, value-hashed against DuckDB — the deterministic
+      spine proving the lexical side flowed through the composition
+      intact.
+    - ``sem_full``: the ANN side produced a full top-20.
+    - ``fused_in_bounds``: RRF fusion produced between 20 and 40
+      candidates (exact bound depends on list overlap).
+    - ``selected_complete``: MMR returned exactly 5 picks, all drawn
+      from the fused top-10.
+    - ``sem_recall_floor_met``: the ANN top-20 recalls >= 40% of the
+      exact cosine top-20 (measured 0.80/0.60/0.55 at
+      sf0.001/0.01/0.1; the floor keeps margin under the pruning
+      misses op_sim_ivfpq documents).
+      The exact side is computed in-query as the audit yardstick —
+      it exists to VERIFY, not to serve."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = lex_ranked(spark, sf_dir).localCheckpoint()
+    sem = ann_sem_ranked(spark, sf_dir).localCheckpoint()
+    fused = fuse_rrf(lex, sem)
+    fused10, picks = _mmr_over_fused(fused, emb.select("vec_id", "embedding"))
+
+    # audit yardstick: the exact cosine top-20 (what the ANN side
+    # approximates), one corpus scan
+    exact_sem = _ranked(
+        _cosine_to_query0(emb)
+        .drop("embedding")
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(K_EACH),
+        "cos",
+        "sem_rank",
+    )
+    lex_row = lex.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lex_rank", "doc_id"))),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("lex_top_docs"),
+        F.count(F.lit(1)).alias("n_lex"),
+    )
+    sem_row = sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    overlap = (
+        sem.select("doc_id")
+        .join(exact_sem.select("doc_id"), "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    fused_row = fused.agg(F.count(F.lit(1)).alias("n_fused"))
+    picks_row = picks.join(
+        F.broadcast(fused10.select("doc_id")), "doc_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_sel_in_fused"))
+    return (
+        lex_row.join(F.broadcast(sem_row))
+        .join(F.broadcast(overlap))
+        .join(F.broadcast(fused_row))
+        .join(F.broadcast(picks_row))
+        .select(
+            "lex_top_docs",
+            "n_lex",
+            (F.col("n_sem") == K_EACH).alias("sem_full"),
+            (
+                (F.col("n_fused") >= K_EACH) & (F.col("n_fused") <= 2 * K_EACH)
+            ).alias("fused_in_bounds"),
+            (F.col("n_sel_in_fused") == K_OUT).alias("selected_complete"),
+            (F.col("n_overlap") >= F.lit(int(0.4 * K_EACH))).alias(
+                "sem_recall_floor_met"
+            ),
+        )
+    )

@@ -834,3 +834,44 @@ def test_ivfpq_serve_plan_contract(spark):
     SPECS["op_sim_ivfpq_serve"].fn(spark, SF)
     # at most one build per fixture per process, however many serves
     assert ai._BUILD_COUNT <= before + 1
+
+
+def test_retrieval_pipeline_plan_contract(spark):
+    """q_retrieval_pipeline's fused stage (everything before the
+    bounded MMR frames are materialized) must preserve each stage op's
+    scale contract THROUGH the composition: zero documents scans (the
+    BM25 materialize-once barrier holds), embeddings read at most 3
+    times — the 1-row query lookup, the corpus scoring scan, and the
+    lexical semi-join which must be column-pruned to vec_id alone —
+    two TakeOrderedAndProject K-heaps (never a global sort), rank
+    assignment without a single-partition window, and union+groupBy
+    fusion (no SortMergeJoin from a full-outer form)."""
+    import re
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        K_EACH,
+        _ranked,
+        fuse_rrf,
+        lex_ranked,
+    )
+    from game_data_etl_pipeline_spark.llmdata.similarity import _cosine_to_query0
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    lex = lex_ranked(spark, SF)
+    sem = _ranked(
+        _cosine_to_query0(emb).drop("embedding").orderBy(F.desc("cos"), "doc_id").limit(K_EACH),
+        "cos",
+        "sem_rank",
+    )
+    fused = fuse_rrf(lex, sem)
+    plan = I.explain_str(fused, "formatted")
+    simple = I.explain_str(fused, "simple")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), "bm25 barrier lost"
+    schemas = I.read_schemas(plan)
+    assert len(schemas) <= 3, schemas
+    assert ["vec_id"] in schemas, f"semi-join scan not pruned: {schemas}"
+    assert simple.count("TakeOrderedAndProject") == 2
+    assert I.num_global_window_sorts(simple) == 0
+    assert "SortMergeJoin" not in simple
