@@ -1335,3 +1335,88 @@ def op_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(digest)").alias("checksum_xor"),
         (F.sum(F.col("digest") % 1000000007) % 1000000007).alias("checksum_sum"),
     )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
+    """op_corpus_shard_manifest generalized to ANY shard count: the
+    shard key becomes (first 8 md5 hex digits as BIGINT) % n_shards —
+    uniform for arbitrary n where the single-nibble form only divides
+    by 16 — while the order-independent checksum aggregate is shared
+    unchanged. A publisher re-sharding a release (16-way archive ->
+    32-way serving layout, say) recomputes the manifest with one
+    parameter; nothing about the verification story depends on the
+    count. op_corpus_shard_manifest keeps its original first-nibble
+    key (its n=16 special case) for round-over-round row continuity."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_shards
+        )
+        .cast("int")
+        .alias("shard_id"),
+        F.octet_length("text").alias("nbytes"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("digest"),
+    )
+    return keyed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.expr("bit_xor(digest)").alias("checksum_xor"),
+        (F.sum(F.col("digest") % 1000000007) % 1000000007).alias("checksum_sum"),
+    )
+
+
+@register(
+    "op_corpus_shard_manifest_32",
+    tags=("llm", "corpus"),
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   strlen(text) AS nbytes,
+                   CAST(CAST(CONCAT('0x', substr(
+                       md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8
+                   )) AS BIGINT) % 32 AS INT) AS shard_id,
+                   CAST(CONCAT('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15
+                   )) AS BIGINT) AS digest
+            FROM documents
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+               bit_xor(digest) AS checksum_xor,
+               CAST(SUM(digest % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+        FROM keyed
+        GROUP BY 1
+    """,
+)
+def op_corpus_shard_manifest_32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish-integrity manifest at a SECOND shard count (32-way
+    via ``shard_manifest``): proves the manifest machinery is
+    count-parametric, not a 16-way one-off — the re-sharding case a
+    release pipeline hits when its serving layout diverges from its
+    archive layout. Checksum semantics, the order-independence
+    guarantee, and the mod-2^60-digest overflow headroom are all
+    inherited unchanged; tests/test_llmdata.py additionally pins that
+    BOTH counts' manifests are bit-stable under AQE partition
+    coalescing toggled on/off (the remaining layout axis a
+    distributed writer cannot control)."""
+    return shard_manifest(spark, sf_dir, 32)

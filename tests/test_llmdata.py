@@ -675,3 +675,39 @@ def test_pq_train_rejects_undersized_sample(spark):
     )
     with pytest.raises(ValueError, match="PQ training sample"):
         pq_train(tiny)
+
+
+def test_shard_manifest_aqe_coalesce_invariant(spark, sf_dir):
+    """The one layout axis test_shard_manifest_layout_invariant does
+    not cover: AQE's runtime partition coalescing rewrites the
+    post-shuffle partitioning underneath the aggregate — the manifest
+    rows (both shard counts) must be bit-identical with it on and
+    off, or the 'recompute anywhere, match always' publish-integrity
+    claim fails on any cluster that flips the flag."""
+    from game_data_etl_pipeline_spark.llmdata.corpus import (
+        op_corpus_shard_manifest,
+        shard_manifest,
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    orig = spark.conf.get(key)
+
+    def _rows(fn):
+        return {r.shard_id: (r.n_docs, r.total_bytes, r.checksum_xor, r.checksum_sum)
+                for r in fn().collect()}
+
+    try:
+        spark.conf.set(key, "true")
+        m16_on = _rows(lambda: op_corpus_shard_manifest(spark, sf_dir))
+        m32_on = _rows(lambda: shard_manifest(spark, sf_dir, 32))
+        spark.conf.set(key, "false")
+        m16_off = _rows(lambda: op_corpus_shard_manifest(spark, sf_dir))
+        m32_off = _rows(lambda: shard_manifest(spark, sf_dir, 32))
+    finally:
+        spark.conf.set(key, orig)
+    assert m16_on == m16_off and len(m16_on) == 16
+    assert m32_on == m32_off and len(m32_on) == 32
+    # 16-way (nibble) and 32-way (mod) keys partition the SAME corpus:
+    # global invariants agree even though the assignments differ
+    assert sum(v[0] for v in m16_on.values()) == sum(v[0] for v in m32_on.values())
+    assert sum(v[1] for v in m16_on.values()) == sum(v[1] for v in m32_on.values())
