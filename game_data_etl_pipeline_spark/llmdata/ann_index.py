@@ -293,3 +293,168 @@ def op_sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, books, postings = read_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivfpq_serve_stages(emb, postings.filter(F.col("vec_id") >= 4), coarse, books)
+
+
+@register(
+    "op_sim_index_upsert",
+    tags=("llm", "similarity", "index"),
+    oracle="""
+        WITH b AS (
+            SELECT (MAX(vec_id) * 4) // 5 AS split FROM embeddings
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE vec_id < split) AS BIGINT) AS n_base,
+               CAST(COUNT(*) FILTER (WHERE vec_id >= split) AS BIGINT) AS n_delta,
+               TRUE AS full_coverage_after_upsert,
+               TRUE AS encode_consistent,
+               TRUE AS no_retraining
+        FROM embeddings, b
+    """,
+)
+def op_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance — the freshness half of the
+    build/serve split: when a delta batch of vectors arrives, a real
+    100 TB index does NOT retrain; it encodes the delta against the
+    EXISTING trained structure (coarse centroids + codebooks are
+    read-only artifacts) and appends postings — O(delta) work,
+    partition-aligned appends into the cent_id layout, zero touch of
+    the base postings. Retraining per delta would be O(corpus) and
+    would silently re-key every existing posting (cells move), i.e.
+    a full rebuild wearing an upsert's name.
+
+    Demo shape on the fixture: base = vec_id < floor(0.8 * max),
+    delta = the rest. The trained structure comes from the MAIN
+    persisted artifact (build_ann_index, idempotent); a scratch
+    postings tree under upsert_v{N}/ is seeded with the base
+    partition-aligned, then the delta is encoded via the PERSISTED
+    codebooks/centroids and appended (parquet append into the
+    partitionBy(cent_id) layout). Idempotent per artifact
+    fingerprint: a second run audits the existing tree.
+
+    Audited on the PERSISTED post-upsert tree:
+    - ``full_coverage_after_upsert``: base+delta postings cover every
+      corpus vec_id exactly once;
+    - ``encode_consistent``: every appended row's (cent_id, codes)
+      is bit-identical to the build-time encode of the same vector —
+      the persisted-artifact encode path reproduces the training-time
+      path exactly (joins postings-vs-main on vec_id);
+    - ``no_retraining``: the codebook artifact on disk is row-for-row
+      unchanged after the upsert (count + per-row equi-join against
+      its pre-upsert localCheckpoint copy)."""
+    main_path = build_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(main_path, "coarse"))
+    books_before = spark.read.parquet(
+        os.path.join(main_path, "codebooks")
+    ).localCheckpoint(eager=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    split = emb.agg(
+        F.expr("max(vec_id) * 4 div 5").cast("long").alias("split")
+    ).localCheckpoint(eager=True)
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
+    demo = os.path.join(_index_root(), f"upsert_v{INDEX_VERSION}", key)
+    marker = os.path.join(demo, "upsert_done.json")
+    if not os.path.isfile(marker):
+        os.makedirs(demo, exist_ok=True)
+        main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+            "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+        )
+        base = main_postings.join(F.broadcast(split)).filter(
+            F.col("vec_id") < F.col("split")
+        )
+        (
+            base.drop("split")
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(demo, "postings"))
+        )
+        # the UPSERT: encode the delta against the persisted trained
+        # structure — no Lloyd, no pq_train, O(delta) only
+        delta = emb.join(F.broadcast(split)).filter(
+            F.col("vec_id") >= F.col("split")
+        ).select("vec_id", "embedding")
+        delta_cells = ivf_assign(delta, cents=coarse, form="argmax").select(
+            "vec_id", "cent_id"
+        )
+        delta_post = pq_encode(delta, books_before).join(delta_cells, "vec_id")
+        (
+            delta_post.repartition("cent_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(demo, "postings"))
+        )
+        with open(marker, "w") as f:
+            json.dump({"version": INDEX_VERSION}, f)
+
+    after = spark.read.parquet(os.path.join(demo, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+        "vec_id",
+        F.col("codes").alias("m_codes"),
+        F.col("cent_id").cast("long").alias("m_cent_id"),
+    )
+    books_after = spark.read.parquet(os.path.join(main_path, "codebooks"))
+    cov = (
+        after.join(F.broadcast(split))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("vec_id").alias("n_distinct"),
+            F.sum(F.when(F.col("vec_id") < F.col("split"), 1).otherwise(0)).alias(
+                "n_base"
+            ),
+            F.sum(F.when(F.col("vec_id") >= F.col("split"), 1).otherwise(0)).alias(
+                "n_delta"
+            ),
+        )
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    consistent = (
+        after.join(main_postings, "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.sum(
+                F.when(
+                    (F.col("cent_id") == F.col("m_cent_id"))
+                    & (F.col("codes") == F.col("m_codes")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_identical"),
+        )
+    )
+    book_stable = (
+        books_after.join(
+            F.broadcast(books_before.withColumnRenamed("ce", "ce_before")),
+            ["sub_id", "code"],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_book"),
+            F.sum(
+                F.when(F.col("ce") == F.col("ce_before"), 1).otherwise(0)
+            ).alias("n_book_same"),
+        )
+    )
+    return (
+        cov.join(F.broadcast(n_emb))
+        .join(F.broadcast(consistent))
+        .join(F.broadcast(book_stable))
+        .select(
+            "n_total",
+            "n_base",
+            "n_delta",
+            (
+                (F.col("n_total") == F.col("n_emb"))
+                & (F.col("n_distinct") == F.col("n_emb"))
+            ).alias("full_coverage_after_upsert"),
+            (
+                (F.col("n_joined") == F.col("n_total"))
+                & (F.col("n_identical") == F.col("n_total"))
+            ).alias("encode_consistent"),
+            (
+                (F.col("n_book") == PQ_M * PQ_KSUB)
+                & (F.col("n_book_same") == F.col("n_book"))
+            ).alias("no_retraining"),
+        )
+    )
