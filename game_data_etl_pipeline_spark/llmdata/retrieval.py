@@ -474,3 +474,100 @@ def q_retrieval_pipeline_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "op_sim_hard_negatives",
+    tags=("llm", "retrieval", "training"),
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS cos
+            FROM embeddings, q WHERE vec_id >= 4
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, cos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS rk
+            FROM scored
+        ),
+        pos AS (
+            SELECT query_id, doc_id AS pos_id, cos AS pos_cos
+            FROM ranked WHERE rk = 1
+        ),
+        negs AS (
+            SELECT r.query_id, p.pos_id, r.doc_id, r.cos
+            FROM ranked r JOIN pos p USING (query_id)
+            WHERE r.rk > 1 AND r.rk <= 21 AND r.cos < p.pos_cos * 0.95
+        )
+        SELECT query_id, pos_id, neg_id, neg_cos, neg_rank FROM (
+            SELECT query_id, pos_id, doc_id AS neg_id, cos AS neg_cos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS neg_rank
+            FROM negs
+        ) WHERE neg_rank <= 5
+    """,
+)
+def op_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the DPR /
+    RocketQA construction): per query, the positive is the exact
+    top-1 neighbor and the hard negatives are the next-ranked
+    candidates — similar enough to be informative gradients — after a
+    DENOISING margin drops candidates with cos >= 0.95 * positive's
+    (too close to the positive to trust as negatives: at training
+    scale those are mostly unlabeled positives, and training on them
+    actively hurts — the RocketQA denoised-negative observation).
+    Emits (query_id, pos_id, neg_id, neg_cos, neg_rank), 5 negatives
+    per query from the rank-2..21 band (measured 18-20 margin
+    survivors per query at every SF, so the top-5 cut never starves).
+
+    Scale shape: this exact-scoring form ranks the corpus per query —
+    the ORACLE-replayable yardstick (4dp-rounded cosine, doc_id tie
+    breaks, so DuckDB replays the identical ranking). At 100 TB the
+    candidate band comes from the persisted ANN index instead
+    (ann_sem_ranked's probe -> ADC -> exact-rerank chain) and the
+    same margin + re-rank runs on the BOUNDED shortlist — mining cost
+    per query drops from O(n) to O(shortlist), which is how
+    production miners (FAISS-backed) actually run."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("qn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("embedding"), F.col("qe")) / (norm_expr(F.col("embedding")) * F.col("qn")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    ranked = (
+        emb.filter(F.col("vec_id") >= 4)
+        .join(F.broadcast(queries))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 21)
+    )
+    pos = ranked.filter(F.col("rk") == 1).select(
+        "query_id", F.col("doc_id").alias("pos_id"), F.col("cos").alias("pos_cos")
+    )
+    negs = (
+        ranked.filter(F.col("rk") > 1)
+        .join(F.broadcast(pos), "query_id")
+        .filter(F.col("cos") < F.col("pos_cos") * 0.95)
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w_neg).cast("int"))
+        .filter(F.col("neg_rank") <= 5)
+        .select(
+            "query_id",
+            "pos_id",
+            F.col("doc_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+            "neg_rank",
+        )
+    )

@@ -711,3 +711,19 @@ def test_shard_manifest_aqe_coalesce_invariant(spark, sf_dir):
     # global invariants agree even though the assignments differ
     assert sum(v[0] for v in m16_on.values()) == sum(v[0] for v in m32_on.values())
     assert sum(v[1] for v in m16_on.values()) == sum(v[1] for v in m32_on.values())
+
+
+def test_ivfpq_serve_matches_train_inline(spark, sf_dir):
+    """The persisted-index serve path and the train-inline op share
+    ivfpq_serve_stages AND deterministic training, so their outputs
+    must be row-for-row identical — the consistency guarantee that
+    makes the build/serve split safe to adopt (an index that answers
+    differently from the inline pipeline is a silent correctness
+    regression, not an optimization)."""
+    inline = {
+        tuple(r) for r in SPECS["op_sim_ivfpq"].fn(spark, sf_dir).collect()
+    }
+    served = {
+        tuple(r) for r in SPECS["op_sim_ivfpq_serve"].fn(spark, sf_dir).collect()
+    }
+    assert inline == served
