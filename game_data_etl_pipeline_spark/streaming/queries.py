@@ -1092,3 +1092,142 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
     q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(admitted)
+
+
+@register(
+    "op_stream_index_ingest",
+    tags=("streaming", "similarity", "index"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+               CAST(3 AS BIGINT) AS n_batches,
+               TRUE AS full_coverage,
+               TRUE AS encode_consistent,
+               TRUE AS cells_bounded
+        FROM embeddings
+    """,
+)
+def op_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into the persisted ANN index — the
+    continuous-embedding shape that completes the index lifecycle
+    (build_ann_index offline / op_sim_ivfpq_serve query-time /
+    op_sim_index_upsert batch-delta / this op for the arrival stream):
+    new vectors flow in micro-batches and each foreachBatch
+    transaction encodes ONLY the batch against the persisted trained
+    structure (coarse centroids + codebooks read from the warehouse
+    artifact, never retrained) and appends partition-aligned into a
+    cent_id postings layout. Per-batch work is O(batch); index
+    structure is immutable; the serving tier sees new vectors as soon
+    as their postings land — the standard freshness design (FAISS/
+    Milvus segment appends) expressed as Structured Streaming.
+
+    Fixture shape: the corpus split into 3 micro-batches by
+    vec_id % 3, staged as mtime-ordered parquet files and replayed
+    with maxFilesPerTrigger=1 (the op_stream_incremental_dedup
+    device). Audited on the PERSISTED post-stream store:
+    ``full_coverage`` (every corpus vector indexed exactly once,
+    all 3 batches represented), ``encode_consistent`` (every streamed
+    row's (cent_id, codes) bit-identical to the offline build's
+    encode of the same vector — the artifact path and the streaming
+    path cannot drift), ``cells_bounded`` (0 < cells <= k=8)."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import build_ann_index
+    from game_data_etl_pipeline_spark.llmdata.cluster import K
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign, pq_encode
+
+    main_path = build_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(main_path, "coarse")).localCheckpoint(
+        eager=True
+    )
+    books = spark.read.parquet(os.path.join(main_path, "codebooks")).localCheckpoint(
+        eager=True
+    )
+
+    work = _session_workdir(spark, "idxingest", sf_dir)
+    stage = os.path.join(work, "incoming")
+    store = os.path.join(work, "postings")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).cast("int").alias("batch_id")
+    )
+    batch_names = []
+    for b in range(3):
+        name = f"batch{b}"
+        emb.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
+            os.path.join(stage, name)
+        )
+        batch_names.append(name)
+    now = 1_700_000_000
+    for i, d in enumerate(batch_names):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        vecs = batch_df.select("vec_id", "embedding", "batch_id")
+        cells = ivf_assign(
+            vecs.select("vec_id", "embedding"), cents=coarse, form="argmax"
+        ).select("vec_id", "cent_id")
+        post = (
+            pq_encode(vecs.select("vec_id", "embedding"), books)
+            .join(cells, "vec_id")
+            .join(vecs.select("vec_id", "batch_id"), "vec_id")
+        )
+        post.repartition("cent_id").write.mode("append").partitionBy(
+            "cent_id"
+        ).parquet(store)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, batch_id int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    after = spark.read.parquet(store).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id"), "batch_id"
+    )
+    main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+        "vec_id",
+        F.col("codes").alias("m_codes"),
+        F.col("cent_id").cast("long").alias("m_cent_id"),
+    )
+    n_emb = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_emb")
+    )
+    cov = after.agg(
+        F.count(F.lit(1)).alias("n_indexed"),
+        F.countDistinct("vec_id").alias("n_distinct"),
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.countDistinct("cent_id").alias("n_cells"),
+    )
+    consistent = after.join(main_postings, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(
+                (F.col("cent_id") == F.col("m_cent_id"))
+                & (F.col("codes") == F.col("m_codes")),
+                1,
+            ).otherwise(0)
+        ).alias("n_identical"),
+    )
+    return (
+        cov.join(F.broadcast(n_emb))
+        .join(F.broadcast(consistent))
+        .select(
+            "n_indexed",
+            "n_batches",
+            (
+                (F.col("n_indexed") == F.col("n_emb"))
+                & (F.col("n_distinct") == F.col("n_emb"))
+                & (F.col("n_batches") == 3)
+            ).alias("full_coverage"),
+            (
+                (F.col("n_joined") == F.col("n_indexed"))
+                & (F.col("n_identical") == F.col("n_indexed"))
+            ).alias("encode_consistent"),
+            ((F.col("n_cells") > 0) & (F.col("n_cells") <= F.lit(K))).alias(
+                "cells_bounded"
+            ),
+        )
+    )
