@@ -727,3 +727,30 @@ def test_ivfpq_serve_matches_train_inline(spark, sf_dir):
         tuple(r) for r in SPECS["op_sim_ivfpq_serve"].fn(spark, sf_dir).collect()
     }
     assert inline == served
+
+
+def test_filtered_ann_respects_predicate(spark, sf_dir):
+    """Every filtered-ANN result must satisfy the metadata predicate
+    (lang='de') and carry a dense 1..5 rank per query — the filter
+    pushed into the index scan must be airtight, not probabilistic."""
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        FILTERED_PROBES,
+        _filtered_ann_topk,
+    )
+
+    topk, _ = _filtered_ann_topk(spark, sf_dir, probes=FILTERED_PROBES, k=5)
+    rows = topk.collect()
+    de = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("lang = 'de'")
+        .select("doc_id")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id in de, f"non-de doc {r.neighbor_id} returned"
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)

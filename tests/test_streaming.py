@@ -89,3 +89,31 @@ def test_incremental_fuzzy_dedup_drops_known_near_dups(spark, sf_dir):
     # no admitted doc shares a band with an earlier admitted doc: the
     # oracle pins full equivalence; here just sanity-check volume
     assert 0 < len(admitted) < 200
+
+
+def test_index_ingest_batches_partition_store(spark, sf_dir):
+    """The streaming index store must carry the micro-batch lineage:
+    exactly the vec_id % 3 split per batch_id, disjoint and complete —
+    the per-batch O(batch) append contract, pinned on the persisted
+    store rather than trusting the foreachBatch closure."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.streaming.queries import (
+        _session_workdir,
+        op_stream_index_ingest,
+    )
+
+    out = op_stream_index_ingest(spark, sf_dir).collect()
+    assert len(out) == 1 and out[0].full_coverage and out[0].encode_consistent
+
+    store = os.path.join(_session_workdir(spark, "idxingest", sf_dir), "postings")
+    rows = spark.read.parquet(store).select("vec_id", "batch_id").collect()
+    for r in rows:
+        assert r.batch_id == r.vec_id % 3, (r.vec_id, r.batch_id)
+    per_batch = {}
+    for r in rows:
+        per_batch[r.batch_id] = per_batch.get(r.batch_id, 0) + 1
+    assert set(per_batch) == {0, 1, 2}
+    assert sum(per_batch.values()) == len({r.vec_id for r in rows})
