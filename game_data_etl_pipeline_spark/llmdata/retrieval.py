@@ -23,6 +23,13 @@ module closes that (round-8 verdict item 3):
   deterministic lexical spine (hash-compared value by value) plus
   in-query audit booleans over the approximate side.
 
+The module also holds the retrieval-adjacent training-data and
+query-shape operators that build on the same primitives:
+``op_sim_hard_negatives`` (denoised contrastive-negative mining),
+``op_sim_filtered_topk`` / ``op_sim_filtered_ann_serve`` (metadata-
+filtered vector search: exact pre-filter strategy and the predicate
+pushed into the persisted index scan).
+
 Corpus note: both sides draw candidates from the EMBEDDED corpus
 (doc_id present in embeddings) — at sf0.1 the documents table has
 5000 docs but only 2000 embeddings, and a candidate without a vector
