@@ -805,7 +805,14 @@ def op_sim_filtered_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_allowed"))
     )
     queries = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"))
-    hits = ann.join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+    # both sides are bounded 20-row rank lists, but neither carries
+    # stats (window outputs), so without the hint Spark falls back to
+    # a SortMergeJoin — the one join strategy this family bans
+    hits = ann.join(
+        F.broadcast(exact.select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
     per_q = (
         queries.join(
             F.broadcast(ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))),
