@@ -835,3 +835,160 @@ def op_sim_filtered_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.coalesce(F.col("n_hit"), F.lit(0)) >= 2).alias("recall_floor_met"),
     )
+
+
+# nDCG@10 discount table as INTEGER constants (round(1e6/log2(r+1))):
+# Spark's and DuckDB's libm log2 disagree by ulps on ranks 8-11 and 16
+# (probed 2026-08-15), so the discounts are precomputed literals shared
+# by both engines and the DCG dot product runs in exact integer
+# arithmetic — order-independent, no float summation anywhere.
+DCG_DISC = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+# sum of (11-i) * DCG_DISC[i-1] for i in 1..10 — the ideal DCG for the
+# graded 10-label set (rel = 11 - label_rank), a shared constant
+IDCG_INT = 29966114
+
+
+@register(
+    "op_retrieval_eval_metrics",
+    tags=("llm", "retrieval", "eval"),
+    oracle=_text.BM25_CTES
+    + """,
+        labels AS (
+            SELECT doc_id, CAST(11 - sem_rank AS BIGINT) AS rel FROM (
+                SELECT vec_id AS doc_id,
+                       ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS sem_rank
+                FROM (
+                    SELECT e.vec_id,
+                           ROUND(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                           ), 4) AS cos
+                    FROM embeddings e WHERE e.vec_id != 0
+                )
+            ) WHERE sem_rank <= 10
+        ),
+        disc(rank, d) AS (
+            VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+                   (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+                   (9, 301030), (10, 289065)
+        ),
+        sys_bm25 AS (
+            SELECT 'bm25' AS system, doc_id, rank FROM (
+                SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+                FROM bm
+            ) WHERE rank <= 10
+        ),
+        sys_cos AS (
+            SELECT 'cosine' AS system, doc_id,
+                   CAST(11 - rel AS INT) AS rank
+            FROM labels
+        ),
+        sys_rrf AS (
+            SELECT 'rrf' AS system, doc_id, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+            FROM (
+                SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                       ROUND(COALESCE(1.0 / (60 + l.rank), 0.0)
+                             + COALESCE(1.0 / (60 + s.rank), 0.0), 6) AS rrf
+                FROM (SELECT doc_id, rank FROM sys_bm25) l
+                FULL OUTER JOIN (SELECT doc_id, CAST(11 - rel AS INT) AS rank FROM labels) s
+                  ON l.doc_id = s.doc_id
+            )
+            QUALIFY rank <= 10
+        ),
+        ranked AS (
+            SELECT * FROM sys_bm25
+            UNION ALL SELECT * FROM sys_cos
+            UNION ALL SELECT * FROM sys_rrf
+        ),
+        scoredm AS (
+            SELECT r.system, r.rank, COALESCE(l.rel, 0) AS rel, d.d
+            FROM ranked r
+            LEFT JOIN labels l ON r.doc_id = l.doc_id
+            JOIN disc d ON r.rank = d.rank
+        )
+        SELECT system,
+               FLOOR((CAST(SUM(rel * d) AS DOUBLE) / 29966114) * 1000000 + 0.5) / 1000000
+                   AS ndcg10,
+               COALESCE(FLOOR((1.0 / MIN(CASE WHEN rel > 0 THEN rank END)) * 1000000 + 0.5)
+                        / 1000000, 0.0) AS mrr10,
+               CAST(COUNT(*) FILTER (WHERE rel > 0) AS DOUBLE) / 10 AS recall10
+        FROM scoredm
+        GROUP BY system
+    """,
+)
+def op_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative IR evaluation — nDCG@10, MRR@10, recall@10 for
+    three rankers (BM25, exact cosine, their RRF fusion) against
+    graded relevance labels, the measurement loop any retrieval /
+    training-data stack needs before swapping rankers. Labels are the
+    exact cosine top-10 for query vec 0 with graded rel = 11 - rank
+    (so the 'cosine' row scores a perfect 1.0/1.0/1.0 — the built-in
+    sanity anchor), 'bm25' measures lexical-vs-semantic agreement,
+    and 'rrf' shows what fusion recovers.
+
+    Cross-engine float discipline (the interesting part): Spark's and
+    DuckDB's libm log2 DISAGREE BY ULPS on ranks 8-11 and 16 (probed
+    on this host), so the DCG discounts are precomputed 1e6-scaled
+    INTEGER literals shared by both engines and the DCG dot product
+    is exact integer arithmetic — order-independent under any
+    partitioning, no float summation. The only float ops are three
+    single divisions of identical values, floor-rounded at 6dp per
+    the registry's ratio discipline.
+
+    Scale shape: each ranker reduces to a bounded top-10 (heap-based
+    TakeOrderedAndProject / the K-list rank trick); labels broadcast;
+    the metric aggregate touches 30 rows. At 100 TB the label set
+    comes from human judgments or the exact scorer run offline on the
+    query sample — either way bounded — and the same integer-DCG
+    aggregate evaluates any ranker's output stream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = (
+        _ranked(
+            _cosine_to_query0(emb)
+            .drop("embedding")
+            .orderBy(F.desc("cos"), "doc_id")
+            .limit(10),
+            "cos",
+            "sem_rank",
+        )
+        .select("doc_id", (11 - F.col("sem_rank")).cast("long").alias("rel"))
+        .localCheckpoint()
+    )
+    bm_top = (
+        _text.op_text_bm25(spark, sf_dir).orderBy(F.desc("bm25"), "doc_id").limit(10)
+    )
+    sys_bm25 = _ranked(bm_top, "bm25", "rank").select(
+        F.lit("bm25").alias("system"), "doc_id", "rank"
+    )
+    sys_cos = labels.select(
+        F.lit("cosine").alias("system"),
+        "doc_id",
+        (11 - F.col("rel")).cast("int").alias("rank"),
+    )
+    fused = fuse_rrf(
+        sys_bm25.select("doc_id", F.col("rank").alias("lex_rank")),
+        sys_cos.select("doc_id", F.col("rank").alias("sem_rank")),
+    )
+    sys_rrf = _ranked(
+        fused.orderBy(F.desc("rrf"), "doc_id").limit(10), "rrf", "rank"
+    ).select(F.lit("rrf").alias("system"), "doc_id", "rank")
+
+    disc = F.array(*[F.lit(d) for d in DCG_DISC])
+    ranked = sys_bm25.unionByName(sys_cos).unionByName(sys_rrf)
+    scored = (
+        ranked.join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "system",
+            "rank",
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+            F.element_at(disc, F.col("rank")).cast("long").alias("d"),
+        )
+    )
+    sixdp = lambda c: F.floor(c * 1_000_000 + 0.5) / 1_000_000  # noqa: E731
+    return scored.groupBy("system").agg(
+        sixdp(F.sum(F.col("rel") * F.col("d")).cast("double") / IDCG_INT).alias("ndcg10"),
+        F.coalesce(
+            sixdp(1.0 / F.min(F.when(F.col("rel") > 0, F.col("rank")))), F.lit(0.0)
+        ).alias("mrr10"),
+        (F.count(F.when(F.col("rel") > 0, 1)).cast("double") / 10).alias("recall10"),
+    )
