@@ -754,3 +754,16 @@ def test_filtered_ann_respects_predicate(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)
+
+
+def test_retrieval_eval_cosine_anchor_is_perfect(spark, sf_dir):
+    """The 'cosine' system IS the label generator, so its metrics must
+    be exactly 1.0 — the built-in sanity anchor that catches any drift
+    in the integer-DCG table, the label grading, or the rank joins."""
+    rows = {r.system: r for r in SPECS["op_retrieval_eval_metrics"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"bm25", "cosine", "rrf"}
+    c = rows["cosine"]
+    assert (c.ndcg10, c.mrr10, c.recall10) == (1.0, 1.0, 1.0)
+    # rrf fuses 10 label docs with 10 bm25 docs: it must always beat
+    # or match bm25 on recall of the semantic labels
+    assert rows["rrf"].recall10 >= rows["bm25"].recall10
