@@ -1,0 +1,205 @@
+"""Persistent LEXICAL index: the build/serve split for BM25.
+
+op_text_bm25 (text.py) scans the corpus per query — one scan thanks to
+its materialize-once barrier, but still a corpus scan every time. A
+production lexical engine builds the inverted index once and serves
+queries from posting lookups. This module is the lexical twin of
+ann_index.py's IVF-PQ split, and — because BM25 is fully deterministic
+— the serve op keeps op_text_bm25's EXACT value oracle: the persisted
+path must reproduce the in-query path bit-for-bit or the driver's hash
+check fails.
+
+Artifacts (under the gitignored spark-warehouse/lex_index, keyed by
+the documents file's (size, mtime_ns) fingerprint + format version):
+
+- ``postings/`` (term, doc_id, tf, dl) over the FULL vocabulary,
+  PARTITIONED BY ``term_bucket`` = xxhash64(term) mod LEX_BUCKETS — a
+  query's terms resolve to their buckets and the scan prunes to those
+  directories, the classic term-sharded inverted-file layout. At
+  100 TB the bucket count rises with vocabulary; lookups stay
+  O(query terms' buckets), never the corpus.
+- ``df/`` (term, df) with the same bucketing (document frequencies
+  are index-time facts; IDF must come from the index, not a rescan).
+- ``stats/`` one row (n_docs, tot_dl) — corpus normalization
+  constants, broadcast at serve time.
+
+Build-vs-serve float discipline: tf, dl, df, n_docs, tot_dl are all
+INTEGERS, so persisting them loses nothing; the serve-time score is
+the identical IEEE expression op_text_bm25 evaluates (4dp per-term
+rounds absorbing the libm LN ulp), which is what lets the serve op
+share the original DuckDB oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.text import BM25_CTES, _terms
+from game_data_etl_pipeline_spark.registry import register
+
+LEX_INDEX_VERSION = 1
+LEX_BUCKETS = 16
+
+# test hook: serving twice in one process must not rebuild
+_LEX_BUILD_COUNT = 0
+
+# term-tuple -> bucket list, memoized per process: xxhash64 lives
+# JVM-side, so resolving a query's buckets costs one bounded 3-row
+# job — pay it once per distinct query-term set, not per execution
+_BUCKET_CACHE: dict[tuple[str, ...], list[int]] = {}
+
+
+def _bucket(term_col):
+    return (F.abs(F.xxhash64(term_col)) % LEX_BUCKETS).cast("int")
+
+
+def _lex_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_LEX_INDEX_DIR",
+        str(Path(__file__).resolve().parents[2] / "spark-warehouse" / "lex_index"),
+    )
+
+
+def lex_index_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
+    return os.path.join(_lex_root(), f"v{LEX_INDEX_VERSION}", key)
+
+
+def build_lex_index(spark: SparkSession, sf_dir: str) -> str:
+    """Tokenize the corpus ONCE and persist the inverted index
+    (idempotent per corpus fingerprint; staged + atomically renamed
+    like build_ann_index). Cost shape: one corpus scan collapsing to
+    (doc_id, dl, term) triples, one groupBy for tf, one for df, one
+    tiny stats aggregate, and a shuffle on term_bucket to lay the
+    postings out as the term-sharded inverted file — all paid once
+    per corpus snapshot."""
+    global _LEX_BUILD_COUNT
+    final = lex_index_dir(sf_dir)
+    if os.path.isfile(os.path.join(final, "meta.json")):
+        return final
+    _LEX_BUILD_COUNT += 1
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+    )
+    postings = (
+        t.groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _bucket(F.col("term")))
+    )
+    dfq = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", _bucket(F.col("term")))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_terms())).alias("tot_dl"),
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="staging_", dir=os.path.dirname(final))
+    try:
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        (
+            dfq.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, "df"))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "stats")
+        )
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isfile(os.path.join(final, "meta.json")):
+            raise
+    return final
+
+
+@register(
+    "op_text_bm25_serve",
+    tags=("llm", "text", "index"),
+    # the EXACT oracle op_text_bm25 uses: the persisted-index path must
+    # reproduce the corpus-scan path value for value
+    oracle=BM25_CTES
+    + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
+    """,
+)
+def op_text_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index — query time
+    touches ZERO corpus: the query terms' buckets are computed up
+    front (one bounded 3-row job), the postings and df scans prune to
+    those partition directories, the 1-row stats artifact broadcasts,
+    and the score is op_text_bm25's identical IEEE expression. The
+    oracle is shared VERBATIM with op_text_bm25, so the index path is
+    held to bit-equality with the corpus-scan path by the driver's
+    value hash — the strongest build/serve consistency guarantee in
+    the registry (the ANN split can only audit recall; the lexical
+    split proves exact equivalence).
+
+    Plan contract (tests/test_plans.py): no documents scan anywhere
+    in the serve plan, and the postings scan carries a term_bucket
+    PartitionFilter. At 100 TB this is the difference between a
+    corpus scan per query and O(terms' buckets) posting reads — the
+    reason inverted indexes exist.
+
+    Local-fixture honesty: at sf0.1 serve measures ~par with the
+    inline form (1.5 vs 1.4 s median) — the corpus is small enough
+    that one materialized scan is already cheap, and serve's fixed
+    costs (bucket resolution, partitioned-dir footers) dominate. The
+    win is the asymptotic shape, not the 5000-doc wall-clock; the
+    value oracle proves the path exact either way."""
+    query_terms = ("vector", "stream", "spark")
+    k1, b = 1.2, 0.75
+    path = build_lex_index(spark, sf_dir)
+    if query_terms not in _BUCKET_CACHE:
+        qb = (
+            spark.createDataFrame([(t,) for t in query_terms], "term string")
+            .select(_bucket(F.col("term")).alias("b"))
+            .collect()
+        )
+        _BUCKET_CACHE[query_terms] = sorted({r.b for r in qb})
+    buckets = _BUCKET_CACHE[query_terms]
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*query_terms))
+        .select("term", "doc_id", "dl", "tf")
+    )
+    dfq = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*query_terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") * F.col("n_docs") / F.col("tot_dl"))
+    )
+    return (
+        postings.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )

@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "game_data_etl_pipeline_spark.llmdata.dedup",
     "game_data_etl_pipeline_spark.llmdata.similarity",
     "game_data_etl_pipeline_spark.llmdata.ann_index",
+    "game_data_etl_pipeline_spark.llmdata.lex_index",
     "game_data_etl_pipeline_spark.llmdata.retrieval",
     "game_data_etl_pipeline_spark.streaming.queries",
     "game_data_etl_pipeline_spark.etl.queries",

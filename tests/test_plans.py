@@ -875,3 +875,23 @@ def test_retrieval_pipeline_plan_contract(spark):
     assert simple.count("TakeOrderedAndProject") == 2
     assert I.num_global_window_sorts(simple) == 0
     assert "SortMergeJoin" not in simple
+
+
+def test_bm25_serve_plan_contract(spark):
+    """op_text_bm25_serve must touch ZERO corpus at query time: no
+    documents scan anywhere in the plan, and the postings read must
+    prune to the query terms' bucket directories (a term_bucket
+    PartitionFilter on the scan). The value oracle already holds the
+    path to bit-equality with the corpus-scan form; this pins that
+    the equality is achieved the cheap way."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import lex_index as lx
+
+    before = lx._LEX_BUILD_COUNT
+    plan = I.explain_str(SPECS["op_text_bm25_serve"].fn(spark, SF), "formatted")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), "corpus scan at serve time"
+    assert "lex_index" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan), "no bucket pruning"
+    SPECS["op_text_bm25_serve"].fn(spark, SF)
+    assert lx._LEX_BUILD_COUNT <= before + 1, "rebuilt per serve"
