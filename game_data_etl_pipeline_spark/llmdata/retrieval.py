@@ -992,3 +992,113 @@ def op_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mrr10"),
         (F.count(F.when(F.col("rel") > 0, 1)).cast("double") / 10).alias("recall10"),
     )
+
+
+@register(
+    "q_retrieval_pipeline_served",
+    tags=("llm", "retrieval", "pipeline", "index"),
+    oracle=_text.BM25_CTES
+    + """,
+        lex AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+                FROM bm
+                WHERE doc_id IN (SELECT vec_id FROM embeddings)
+            ) WHERE lex_rank <= 20
+        )
+        SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY lex_rank) AS lex_top_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_lex,
+               TRUE AS sem_full,
+               TRUE AS fused_in_bounds,
+               TRUE AS selected_complete,
+               TRUE AS matches_inline_pipeline
+        FROM lex
+    """,
+)
+def q_retrieval_pipeline_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE query path: the whole retrieval stack served from
+    persisted indexes — lexical candidates from the inverted index
+    (op_text_bm25_serve, bit-equal to the corpus-scan scorer by its
+    shared oracle), dense candidates from the IVF-PQ index
+    (ann_sem_ranked) — fused with RRF and diversified with MMR. At
+    query time NO document text is read anywhere in the chain: the
+    only corpus-shaped touches are pruned posting lookups, cell-
+    pruned code reads, and the bounded embedding fetches for
+    rerank/MMR. This is what the 100 TB steady state actually
+    executes per query.
+
+    Oracle: the lexical spine value-hashes against DuckDB exactly as
+    q_retrieval_pipeline_ann's does (the served lexical scores are
+    bit-equal to inline, so the same SQL holds), plus
+    ``matches_inline_pipeline`` — an in-query audit joining this
+    pipeline's MMR selections against q_retrieval_pipeline_ann's
+    (identical candidate semantics, different physical path: any
+    divergence means the served lexical index drifted from the
+    corpus-scan scorer INSIDE the composition)."""
+    from game_data_etl_pipeline_spark.llmdata.lex_index import op_text_bm25_serve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    embk = emb.select(F.col("vec_id").alias("doc_id"))
+    lex_top = (
+        op_text_bm25_serve(spark, sf_dir)
+        .join(embk, "doc_id", "left_semi")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(K_EACH)
+    )
+    lex = _ranked(lex_top, "bm25", "lex_rank").localCheckpoint()
+    sem = ann_sem_ranked(spark, sf_dir).localCheckpoint()
+    fused = fuse_rrf(lex, sem)
+    fused10, picks = _mmr_over_fused(fused, emb.select("vec_id", "embedding"))
+
+    lex_row = lex.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lex_rank", "doc_id"))),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("lex_top_docs"),
+        F.count(F.lit(1)).alias("n_lex"),
+    )
+    sem_row = sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    fused_row = fused.agg(F.count(F.lit(1)).alias("n_fused"))
+    picks_row = picks.join(
+        F.broadcast(fused10.select("doc_id")), "doc_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_sel_in_fused"))
+    # cross-path audit: rebuild the INLINE-lexical fused selection and
+    # require identical MMR picks (same sel_rank -> same doc)
+    inline_lex = lex_ranked(spark, sf_dir).localCheckpoint()
+    inline_fused = fuse_rrf(inline_lex, sem)
+    _, inline_mmr = _mmr_over_fused(inline_fused, emb.select("vec_id", "embedding"))
+    agree = (
+        picks.select("sel_rank", "doc_id")
+        .join(
+            F.broadcast(inline_mmr.select("sel_rank", F.col("doc_id").alias("d2"))),
+            "sel_rank",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cmp"),
+            F.sum(F.when(F.col("doc_id") == F.col("d2"), 1).otherwise(0)).alias(
+                "n_same"
+            ),
+        )
+    )
+    return (
+        lex_row.join(F.broadcast(sem_row))
+        .join(F.broadcast(fused_row))
+        .join(F.broadcast(picks_row))
+        .join(F.broadcast(agree))
+        .select(
+            "lex_top_docs",
+            "n_lex",
+            (F.col("n_sem") == K_EACH).alias("sem_full"),
+            (
+                (F.col("n_fused") >= K_EACH) & (F.col("n_fused") <= 2 * K_EACH)
+            ).alias("fused_in_bounds"),
+            (F.col("n_sel_in_fused") == K_OUT).alias("selected_complete"),
+            (
+                (F.col("n_cmp") == K_OUT) & (F.col("n_same") == K_OUT)
+            ).alias("matches_inline_pipeline"),
+        )
+    )
