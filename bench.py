@@ -66,6 +66,9 @@ V2_EXTRA = (
     "op_sim_ivfpq_serve",        # r8: IVF-PQ serving vs persisted index
     "q_retrieval_pipeline",      # r8: BM25 + exact cosine -> RRF -> MMR
     "q_retrieval_pipeline_ann",  # r8: same stack, index-served dense side
+    "op_text_bm25_serve",        # r8: BM25 from the persisted inverted index
+    "q_retrieval_pipeline_served",  # r8: both sides index-served (capstone)
+    "op_retrieval_eval_metrics", # r8: integer-DCG nDCG/MRR/recall eval
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -155,6 +158,10 @@ def main() -> None:
         from game_data_etl_pipeline_spark.llmdata.ann_index import build_ann_index
 
         build_ann_index(spark, sf_dir)
+    if "op_text_bm25_serve" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.lex_index import build_lex_index
+
+        build_lex_index(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -237,7 +244,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r8-v2-44q-median",
+                    "suite": "r8-v2-47q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,
