@@ -60,12 +60,10 @@ from game_data_etl_pipeline_spark.llmdata.ann_index import read_ann_index
 from game_data_etl_pipeline_spark.llmdata.similarity import (
     IVFPQ_PROBES,
     IVFPQ_SHORTLIST,
-    PQ_DSUB,
-    PQ_M,
     _cosine_to_query0,
-    _sqdist_expr,
     dot_expr,
     euclidean_expr,
+    ivfpq_adc_scored,
     mmr_select,
     norm_expr,
     pairwise_cosine,
@@ -313,58 +311,12 @@ def ann_sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scorer it replaces is the thing that stops scaling)."""
     coarse, books, postings = read_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    coarse_row = coarse.agg(
-        F.collect_list(F.struct("cent_id", "ce", "cnorm")).alias("ccands")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    qnorm = norm_expr(F.col("qe"))
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("ccands"),
-                lambda c: F.struct(
-                    (
-                        -F.try_divide(dot_expr(F.col("qe"), c["ce"]), qnorm * c["cnorm"])
-                    ).alias("negcos"),
-                    c["cent_id"].alias("cent_id"),
-                ),
-            )
-        ),
-        1,
-        IVFPQ_PROBES,
-    )
-    pq_row = books.agg(F.collect_list(F.struct("sub_id", "code", "ce")).alias("book"))
-    lut = F.map_from_entries(
-        F.transform(
-            F.col("book"),
-            lambda c: F.struct(
-                (c["sub_id"] * 256 + c["code"]).alias("k"),
-                _sqdist_expr(
-                    F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB), c["ce"]
-                ).alias("v"),
-            ),
-        )
-    )
-    probes = (
-        q0.join(F.broadcast(coarse_row))
-        .join(F.broadcast(pq_row))
-        .select(
-            "qe",
-            lut.alias("lut"),
-            F.explode(F.transform(probe_cells, lambda p: p["cent_id"])).alias("pcell"),
-        )
-    )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
-    )
-    scored = (
-        postings.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
-        .select("vec_id", "qe", adc.alias("adc_sqdist"))
-    )
+    scored = ivfpq_adc_scored(
+        q0, postings.filter(F.col("vec_id") != 0), coarse, books, probes=IVFPQ_PROBES
+    ).drop("query_id")
     shortlist = scored.orderBy(F.col("adc_sqdist").asc(), "vec_id").limit(
         IVFPQ_SHORTLIST
     )
@@ -676,58 +628,14 @@ def _filtered_ann_topk(
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    coarse_row = coarse.agg(
-        F.collect_list(F.struct("cent_id", "ce", "cnorm")).alias("ccands")
-    )
-    qnorm = norm_expr(F.col("qe"))
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("ccands"),
-                lambda c: F.struct(
-                    (
-                        -F.try_divide(dot_expr(F.col("qe"), c["ce"]), qnorm * c["cnorm"])
-                    ).alias("negcos"),
-                    c["cent_id"].alias("cent_id"),
-                ),
-            )
-        ),
-        1,
-        probes,
-    )
-    pq_row = books.agg(F.collect_list(F.struct("sub_id", "code", "ce")).alias("book"))
-    lut = F.map_from_entries(
-        F.transform(
-            F.col("book"),
-            lambda c: F.struct(
-                (c["sub_id"] * 256 + c["code"]).alias("k"),
-                _sqdist_expr(
-                    F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB), c["ce"]
-                ).alias("v"),
-            ),
-        )
-    )
-    probes_df = (
-        queries.join(F.broadcast(coarse_row))
-        .join(F.broadcast(pq_row))
-        .select(
-            "query_id",
-            "qe",
-            lut.alias("lut"),
-            F.explode(F.transform(probe_cells, lambda p: p["cent_id"])).alias("pcell"),
-        )
-    )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
-    )
-    scored = (
-        postings.filter(F.col("vec_id") >= 4)
-        .join(allowed, "vec_id", "left_semi")
-        .join(F.broadcast(probes_df), F.col("cent_id") == F.col("pcell"))
-        .select("query_id", "vec_id", "qe", adc.alias("adc_sqdist"))
+    # the predicate composes by PRE-FILTERING the candidate side before
+    # the shared probe/LUT/ADC block scores it
+    scored = ivfpq_adc_scored(
+        queries,
+        postings.filter(F.col("vec_id") >= 4).join(allowed, "vec_id", "left_semi"),
+        coarse,
+        books,
+        probes=probes,
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc_sqdist").asc(), "vec_id")
     shortlist = scored.withColumn("rk", F.row_number().over(w_adc)).filter(

@@ -1268,24 +1268,27 @@ IVFPQ_PROBES = 2       # coarse cells each query scans (of k=8 trained)
 IVFPQ_SHORTLIST = 30   # ADC candidates handed to the exact reranker
 
 
-def ivfpq_serve_stages(
-    emb: DataFrame, cands: DataFrame, coarse: DataFrame, pq: DataFrame
+def ivfpq_adc_scored(
+    queries: DataFrame,
+    cands: DataFrame,
+    coarse: DataFrame,
+    pq: DataFrame,
+    *,
+    probes: int = IVFPQ_PROBES,
 ) -> DataFrame:
-    """IVF-PQ stages (2)-(4) plus the exact-scan audit, shared
-    VERBATIM by op_sim_ivfpq (index trained inside the query — the
-    composition evidence) and op_sim_ivfpq_serve (index read back
-    from the persisted warehouse artifact — the steady state): probe
-    selection from the broadcast coarse centroids, ADC over probed
-    cells, shortlist, exact rerank, and the recall/pruning audit.
-    Inputs: ``emb`` (vec_id, embedding — full corpus, for queries +
-    rerank + audit), ``cands`` (vec_id, codes, cent_id — the encoded
-    candidate set), ``coarse`` (cent_id, ce, cnorm), ``pq``
-    (sub_id, code, ce). See op_sim_ivfpq's docstring for the stage
-    semantics and float discipline."""
-    # (2) top-IVFPQ_PROBES cells per query from the broadcast centroids
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    """The ONE probe-selection + ADC-scoring block every IVF-PQ
+    consumer shares (ivfpq_serve_stages, retrieval.ann_sem_ranked,
+    retrieval._filtered_ann_topk — previously three near-copies):
+    given ``queries`` (query_id, qe), encoded ``cands`` (vec_id,
+    codes, cent_id), the broadcast ``coarse`` centroids and ``pq``
+    codebooks, select each query's top-``probes`` coarse cells by
+    cosine (one sorted fold over the broadcast centroid row), build
+    the per-query 256-entry ADC LUT as a MAP column, and score ONLY
+    candidates whose cell equi-joins a probed cell. Returns
+    (query_id, vec_id, qe, adc_sqdist); shortlisting/reranking stays
+    with the consumer (their k, tie-break frames and audits differ).
+    Candidate-side filters (e.g. the filtered-ANN allowed-set
+    semi-join) compose by pre-filtering ``cands``."""
     coarse_row = coarse.agg(
         F.collect_list(F.struct("cent_id", "ce", "cnorm")).alias("ccands")
     )
@@ -1303,10 +1306,8 @@ def ivfpq_serve_stages(
             )
         ),
         1,
-        IVFPQ_PROBES,
+        probes,
     )
-    # (3) per-query ADC LUT (op_sim_pq_adc's map-column recipe) and the
-    # probed-cell equi-join
     pq_row = pq.agg(F.collect_list(F.struct("sub_id", "code", "ce")).alias("book"))
     lut = F.map_from_entries(
         F.transform(
@@ -1319,7 +1320,7 @@ def ivfpq_serve_stages(
             ),
         )
     )
-    probes = (
+    probes_df = (
         queries.join(F.broadcast(coarse_row))
         .join(F.broadcast(pq_row))
         .select(
@@ -1335,9 +1336,31 @@ def ivfpq_serve_stages(
         lambda acc, s: acc
         + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
     )
-    scored = cands.join(
-        F.broadcast(probes), F.col("cent_id") == F.col("pcell")
+    return cands.join(
+        F.broadcast(probes_df), F.col("cent_id") == F.col("pcell")
     ).select("query_id", "vec_id", "qe", adc.alias("adc_sqdist"))
+
+
+def ivfpq_serve_stages(
+    emb: DataFrame, cands: DataFrame, coarse: DataFrame, pq: DataFrame
+) -> DataFrame:
+    """IVF-PQ stages (2)-(4) plus the exact-scan audit, shared
+    VERBATIM by op_sim_ivfpq (index trained inside the query — the
+    composition evidence) and op_sim_ivfpq_serve (index read back
+    from the persisted warehouse artifact — the steady state): probe
+    selection from the broadcast coarse centroids, ADC over probed
+    cells, shortlist, exact rerank, and the recall/pruning audit.
+    Inputs: ``emb`` (vec_id, embedding — full corpus, for queries +
+    rerank + audit), ``cands`` (vec_id, codes, cent_id — the encoded
+    candidate set), ``coarse`` (cent_id, ce, cnorm), ``pq``
+    (sub_id, code, ce). See op_sim_ivfpq's docstring for the stage
+    semantics and float discipline."""
+    # (2)+(3): probe selection + ADC over probed cells — the shared
+    # ivfpq_adc_scored block
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = ivfpq_adc_scored(queries, cands, coarse, pq, probes=IVFPQ_PROBES)
     n_scanned = scored.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_scanned")
     )
