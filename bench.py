@@ -69,6 +69,12 @@ V2_EXTRA = (
     "op_text_bm25_serve",        # r8: BM25 from the persisted inverted index
     "q_retrieval_pipeline_served",  # r8: both sides index-served (capstone)
     "op_retrieval_eval_metrics", # r8: integer-DCG nDCG/MRR/recall eval
+    # r9 additions: the batched composed pipeline (3 queries through
+    # one shared chain — per-query cost vs q_retrieval_pipeline is the
+    # amortization evidence) and the index-lifecycle closers
+    "q_retrieval_pipeline_batch",  # r9: 3-query batch, grouped MMR tail
+    "op_lex_index_upsert",       # r9: serve from the post-upsert lex tree
+    "op_sim_index_compact",      # r9: tombstone + segment-merge audits
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -77,11 +83,17 @@ V2_EXTRA = (
 # re-derived by the judge (the round-6 adjudication: a uniform ~1.7x
 # "slowdown" that was entirely hardware). Update each round after the
 # driver records BENCH_r{N}.json.
+# r8 note: the driver-recorded BENCH_r08.json tail was truncated before
+# its calibration block, so these values come from the r8 judge's own
+# probe-matched run on the final r8 tree (VERDICT.md round 8: frozen
+# median 18.41 s, py probe 0.583 within 1% of r7's 0.575; the driver's
+# own r8 run on a 1.2x slower host adjudicated to total_min/jvm ~ 18.0,
+# consistent). jvm probe = 0.77x of r7's per the same verdict.
 PREV = {
-    "round": 7,
-    "frozen_total_sec": 18.50,
-    "py_spin_sec": 0.5752,
-    "jvm_spin_sec": 0.2952,
+    "round": 8,
+    "frozen_total_sec": 18.41,
+    "py_spin_sec": 0.583,
+    "jvm_spin_sec": 0.2273,
 }
 
 
@@ -162,6 +174,19 @@ def main() -> None:
         from game_data_etl_pipeline_spark.llmdata.lex_index import build_lex_index
 
         build_lex_index(spark, sf_dir)
+    # r9: the upsert demo trees are the INPUTS of the upsert-serve and
+    # compaction entries — build them outside the timed region so the
+    # benched numbers measure serving / compacting, not input setup
+    if "op_lex_index_upsert" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.lex_index import (
+            ensure_lex_upsert_tree,
+        )
+
+        ensure_lex_upsert_tree(spark, sf_dir)
+    if "op_sim_index_compact" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.ann_index import ensure_upsert_tree
+
+        ensure_upsert_tree(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -244,7 +269,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r8-v2-47q-median",
+                    "suite": "r9-v2-50q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

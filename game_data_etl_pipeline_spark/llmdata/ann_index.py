@@ -48,14 +48,18 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.artifacts import (
+    fingerprint_key,
+    make_staging,
+    prune_stale_keys,
+    publish_staging,
+)
 from game_data_etl_pipeline_spark.llmdata.similarity import (
     PQ_KSUB,
     PQ_M,
@@ -85,9 +89,9 @@ def ann_index_dir(sf_dir: str) -> str:
     """Artifact dir for one fixture: keyed by the embeddings file's
     (size, mtime_ns) fingerprint so a regenerated fixture at the same
     path gets a FRESH index — the stale-index failure mode of
-    path-only keying."""
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
+    path-only keying (pinned by
+    tests/test_llmdata.py::test_index_fingerprint_staleness)."""
+    key = fingerprint_key(sf_dir, "embeddings.parquet")
     return os.path.join(_index_root(), f"v{INDEX_VERSION}", key)
 
 
@@ -113,40 +117,29 @@ def build_ann_index(spark: SparkSession, sf_dir: str, *, force: bool = False) ->
     cells = ivf_assign(emb, cents=coarse, form="argmax").select("vec_id", "cent_id")
     postings = pq_encode(emb, pq).join(cells, "vec_id")
 
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    staging = tempfile.mkdtemp(prefix="staging_", dir=os.path.dirname(final))
-    try:
-        coarse.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staging, "coarse")
+    staging = make_staging(final)
+    coarse.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "coarse"))
+    pq.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "codebooks"))
+    (
+        postings.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(staging, "postings"))
+    )
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "version": INDEX_VERSION,
+                "pq_m": PQ_M,
+                "pq_ksub": PQ_KSUB,
+                "source": sf_dir,
+            },
+            f,
         )
-        pq.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staging, "codebooks")
-        )
-        (
-            postings.repartition("cent_id")
-            .write.mode("overwrite")
-            .partitionBy("cent_id")
-            .parquet(os.path.join(staging, "postings"))
-        )
-        with open(os.path.join(staging, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "version": INDEX_VERSION,
-                    "pq_m": PQ_M,
-                    "pq_ksub": PQ_KSUB,
-                    "source": sf_dir,
-                },
-                f,
-            )
-        if force:
-            shutil.rmtree(final, ignore_errors=True)
-        os.rename(staging, final)
-    except OSError:
-        # a concurrent builder renamed first: its artifact is
-        # bit-identical (deterministic training) — use it
-        shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.isfile(os.path.join(final, "meta.json")):
-            raise
+    # atomic publish (force renames the live tree aside, never rmtree
+    # in place) + GC of superseded fingerprints for this fixture
+    publish_staging(staging, final, marker="meta.json", force=force)
+    prune_stale_keys(final, sf_dir)
     return final
 
 
@@ -295,6 +288,69 @@ def op_sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_serve_stages(emb, postings.filter(F.col("vec_id") >= 4), coarse, books)
 
 
+def ensure_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the upsert demo tree: base postings
+    (vec_id < floor(0.8 * max)) seeded from the main artifact, then
+    the delta encoded against the PERSISTED trained structure — no
+    Lloyd, no pq_train, O(delta) only — appended partition-aligned.
+    The WHOLE tree (base seed + delta append + marker) is built in a
+    staging dir and atomically renamed into place: the r8 in-place
+    form let two concurrent sessions interleave overwrite/append on
+    the same directory, and a crash between the append and the marker
+    left stale delta files a rerun under dynamic
+    partitionOverwriteMode would double-count. The published tree has
+    exactly TWO segments per non-empty cell (one per write) — the
+    segment shape op_sim_index_compact merges."""
+    demo = os.path.join(
+        _index_root(),
+        f"upsert_v{INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    if os.path.isfile(os.path.join(demo, "upsert_done.json")):
+        return demo
+    main_path = build_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(main_path, "coarse"))
+    books = spark.read.parquet(os.path.join(main_path, "codebooks"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    split = emb.agg(
+        F.expr("max(vec_id) * 4 div 5").cast("long").alias("split")
+    ).localCheckpoint(eager=True)
+    staging = make_staging(demo)
+    main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    base = main_postings.join(F.broadcast(split)).filter(
+        F.col("vec_id") < F.col("split")
+    )
+    (
+        base.drop("split")
+        .repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(staging, "postings"))
+    )
+    delta = (
+        emb.join(F.broadcast(split))
+        .filter(F.col("vec_id") >= F.col("split"))
+        .select("vec_id", "embedding")
+    )
+    delta_cells = ivf_assign(delta, cents=coarse, form="argmax").select(
+        "vec_id", "cent_id"
+    )
+    delta_post = pq_encode(delta, books).join(delta_cells, "vec_id")
+    (
+        delta_post.repartition("cent_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(staging, "postings"))
+    )
+    with open(os.path.join(staging, "upsert_done.json"), "w") as f:
+        json.dump({"version": INDEX_VERSION}, f)
+    publish_staging(staging, demo, marker="upsert_done.json")
+    prune_stale_keys(demo, sf_dir)
+    return demo
+
+
 @register(
     "op_sim_index_upsert",
     tags=("llm", "similarity", "index"),
@@ -342,7 +398,7 @@ def op_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       unchanged after the upsert (count + per-row equi-join against
       its pre-upsert localCheckpoint copy)."""
     main_path = build_ann_index(spark, sf_dir)
-    coarse = spark.read.parquet(os.path.join(main_path, "coarse"))
+    # snapshot the codebook BEFORE the upsert runs, for no_retraining
     books_before = spark.read.parquet(
         os.path.join(main_path, "codebooks")
     ).localCheckpoint(eager=True)
@@ -350,43 +406,7 @@ def op_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = emb.agg(
         F.expr("max(vec_id) * 4 div 5").cast("long").alias("split")
     ).localCheckpoint(eager=True)
-
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
-    demo = os.path.join(_index_root(), f"upsert_v{INDEX_VERSION}", key)
-    marker = os.path.join(demo, "upsert_done.json")
-    if not os.path.isfile(marker):
-        os.makedirs(demo, exist_ok=True)
-        main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
-            "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
-        )
-        base = main_postings.join(F.broadcast(split)).filter(
-            F.col("vec_id") < F.col("split")
-        )
-        (
-            base.drop("split")
-            .repartition("cent_id")
-            .write.mode("overwrite")
-            .partitionBy("cent_id")
-            .parquet(os.path.join(demo, "postings"))
-        )
-        # the UPSERT: encode the delta against the persisted trained
-        # structure — no Lloyd, no pq_train, O(delta) only
-        delta = emb.join(F.broadcast(split)).filter(
-            F.col("vec_id") >= F.col("split")
-        ).select("vec_id", "embedding")
-        delta_cells = ivf_assign(delta, cents=coarse, form="argmax").select(
-            "vec_id", "cent_id"
-        )
-        delta_post = pq_encode(delta, books_before).join(delta_cells, "vec_id")
-        (
-            delta_post.repartition("cent_id")
-            .write.mode("append")
-            .partitionBy("cent_id")
-            .parquet(os.path.join(demo, "postings"))
-        )
-        with open(marker, "w") as f:
-            json.dump({"version": INDEX_VERSION}, f)
+    demo = ensure_upsert_tree(spark, sf_dir)
 
     after = spark.read.parquet(os.path.join(demo, "postings")).select(
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
@@ -456,5 +476,136 @@ def op_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_book") == PQ_M * PQ_KSUB)
                 & (F.col("n_book_same") == F.col("n_book"))
             ).alias("no_retraining"),
+        )
+    )
+
+# deterministic tombstone predicate for the compaction demo: ~6% of
+# vectors (pmod keeps the expression total; vec_id is nonnegative so
+# DuckDB's % replays it exactly)
+TOMB_MOD, TOMB_RESIDUE = 17, 3
+
+
+def _count_parquet_files(postings_dir: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(postings_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+@register(
+    "op_sim_index_compact",
+    tags=("llm", "similarity", "index"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(COUNT(*) FILTER (WHERE vec_id % 17 = 3) AS BIGINT) AS n_tombstoned,
+               CAST(COUNT(*) FILTER (WHERE vec_id % 17 != 3) AS BIGINT) AS n_after,
+               TRUE AS tombstones_dropped,
+               TRUE AS survivors_identical,
+               TRUE AS segments_merged
+        FROM embeddings
+    """,
+)
+def op_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES + COMPACTION — the index-lifecycle step after
+    build/upsert/stream-append: real vector stores tombstone deleted
+    vectors and periodically merge small append segments (the
+    Milvus/FAISS segment-merge op_stream_index_ingest's docstring
+    gestures at; Lucene's forceMerge is the lexical twin). Input is
+    the upsert demo tree, which by construction holds TWO parquet
+    segments per non-empty cell (base write + delta append); the
+    tombstone set is the deterministic pmod(vec_id,17)==3 slice (~6%).
+    Compaction reads the postings once, drops tombstoned rows, and
+    rewrites ONE segment per cell into a fresh staged tree (atomic
+    publish + superseded-key GC, the build_ann_index discipline) —
+    never mutating the input tree, so a crash mid-compaction leaves
+    the old index serving.
+
+    Audited on the PERSISTED trees (counts hash-compare vs DuckDB):
+    - ``n_before`` / ``n_tombstoned`` / ``n_after``: postings rows in
+      the input tree, rows matching the tombstone predicate, rows
+      surviving — the input tree covers every corpus vector exactly
+      once (op_sim_index_upsert's full_coverage), so DuckDB replays
+      all three from the embeddings table.
+    - ``tombstones_dropped``: zero tombstoned ids remain in the
+      compacted tree and its row count is exactly n_before -
+      n_tombstoned.
+    - ``survivors_identical``: every surviving (vec_id, codes,
+      cent_id) is bit-identical across the trees — compaction moved
+      bytes, never re-encoded (the serve-equality pytest additionally
+      pins bit-equal ADC serving, tests/test_llmdata.py).
+    - ``segments_merged``: the compacted tree holds strictly fewer
+      parquet files than the input (measured 2 segments/cell -> 1) —
+      filesystem metadata, measured in the driver and emitted as a
+      literal.
+
+    At 100 TB compaction is the same plan per cell-range: partition
+    pruning scopes the read to the cells being compacted, survivors
+    stream through one shuffle-free rewrite per cell, and the atomic
+    rename swaps readers to the merged segments."""
+    demo = ensure_upsert_tree(spark, sf_dir)
+    comp = os.path.join(
+        _index_root(),
+        f"compact_v{INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
+    if not os.path.isfile(os.path.join(comp, "compact_done.json")):
+        staging = make_staging(comp)
+        survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(~tomb)
+        (
+            survivors.repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        with open(os.path.join(staging, "compact_done.json"), "w") as f:
+            json.dump({"version": INDEX_VERSION, "tomb_mod": TOMB_MOD}, f)
+        publish_staging(staging, comp, marker="compact_done.json")
+        prune_stale_keys(comp, sf_dir)
+
+    before = spark.read.parquet(os.path.join(demo, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    after = spark.read.parquet(os.path.join(comp, "postings")).select(
+        "vec_id",
+        F.col("codes").alias("a_codes"),
+        F.col("cent_id").cast("long").alias("a_cent_id"),
+    )
+    files_before = _count_parquet_files(os.path.join(demo, "postings"))
+    files_after = _count_parquet_files(os.path.join(comp, "postings"))
+    bstats = before.agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(tomb, 1).otherwise(0)).alias("n_tombstoned"),
+    )
+    astats = after.agg(
+        F.count(F.lit(1)).alias("n_after_actual"),
+        F.sum(F.when(tomb, 1).otherwise(0)).alias("n_tomb_left"),
+    )
+    ident = after.join(before, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(
+                (F.col("a_codes") == F.col("codes"))
+                & (F.col("a_cent_id") == F.col("cent_id")),
+                1,
+            ).otherwise(0)
+        ).alias("n_same"),
+    )
+    return (
+        bstats.join(F.broadcast(astats))
+        .join(F.broadcast(ident))
+        .select(
+            "n_before",
+            "n_tombstoned",
+            (F.col("n_before") - F.col("n_tombstoned")).alias("n_after"),
+            (
+                (F.col("n_tomb_left") == 0)
+                & (F.col("n_after_actual") == F.col("n_before") - F.col("n_tombstoned"))
+            ).alias("tombstones_dropped"),
+            (
+                (F.col("n_joined") == F.col("n_after_actual"))
+                & (F.col("n_same") == F.col("n_after_actual"))
+            ).alias("survivors_identical"),
+            F.lit(0 < files_after < files_before).alias("segments_merged"),
         )
     )

@@ -34,18 +34,26 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.artifacts import (
+    fingerprint_key,
+    make_staging,
+    prune_stale_keys,
+    publish_staging,
+)
 from game_data_etl_pipeline_spark.llmdata.text import BM25_CTES, _terms
 from game_data_etl_pipeline_spark.registry import register
 
-LEX_INDEX_VERSION = 1
+# v2 (round 9): _bucket moved from abs(xxhash64)%N — whose abs leaves
+# Long.MIN_VALUE negative under non-ANSI mode, violating the 0..15
+# layout invariant — to pmod, which is total. pmod re-keys every
+# bucket, so the format version bumps and v1 artifacts are never mixed.
+LEX_INDEX_VERSION = 2
 LEX_BUCKETS = 16
 
 # test hook: serving twice in one process must not rebuild
@@ -58,7 +66,7 @@ _BUCKET_CACHE: dict[tuple[str, ...], list[int]] = {}
 
 
 def _bucket(term_col):
-    return (F.abs(F.xxhash64(term_col)) % LEX_BUCKETS).cast("int")
+    return F.pmod(F.xxhash64(term_col), F.lit(LEX_BUCKETS)).cast("int")
 
 
 def _lex_root() -> str:
@@ -69,8 +77,7 @@ def _lex_root() -> str:
 
 
 def lex_index_dir(sf_dir: str) -> str:
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
+    key = fingerprint_key(sf_dir, "documents.parquet")
     return os.path.join(_lex_root(), f"v{LEX_INDEX_VERSION}", key)
 
 
@@ -105,31 +112,24 @@ def build_lex_index(spark: SparkSession, sf_dir: str) -> str:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_terms())).alias("tot_dl"),
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    staging = tempfile.mkdtemp(prefix="staging_", dir=os.path.dirname(final))
-    try:
-        (
-            postings.repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(staging, "postings"))
-        )
-        (
-            dfq.repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(staging, "df"))
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staging, "stats")
-        )
-        with open(os.path.join(staging, "meta.json"), "w") as f:
-            json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
-        os.rename(staging, final)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.isfile(os.path.join(final, "meta.json")):
-            raise
+    staging = make_staging(final)
+    (
+        postings.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(staging, "postings"))
+    )
+    (
+        dfq.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(staging, "df"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
+    publish_staging(staging, final, marker="meta.json")
+    prune_stale_keys(final, sf_dir)
     return final
 
 
@@ -167,9 +167,19 @@ def op_text_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs (bucket resolution, partitioned-dir footers) dominate. The
     win is the asymptotic shape, not the 5000-doc wall-clock; the
     value oracle proves the path exact either way."""
-    query_terms = ("vector", "stream", "spark")
-    k1, b = 1.2, 0.75
     path = build_lex_index(spark, sf_dir)
+    return bm25_from_index(spark, path)
+
+
+def bm25_from_index(
+    spark: SparkSession, path: str, query_terms: tuple[str, ...] = ("vector", "stream", "spark")
+) -> DataFrame:
+    """The shared serving path: BM25 from a persisted index tree at
+    ``path`` — bucket-pruned posting/df lookups, broadcast stats, the
+    op_text_bm25 IEEE score expression. Used by op_text_bm25_serve
+    (main index) and op_lex_index_upsert (post-upsert tree), so the
+    two serve paths cannot drift."""
+    k1, b = 1.2, 0.75
     if query_terms not in _BUCKET_CACHE:
         qb = (
             spark.createDataFrame([(t,) for t in query_terms], "term string")
@@ -203,3 +213,132 @@ def op_text_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+
+
+def ensure_lex_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the lexical-upsert demo tree: a BASE index
+    over doc_id < floor(0.8 * max) built exactly like build_lex_index,
+    then the UPSERT — tokenize ONLY the delta docs, append their
+    postings partition-aligned into the term_bucket layout, and
+    re-emit df/stats MERGED from the persisted base artifacts plus the
+    delta counts. Everything merged is an additive integer (tf and dl
+    are per-doc facts, df/n_docs/tot_dl are sums over disjoint doc
+    sets), so the merge is exact: the upserted index is
+    value-identical to a full rebuild, which is what lets
+    op_lex_index_upsert keep op_text_bm25's verbatim oracle. The
+    whole tree stages + atomically renames (the ann upsert
+    discipline); df_base/stats_base stay in the tree as provenance
+    that the merge read persisted artifacts, not in-memory frames."""
+    demo = os.path.join(
+        _lex_root(),
+        f"upsert_v{LEX_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    if os.path.isfile(os.path.join(demo, "upsert_done.json")):
+        return demo
+    staging = make_staging(demo)
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg(
+        F.expr("max(doc_id) * 4 div 5").cast("long").alias("split")
+    ).localCheckpoint(eager=True)
+    with_split = docs.join(F.broadcast(split))
+
+    def _index_parts(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        t = d.select(
+            "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+        )
+        postings = (
+            t.groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("term_bucket", _bucket(F.col("term")))
+        )
+        dfq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_terms())).alias("tot_dl"),
+        )
+        return postings, dfq, stats
+
+    def _write_bucketed(frame: DataFrame, sub: str, mode: str = "overwrite") -> None:
+        (
+            frame.repartition("term_bucket")
+            .write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, sub))
+        )
+
+    # phase 1: the pre-existing BASE index (persisted artifacts)
+    base_p, base_df, base_st = _index_parts(
+        with_split.filter(F.col("doc_id") < F.col("split"))
+    )
+    _write_bucketed(base_p, "postings")
+    _write_bucketed(base_df.withColumn("term_bucket", _bucket(F.col("term"))), "df_base")
+    base_st.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "stats_base")
+    )
+    # phase 2, the UPSERT: O(delta) tokenize + partition-aligned
+    # posting append; df/stats re-emitted by merging the PERSISTED
+    # base artifacts (read back from disk) with the delta counts
+    delta_p, delta_df, delta_st = _index_parts(
+        with_split.filter(F.col("doc_id") >= F.col("split"))
+    )
+    _write_bucketed(delta_p, "postings", mode="append")
+    merged_df = (
+        spark.read.parquet(os.path.join(staging, "df_base"))
+        .select("term", "df")
+        .unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("term_bucket", _bucket(F.col("term")))
+    )
+    _write_bucketed(merged_df, "df")
+    base_st_disk = spark.read.parquet(os.path.join(staging, "stats_base"))
+    merged_st = (
+        base_st_disk.unionByName(delta_st)
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_dl").alias("tot_dl"))
+    )
+    merged_st.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
+    with open(os.path.join(staging, "upsert_done.json"), "w") as f:
+        json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
+    publish_staging(staging, demo, marker="upsert_done.json")
+    prune_stale_keys(demo, sf_dir)
+    return demo
+
+
+@register(
+    "op_lex_index_upsert",
+    tags=("llm", "text", "index"),
+    # op_text_bm25's verbatim oracle, same as op_text_bm25_serve: the
+    # POST-UPSERT index must reproduce the full-corpus scorer
+    # bit-for-bit — incremental maintenance held to exact equality
+    oracle=BM25_CTES
+    + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
+    """,
+)
+def op_lex_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL lexical-index maintenance — the symmetry gap with
+    the ANN side closed (op_sim_index_upsert's freshness story for the
+    inverted index): a delta batch of documents is tokenized in
+    isolation (O(delta), never re-reading base text), its postings
+    append partition-aligned into the term_bucket layout, and the
+    derived statistics re-emit as exact integer merges of the
+    PERSISTED base artifacts + the delta (df: per-term sum over
+    disjoint doc sets; stats: two-row sum). No base posting is
+    rewritten; the only non-O(delta) work is the vocabulary-sized df
+    merge — bounded by Zipf, not by the corpus.
+
+    The gate is the strongest available: this op SERVES BM25 from the
+    post-upsert tree via the exact op_text_bm25_serve path and keeps
+    op_text_bm25's oracle VERBATIM, so the driver's value hash holds
+    incremental-then-serve to bit-equality with the full corpus-scan
+    scorer. A pytest additionally pins serve-after-upsert equal
+    row-for-row to a full index rebuild (tests/test_llmdata.py).
+
+    At 100 TB this is the Lucene/ES segment model: deltas land as new
+    term-sharded posting segments, df/stats merge additively, and the
+    bucket layout keeps query-time pruning intact across upserts
+    (served query terms resolve to the same buckets before and
+    after)."""
+    demo = ensure_lex_upsert_tree(spark, sf_dir)
+    return bm25_from_index(spark, demo)

@@ -1682,6 +1682,74 @@ def mmr_select(
     return out
 
 
+def mmr_select_grouped(
+    cands: DataFrame, pairs: DataFrame, *, steps: int = 5, lam: float = 0.5
+) -> DataFrame:
+    """``mmr_select`` generalized to a QUERY BATCH: ``cands`` carries
+    (query_id, doc_id, rel) and ``pairs`` (query_id, d1, d2, sim), both
+    bounded and materialized by the caller; each greedy step picks the
+    per-query argmax via one row_number window PARTITIONED BY query_id
+    (never a global window — partitions count |queries|, each holding
+    the <=K per-query survivors). The constant ~2-jobs-per-step greedy
+    tail is thereby SHARED across the whole batch — the amortization
+    q_retrieval_pipeline_batch exists to demonstrate — instead of
+    re-paid per query as |queries| single-query MMR chains would.
+    Returns (query_id, sel_rank, doc_id, rel, m), m unrounded."""
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    first = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("sel_rank"),
+            "doc_id",
+            "rel",
+            (lam * F.col("rel")).alias("m"),
+        )
+    )
+    picks = [first.localCheckpoint()]
+    selected = picks[0].select("query_id", "doc_id")
+    wm = Window.partitionBy("query_id").orderBy(F.desc("m"), "doc_id")
+    for step in range(2, steps + 1):
+        ms = (
+            pairs.join(
+                F.broadcast(selected.withColumnRenamed("doc_id", "d2")),
+                ["query_id", "d2"],
+            )
+            .groupBy("query_id", "d1")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(F.col("query_id").alias("mq"), "d1", "maxsim")
+        )
+        pick = (
+            cands.join(selected, ["query_id", "doc_id"], "left_anti")
+            .join(
+                F.broadcast(ms),
+                (F.col("query_id") == F.col("mq")) & (F.col("doc_id") == F.col("d1")),
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                "rel",
+                (lam * F.col("rel") - (1 - lam) * F.col("maxsim")).alias("m"),
+            )
+            .withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("int").alias("sel_rank"),
+                "doc_id",
+                "rel",
+                "m",
+            )
+        )
+        picks.append(pick.localCheckpoint())
+        selected = selected.union(picks[-1].select("query_id", "doc_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out
+
+
 def pairwise_cosine(cands: DataFrame) -> DataFrame:
     """4dp-rounded pairwise cosine matrix over a BOUNDED candidate
     frame carrying (doc_id, embedding) — the diversity input of

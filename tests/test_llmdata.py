@@ -767,3 +767,194 @@ def test_retrieval_eval_cosine_anchor_is_perfect(spark, sf_dir):
     # rrf fuses 10 label docs with 10 bm25 docs: it must always beat
     # or match bm25 on recall of the semantic labels
     assert rows["rrf"].recall10 >= rows["bm25"].recall10
+
+
+def test_lex_upsert_serve_matches_full_rebuild(spark, sf_dir):
+    """Serve-after-upsert must equal a full index rebuild ROW FOR ROW:
+    the lexical upsert merges only additive integers (tf/dl per new
+    doc, df/n_docs/tot_dl as sums over disjoint doc sets), so the
+    upserted tree and the rebuilt tree are value-identical and the
+    shared serve path must not be able to tell them apart."""
+    upserted = {
+        tuple(r) for r in SPECS["op_lex_index_upsert"].fn(spark, sf_dir).collect()
+    }
+    rebuilt = {
+        tuple(r) for r in SPECS["op_text_bm25_serve"].fn(spark, sf_dir).collect()
+    }
+    assert upserted == rebuilt
+    assert len(upserted) > 0
+
+
+def test_compact_serve_equality_and_fewer_segments(spark, sf_dir):
+    """Compaction must be invisible to serving: ADC serving from the
+    compacted tree must be bit-identical to serving from the input
+    tree minus the tombstoned rows, and the compacted tree must hold
+    strictly fewer parquet segments (2 per cell -> 1)."""
+    import os as _os
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        INDEX_VERSION,
+        TOMB_MOD,
+        TOMB_RESIDUE,
+        _count_parquet_files,
+        _index_root,
+        ensure_upsert_tree,
+        fingerprint_key,
+        read_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    # run the registered op once: builds both trees, all audits true
+    row = SPECS["op_sim_index_compact"].fn(spark, sf_dir).collect()[0]
+    assert row.tombstones_dropped and row.survivors_identical and row.segments_merged
+    assert row.n_after == row.n_before - row.n_tombstoned
+
+    demo = ensure_upsert_tree(spark, sf_dir)
+    comp = _os.path.join(
+        _index_root(),
+        f"compact_v{INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    coarse, books, _ = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivfpq_serve_stages
+
+    def _serve(tree: str, drop_tomb: bool) -> set:
+        posts = spark.read.parquet(_os.path.join(tree, "postings")).select(
+            "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+        )
+        if drop_tomb:
+            posts = posts.filter(~tomb)
+        return {
+            tuple(r)
+            for r in ivfpq_serve_stages(
+                emb, posts.filter(F.col("vec_id") >= 4), coarse, books
+            ).collect()
+        }
+
+    assert _serve(comp, drop_tomb=False) == _serve(demo, drop_tomb=True)
+    assert 0 < _count_parquet_files(
+        _os.path.join(comp, "postings")
+    ) < _count_parquet_files(_os.path.join(demo, "postings"))
+
+
+def test_index_fingerprint_staleness(spark, sf_dir, tmp_path, monkeypatch):
+    """The (size, mtime_ns) fingerprint is load-bearing for
+    correctness: a regenerated fixture at the SAME path must get a
+    FRESH index dir (a stale index silently serving old rows would
+    pass every plan contract), and the superseded key must be
+    GC-pruned after the rebuild."""
+    import os as _os
+    import shutil as _shutil
+
+    from game_data_etl_pipeline_spark.llmdata import lex_index as lx
+    from game_data_etl_pipeline_spark.llmdata.ann_index import ann_index_dir
+
+    fixture = tmp_path / "fixture"
+    fixture.mkdir()
+    _shutil.copy(_os.path.join(sf_dir, "documents.parquet"), fixture / "documents.parquet")
+    _shutil.copy(_os.path.join(sf_dir, "embeddings.parquet"), fixture / "embeddings.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_LEX_INDEX_DIR", str(tmp_path / "lexroot"))
+
+    first = lx.build_lex_index(spark, str(fixture))
+    assert _os.path.isfile(_os.path.join(first, "meta.json"))
+    served_before = {
+        tuple(r) for r in lx.bm25_from_index(spark, first).collect()
+    }
+
+    # "regenerate" the fixture: same bytes, new mtime -> new fingerprint
+    _os.utime(fixture / "documents.parquet", ns=(1_000_000_000, 1_000_000_000))
+    second = lx.build_lex_index(spark, str(fixture))
+    assert second != first, "mtime change must re-key the artifact"
+    assert _os.path.isfile(_os.path.join(second, "meta.json"))
+    # GC: the superseded key for the same fixture path is pruned
+    assert not _os.path.exists(first), "stale artifact must be GC-pruned"
+    # identical bytes -> the fresh index serves identical values
+    served_after = {
+        tuple(r) for r in lx.bm25_from_index(spark, second).collect()
+    }
+    assert served_after == served_before
+
+    # the ANN side shares fingerprint_key: same re-key behavior
+    ann_first = ann_index_dir(str(fixture))
+    _os.utime(fixture / "embeddings.parquet", ns=(2_000_000_000, 2_000_000_000))
+    assert ann_index_dir(str(fixture)) != ann_first
+
+
+def test_publish_staging_loser_discards_and_trusts_winner(tmp_path):
+    """Two concurrent builders: the loser's rename fails (target
+    exists), it must discard its staging tree and trust the winner's
+    marker instead of raising — and force=True must swap atomically
+    (old tree renamed aside, never rmtree'd in place)."""
+    import json as _json
+    import os as _os
+
+    from game_data_etl_pipeline_spark.llmdata.artifacts import (
+        make_staging,
+        publish_staging,
+        prune_stale_keys,
+    )
+
+    final = str(tmp_path / "v1" / "root_tmp_fix_100_200")
+
+    def _build(content: str) -> str:
+        staging = make_staging(final)
+        with open(_os.path.join(staging, "meta.json"), "w") as f:
+            _json.dump({"who": content}, f)
+        return staging
+
+    s1 = _build("winner")
+    publish_staging(s1, final, marker="meta.json")
+    assert _json.load(open(_os.path.join(final, "meta.json")))["who"] == "winner"
+
+    s2 = _build("loser")
+    publish_staging(s2, final, marker="meta.json")  # must not raise
+    assert not _os.path.exists(s2), "loser staging must be discarded"
+    assert _json.load(open(_os.path.join(final, "meta.json")))["who"] == "winner"
+
+    s3 = _build("forced")
+    publish_staging(s3, final, marker="meta.json", force=True)
+    assert _json.load(open(_os.path.join(final, "meta.json")))["who"] == "forced"
+
+    # GC: a sibling key for the same fixture prefix is pruned, other
+    # prefixes and staging dirs are untouched
+    other_key = str(tmp_path / "v1" / "root_tmp_fix_111_222")
+    foreign = str(tmp_path / "v1" / "root_other_fix_1_2")
+    _os.makedirs(other_key)
+    _os.makedirs(foreign)
+    prune_stale_keys(final, "/root/tmp/fix")
+    assert not _os.path.exists(other_key)
+    assert _os.path.exists(foreign)
+    assert _os.path.exists(final)
+
+
+def test_batch_pipeline_query0_matches_single(spark, sf_dir):
+    """Batch query 0 uses the single-query pipeline's exact query
+    vector and term set, so its 5 MMR picks (with full provenance)
+    must be IDENTICAL to q_retrieval_pipeline's output — the batch
+    generalization cannot perturb any per-query result. Every batch
+    query must emit exactly K_OUT dense-ranked picks."""
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        BATCH_QUERY_TERMS,
+        K_OUT,
+    )
+
+    batch = SPECS["q_retrieval_pipeline_batch"].fn(spark, sf_dir).collect()
+    single = SPECS["q_retrieval_pipeline"].fn(spark, sf_dir).collect()
+    b0 = {
+        (r.sel_rank, r.doc_id, r.lex_rank, r.sem_rank, r.rrf, r.mmr)
+        for r in batch
+        if r.query_id == 0
+    }
+    s = {
+        (r.sel_rank, r.doc_id, r.lex_rank, r.sem_rank, r.rrf, r.mmr) for r in single
+    }
+    assert b0 == s
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r.sel_rank)
+    assert set(by_q) == set(BATCH_QUERY_TERMS)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, K_OUT + 1)), (q, ranks)

@@ -895,3 +895,67 @@ def test_bm25_serve_plan_contract(spark):
     assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan), "no bucket pruning"
     SPECS["op_text_bm25_serve"].fn(spark, SF)
     assert lx._LEX_BUILD_COUNT <= before + 1, "rebuilt per serve"
+
+
+def test_batch_pipeline_plan_contract(spark):
+    """q_retrieval_pipeline_batch's fused stage must hold the
+    single-query contracts ACROSS the batch: zero documents scans
+    (the batch BM25 barrier covers all queries from one scan), the
+    lexical semi-join pruned to vec_id, no SortMergeJoin, and no
+    GLOBAL window — the per-query ranks run as windows PARTITIONED BY
+    query_id, which is the one shape allowed to replace the
+    single-query TakeOrderedAndProject heaps."""
+    import re
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        K_EACH,
+        N_BATCH_QUERIES,
+        fuse_rrf_grouped,
+        lex_ranked_batch,
+    )
+    from game_data_etl_pipeline_spark.llmdata.similarity import dot_expr, norm_expr
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    lex = lex_ranked_batch(spark, SF)
+    qs = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("qn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("embedding"), F.col("qe"))
+        / (norm_expr(F.col("embedding")) * F.col("qn")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    sem = (
+        emb.join(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("sem_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sem_rank") <= K_EACH)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    fused = fuse_rrf_grouped(lex, sem)
+    plan = I.explain_str(fused, "formatted")
+    simple = I.explain_str(fused, "simple")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), "batch bm25 barrier lost"
+    assert ["vec_id"] in I.read_schemas(plan), "semi-join scan not pruned"
+    assert I.num_global_window_sorts(simple) == 0
+    assert "SortMergeJoin" not in simple
+
+
+def test_lex_upsert_serve_plan_contract(spark):
+    """op_lex_index_upsert serves from the POST-UPSERT tree with the
+    same query-time contract as op_text_bm25_serve: no documents scan
+    in the serve plan, postings read from the upsert tree, pruned to
+    the query terms' buckets."""
+    import re
+
+    plan = I.explain_str(SPECS["op_lex_index_upsert"].fn(spark, SF), "formatted")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), "corpus scan at serve time"
+    assert "upsert_v" in plan, "serve plan does not read the upsert tree"
+    assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan), "no bucket pruning"
