@@ -75,6 +75,7 @@ V2_EXTRA = (
     "q_retrieval_pipeline_batch",  # r9: 3-query batch, grouped MMR tail
     "op_lex_index_upsert",       # r9: serve from the post-upsert lex tree
     "op_sim_index_compact",      # r9: tombstone + segment-merge audits
+    "op_lex_index_delete_compact",  # r9: lexical deletes + stats re-derive
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -269,7 +270,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r9-v2-50q-median",
+                    "suite": "r9-v2-51q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

@@ -342,3 +342,89 @@ def op_lex_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     after)."""
     demo = ensure_lex_upsert_tree(spark, sf_dir)
     return bm25_from_index(spark, demo)
+
+
+@register(
+    "op_lex_index_delete_compact",
+    tags=("llm", "text", "index"),
+    # op_text_bm25's oracle RECOMPUTED over the surviving corpus: after
+    # deletes, df / n_docs / tot_dl all shift, so every surviving score
+    # changes — and the compacted index must reproduce the re-derived
+    # scorer bit-for-bit. A fully SQL-replayable delete gate, stronger
+    # than the ANN side's audit booleans.
+    oracle=BM25_CTES.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 17 != 3) documents",
+    )
+    + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
+    """,
+)
+def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES + COMPACTION for the lexical index — op_sim_index_
+    compact's twin, with the semantics Lucene actually has: deletes
+    tombstone documents (pmod(doc_id,17)==3, the shared predicate)
+    and the index's derived statistics stay stale until the merge;
+    compaction drops tombstoned postings, rewrites ONE segment per
+    term bucket (input: the upsert tree's 2-segments-per-bucket
+    shape), and RE-DERIVES df and the corpus stats from the surviving
+    postings — exact integer math (df = per-term count of surviving
+    docs; n_docs/tot_dl from the distinct (doc_id, dl) pairs), which
+    is why the output can be held to BIT-EQUALITY with DuckDB's BM25
+    recomputed over `documents WHERE doc_id % 17 != 3`: serving from
+    the compacted tree IS the full-rebuild scorer for the surviving
+    corpus, IDF shifts and all. Staged + atomically published +
+    superseded keys pruned; the input tree stays live throughout.
+
+    At 100 TB this is Lucene forceMerge with segment-local stats
+    re-derivation: the merge streams each bucket's surviving postings
+    once (partition pruning scopes per-bucket schedules), and the df
+    recompute is the same pass — no extra corpus touch, document text
+    never read."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
+
+    demo = ensure_lex_upsert_tree(spark, sf_dir)
+    comp = os.path.join(
+        _lex_root(),
+        f"compact_v{LEX_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    if not os.path.isfile(os.path.join(comp, "compact_done.json")):
+        staging = make_staging(comp)
+        survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(
+            F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
+        )
+        (
+            survivors.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        # derived stats re-emitted from the PERSISTED surviving
+        # postings (read back from staging): the same merge pass that
+        # rewrites the segments carries the counts
+        surv_disk = spark.read.parquet(os.path.join(staging, "postings"))
+        dfq = (
+            surv_disk.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("term_bucket", _bucket(F.col("term")))
+        )
+        (
+            dfq.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, "df"))
+        )
+        stats = (
+            surv_disk.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
+        with open(os.path.join(staging, "compact_done.json"), "w") as f:
+            json.dump(
+                {"version": LEX_INDEX_VERSION, "tomb_mod": TOMB_MOD}, f
+            )
+        publish_staging(staging, comp, marker="compact_done.json")
+        prune_stale_keys(comp, sf_dir)
+    return bm25_from_index(spark, comp)

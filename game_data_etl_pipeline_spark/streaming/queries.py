@@ -1231,3 +1231,150 @@ def op_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "op_stream_lex_ingest",
+    tags=("streaming", "llm", "text", "index"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+               CAST(3 AS BIGINT) AS n_batches,
+               TRUE AS full_coverage,
+               TRUE AS postings_consistent,
+               TRUE AS buckets_bounded
+        FROM (SELECT DISTINCT doc_id, term FROM t)
+    """,
+)
+def op_stream_lex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into the LEXICAL index — op_stream_index_
+    ingest's twin, completing the inverted file's lifecycle
+    (build_lex_index offline / op_text_bm25_serve query-time /
+    op_lex_index_upsert batch-delta / op_lex_index_delete_compact
+    merge / this op for the arrival stream): documents arrive in
+    micro-batches and each foreachBatch transaction tokenizes ONLY
+    the batch and appends its (term, doc_id, dl, tf) postings
+    partition-aligned into a term_bucket store — the Lucene
+    per-commit-segment shape as Structured Streaming. Per-batch work
+    is O(batch); no base posting is ever touched; df/stats stay
+    derived facts re-emitted at merge time (delete_compact), exactly
+    the near-real-time-search freshness design.
+
+    Fixture shape: the corpus split into 3 micro-batches by
+    doc_id % 3, staged as mtime-ordered parquet files and replayed
+    with maxFilesPerTrigger=1 (the op_stream_index_ingest device).
+    Audited on the PERSISTED post-stream store: ``n_postings``
+    (hash-compared against DuckDB's distinct (doc_id, term) count),
+    ``full_coverage`` (every doc represented, all 3 batches seen),
+    ``postings_consistent`` (every streamed (term, doc_id) row's
+    (tf, dl) bit-identical to the OFFLINE build's row — the streaming
+    tokenize path and the build path cannot drift), and
+    ``buckets_bounded`` (every term_bucket in [0, LEX_BUCKETS))."""
+    from game_data_etl_pipeline_spark.llmdata.lex_index import (
+        LEX_BUCKETS,
+        _bucket,
+        build_lex_index,
+    )
+    from game_data_etl_pipeline_spark.llmdata.text import _terms
+
+    main_path = build_lex_index(spark, sf_dir)
+
+    work = _session_workdir(spark, "lexingest", sf_dir)
+    stage = os.path.join(work, "incoming")
+    store = os.path.join(work, "postings")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("batch_id")
+    )
+    batch_names = []
+    for b in range(3):
+        name = f"batch{b}"
+        docs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
+            os.path.join(stage, name)
+        )
+        batch_names.append(name)
+    now = 1_700_000_000
+    for i, d in enumerate(batch_names):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        t = batch_df.select(
+            "doc_id",
+            "batch_id",
+            F.size(_terms()).alias("dl"),
+            F.explode(_terms()).alias("term"),
+        )
+        post = (
+            t.groupBy("term", "doc_id", "dl", "batch_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("term_bucket", _bucket(F.col("term")))
+        )
+        post.repartition("term_bucket").write.mode("append").partitionBy(
+            "term_bucket"
+        ).parquet(store)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, batch_id int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    after = spark.read.parquet(store).select(
+        "term",
+        "doc_id",
+        "dl",
+        "tf",
+        "batch_id",
+        F.col("term_bucket").cast("int").alias("term_bucket"),
+    )
+    main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+        "term",
+        "doc_id",
+        F.col("dl").alias("m_dl"),
+        F.col("tf").alias("m_tf"),
+    )
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cov = after.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.min("term_bucket").alias("min_b"),
+        F.max("term_bucket").alias("max_b"),
+    )
+    consistent = after.join(main_postings, ["term", "doc_id"]).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(
+                (F.col("dl") == F.col("m_dl")) & (F.col("tf") == F.col("m_tf")), 1
+            ).otherwise(0)
+        ).alias("n_identical"),
+    )
+    return (
+        cov.join(F.broadcast(n_docs))
+        .join(F.broadcast(consistent))
+        .select(
+            "n_postings",
+            "n_batches",
+            (
+                (F.col("n_distinct_docs") == F.col("n_docs"))
+                & (F.col("n_batches") == 3)
+            ).alias("full_coverage"),
+            (
+                (F.col("n_joined") == F.col("n_postings"))
+                & (F.col("n_identical") == F.col("n_postings"))
+            ).alias("postings_consistent"),
+            (
+                (F.col("min_b") >= 0) & (F.col("max_b") < F.lit(LEX_BUCKETS))
+            ).alias("buckets_bounded"),
+        )
+    )

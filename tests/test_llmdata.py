@@ -958,3 +958,48 @@ def test_batch_pipeline_query0_matches_single(spark, sf_dir):
     assert set(by_q) == set(BATCH_QUERY_TERMS)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, K_OUT + 1)), (q, ranks)
+
+
+def test_lex_delete_compact_semantics(spark, sf_dir):
+    """The compacted lexical index must (a) contain no tombstoned doc,
+    (b) still rank every surviving query-term hit, and (c) have
+    actually RE-DERIVED its corpus stats: deleting ~6% of docs shifts
+    n_docs/tot_dl/df, so surviving docs' BM25 must differ from the
+    full-corpus serve (a compactor that dropped rows but kept stale
+    stats would pass (a) and (b) and fail this)."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
+
+    compacted = {
+        r.doc_id: (r.bm25, r.n_terms_hit)
+        for r in SPECS["op_lex_index_delete_compact"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        r.doc_id: (r.bm25, r.n_terms_hit)
+        for r in SPECS["op_text_bm25_serve"].fn(spark, sf_dir).collect()
+    }
+    assert compacted, "no survivors scored"
+    for doc_id in compacted:
+        assert doc_id % TOMB_MOD != TOMB_RESIDUE, f"tombstoned doc {doc_id} served"
+    surviving_full = {d for d in full if d % TOMB_MOD != TOMB_RESIDUE}
+    assert set(compacted) == surviving_full
+    # same docs, same n_terms_hit, but shifted scores (IDF re-derived)
+    assert all(compacted[d][1] == full[d][1] for d in compacted)
+    assert any(compacted[d][0] != full[d][0] for d in compacted), (
+        "stats not re-derived: scores identical to the full corpus"
+    )
+
+
+def test_stream_lex_ingest_matches_offline_build(spark, sf_dir):
+    """The streaming tokenize path must be indistinguishable from the
+    offline build: all audit booleans true, posting count equal to
+    the offline index's."""
+    import os as _os
+
+    row = SPECS["op_stream_lex_ingest"].fn(spark, sf_dir).collect()[0]
+    assert row.full_coverage and row.postings_consistent and row.buckets_bounded
+    from game_data_etl_pipeline_spark.llmdata.lex_index import build_lex_index
+
+    main = spark.read.parquet(
+        _os.path.join(build_lex_index(spark, sf_dir), "postings")
+    ).count()
+    assert row.n_postings == main
