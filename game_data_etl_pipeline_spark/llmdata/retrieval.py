@@ -1297,10 +1297,11 @@ def q_retrieval_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-step argmax a window partitioned by query_id — the
     mmr_select_grouped form — so its ~2-jobs-per-step cost amortizes
     across the batch instead of multiplying by it. bench.py carries
-    the entry; measured sf0.1 (same run): 5.62 s median for the
-    3-query batch vs 3.87 s for the single-query form — ~1.9 s/query
-    vs 3.9 s/query, a 2x per-query amortization that grows with
-    |batch| since the scans and the MMR tail are both shared.
+    the entry; measured sf0.1 (probe-matched bench run, same
+    session): 4.33 s median for the 3-query batch vs 2.84 s for the
+    single-query form — 1.44 s/query vs 2.84 s/query, a 2x per-query
+    amortization that grows with |batch| since the scans and the MMR
+    tail are both shared.
 
     VALUE-ORACLED END TO END for ALL queries: the DuckDB oracle
     replays the whole batch — per-query BM25 from a (query_id, term)
