@@ -76,6 +76,7 @@ V2_EXTRA = (
     "op_lex_index_upsert",       # r9: serve from the post-upsert lex tree
     "op_sim_index_compact",      # r9: tombstone + segment-merge audits
     "op_lex_index_delete_compact",  # r9: lexical deletes + stats re-derive
+    "op_corpus_decontaminate",   # r9: benchmark 5-gram contamination screen
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -270,7 +271,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r9-v2-51q-median",
+                    "suite": "r9-v2-52q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

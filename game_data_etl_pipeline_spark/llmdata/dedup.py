@@ -1257,3 +1257,97 @@ def op_dedup_audit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_redundant") / F.col("n_docs"), 6).alias("reduction_rate"),
         )
     )
+
+
+@register(
+    "op_corpus_decontaminate",
+    tags=("llm", "dedup", "curation"),
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+)
+def op_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the cross-set n-gram overlap screen
+    every serious LLM training-data pipeline runs (the GPT-3 appendix
+    / PaLM / DCLM step): before training, flag any training document
+    sharing an n-gram run with the held-out evaluation set, because a
+    benchmark answer memorized from a contaminated training doc
+    corrupts every downstream eval. Distinct from the WITHIN-corpus
+    dedup family above: the comparison is against a separate,
+    bounded, externally-given document set.
+
+    Fixture shape: the "benchmark" is the deterministic doc_id%3==0
+    slice, training is the rest; overlap unit is the distinct 5-gram
+    word shingle (long enough that the fixture's ~31-term vocabulary
+    doesn't light up every pair, short enough that the planted
+    near-duplicate pairs — e.g. docs 8~12, 0~50 at sf0.001, split
+    across the two sides by the %3 residues — are caught). Output is
+    the flagged-doc ledger: (doc_id, n_hit_shingles distinct shared
+    shingles, n_bench_docs distinct benchmark docs hit), fully
+    value-oracled — DuckDB replays the exact shingle sets and joins.
+
+    Scale shape: document text is read and shingled EXACTLY ONCE —
+    the distinct (doc_id, shingle) projection is materialized before
+    the benchmark/training split because the %3 predicate cannot push
+    to the parquet scan (without the barrier both branches re-scan
+    and re-shingle; verified in the plan). The benchmark side is
+    small by construction (eval sets are thousands of docs, not
+    billions), so its shingle set BROADCASTS and the overlap join
+    never shuffles the training corpus — flagging is map-side. At
+    100 TB the broadcast becomes a Bloom filter of benchmark shingles
+    (the op_join_bloom pattern; false positives only over-remove, the
+    safe direction for decontamination) with the exact join reserved
+    for the flagged survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    # filter BEFORE building the shingle sequence: sequence(0, n) with
+    # n < 0 would generate a DESCENDING range and slice() would fault.
+    # Materialize the distinct (doc_id, shingle) projection ONCE: the
+    # %3 split below cannot push to the parquet scan (pmod is not a
+    # pushable predicate), so without the barrier both branches would
+    # re-scan and re-shingle the full text column (the no-subtree-reuse
+    # trap; verified two full scans in the unbarriered plan).
+    grams = (
+        docs.filter(F.size(t) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 5),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, 5)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    bench = (
+        grams.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        .select(F.col("doc_id").alias("b_id"), "g")
+    )
+    train = grams.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )

@@ -1003,3 +1003,19 @@ def test_stream_lex_ingest_matches_offline_build(spark, sf_dir):
         _os.path.join(build_lex_index(spark, sf_dir), "postings")
     ).count()
     assert row.n_postings == main
+
+
+def test_decontaminate_catches_cross_split_near_dups(spark, sf_dir):
+    """The planted near-duplicate pairs straddle the benchmark split
+    (12 and 0 land in doc_id%3==0, their twins 8 and 50 in training),
+    so decontamination MUST flag docs 8 and 50 — recall on true
+    contamination is the op's whole purpose — and must never emit a
+    benchmark doc or a hit count below 1."""
+    rows = SPECS["op_corpus_decontaminate"].fn(spark, sf_dir).collect()
+    flagged = {r.doc_id: r for r in rows}
+    for training_twin in (8, 50):
+        assert training_twin in flagged, f"contaminated doc {training_twin} missed"
+        assert flagged[training_twin].n_bench_docs >= 1
+    for r in rows:
+        assert r.doc_id % 3 != 0, f"benchmark doc {r.doc_id} in training output"
+        assert r.n_hit_shingles >= 1
