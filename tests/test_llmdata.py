@@ -1019,3 +1019,37 @@ def test_decontaminate_catches_cross_split_near_dups(spark, sf_dir):
     for r in rows:
         assert r.doc_id % 3 != 0, f"benchmark doc {r.doc_id} in training output"
         assert r.n_hit_shingles >= 1
+
+
+def test_cold_start_index_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
+    """The WHOLE index lifecycle must work from an EMPTY warehouse in
+    one process — the state a fresh driver machine is in: both roots
+    pointed at empty temp dirs, then build -> serve -> upsert ->
+    compact on both modalities plus the streamed ingest, every op
+    still matching its DuckDB oracle. Catches any hidden dependency
+    on pre-existing artifacts (a serve op that only works because a
+    previous round left its tree behind)."""
+    import duckdb
+
+    from tests.conftest import make_duck
+    from tests.oracle import compare
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    monkeypatch.setenv("SPARK_GRAFT_LEX_INDEX_DIR", str(tmp_path / "lex"))
+    con = make_duck(sf_dir)
+    try:
+        for name in (
+            "op_sim_index_build",
+            "op_sim_ivfpq_serve",
+            "op_sim_index_upsert",
+            "op_sim_index_compact",
+            "op_text_bm25_serve",
+            "op_lex_index_upsert",
+            "op_lex_index_delete_compact",
+            "op_stream_lex_ingest",
+        ):
+            sdf = SPECS[name].fn(spark, sf_dir)
+            problems = compare(sdf, con.execute(SPECS[name].oracle).df(), name)
+            assert not problems, (name, problems)
+    finally:
+        con.close()
