@@ -85,15 +85,18 @@ V2_EXTRA = (
 # re-derived by the judge (the round-6 adjudication: a uniform ~1.7x
 # "slowdown" that was entirely hardware). Update each round after the
 # driver records BENCH_r{N}.json.
-# r8 note: the driver-recorded BENCH_r08.json tail was truncated before
-# its calibration block, so these values come from the r8 judge's own
-# probe-matched run on the final r8 tree (VERDICT.md round 8: frozen
-# median 18.41 s, py probe 0.583 within 1% of r7's 0.575; the driver's
-# own r8 run on a 1.2x slower host adjudicated to total_min/jvm ~ 18.0,
-# consistent). jvm probe = 0.77x of r7's per the same verdict.
+# r9 note: the driver-recorded BENCH_r09.json tail was again truncated
+# before its calibration block, so (the r8/r9 convention) these values
+# come from the r9 judge's probe-matched run on the final r9 tree
+# (VERDICT.md round 9): raw frozen median 22.93 s with probes py 0.5766
+# / jvm 0.2881, measured on a host whose JVM probe ran 1.2675x of the
+# r8 reference frame (py probe matched at 0.989x). The total is seeded
+# jvm-NORMALIZED into the r8-judge frame (22.93 / 1.2675 = 18.09) and
+# paired with that frame's probes, so this round's jvm_ratio divides
+# out whatever the current host does relative to the same fixed frame.
 PREV = {
-    "round": 8,
-    "frozen_total_sec": 18.41,
+    "round": 9,
+    "frozen_total_sec": 18.09,
     "py_spin_sec": 0.583,
     "jvm_spin_sec": 0.2273,
 }

@@ -20,16 +20,34 @@ fixed once for both modules:
   regeneration mints a fresh key and orphans the previous artifact;
   without GC the warehouse grows unboundedly across rounds. After a
   successful publish, sibling keys for the SAME fixture path are
-  pruned (the trailing ``_`` in the prefix match keeps ``sf0.1`` from
-  ever matching ``sf0.1x``; in-flight ``staging_*`` dirs never match a
-  fixture-path prefix and are left alone).
+  pruned. Matching is by the EXACT key shape
+  ``<flattened path>_<size>_<mtime_ns>`` (anchored regex), not a bare
+  prefix: a prefix match would also claim keys of fixtures whose
+  flattened path merely extends this one (``/data/sf`` vs
+  ``/data/sf/sub`` or ``/data/sf_v2`` all flatten to names starting
+  ``data_sf_``) and delete their LIVE artifacts out from under
+  concurrent readers (round-9 advice). In-flight ``staging_*`` dirs
+  never match the key shape and are left alone.
+- **Trash-dir grace**: force-rebuild trash trees (see above) are
+  reaped by ``prune_stale_keys`` only once they are older than
+  ``TRASH_GRACE_SEC`` — reaping them in the same pass that published
+  the replacement would reopen the reader window the rename-aside
+  exists to close. ``force=True`` is therefore safe for readers whose
+  scans finish within the grace period; a reader that holds an old
+  tree longer than that must re-resolve the path.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
+import time
+
+# how long a force-rebuild trash tree survives before GC may reap it:
+# long enough for any in-flight scan of the old snapshot to finish
+TRASH_GRACE_SEC = 600
 
 
 def fingerprint_key(sf_dir: str, source_file: str) -> str:
@@ -62,15 +80,16 @@ def publish_staging(staging: str, final: str, *, marker: str, force: bool = Fals
     two trees bit-identical), else the original error propagates."""
     if force and os.path.isdir(final):
         # rename the live tree aside before the swap: readers that
-        # already resolved `final` keep a consistent snapshot, new
-        # readers block on the marker check until the rename lands
+        # already resolved `final` keep a consistent snapshot. The
+        # trash tree is NOT reaped here — deleting it immediately
+        # after the rename would tear files out of those very scans;
+        # it carries a unique suffix and ages out via
+        # prune_stale_keys' TRASH_GRACE_SEC window (round-9 advice).
         trash = f"{final}.trash.{os.path.basename(staging)}"
         try:
             os.rename(final, trash)
         except OSError:
             pass  # someone else already moved/removed it
-        else:
-            shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(staging, final)
     except OSError:
@@ -80,17 +99,31 @@ def publish_staging(staging: str, final: str, *, marker: str, force: bool = Fals
 
 
 def prune_stale_keys(final: str, sf_dir: str) -> None:
-    """After a successful publish, reap sibling artifact keys (and
-    leftover trash dirs) for the SAME fixture path — superseded
-    fingerprints from regenerated fixtures. Other fixtures' keys and
-    in-flight staging dirs are untouched."""
+    """After a successful publish, reap sibling artifact keys for the
+    SAME fixture path — superseded fingerprints from regenerated
+    fixtures — plus aged-out force-rebuild trash trees. Matching is by
+    the exact key shape (see module docstring): other fixtures' keys —
+    including ones whose flattened path extends this one — and
+    in-flight staging dirs are untouched. Trash dirs younger than
+    TRASH_GRACE_SEC are skipped so the publish that minted them cannot
+    reap them in the same pass."""
     version_dir = os.path.dirname(final)
     keep = os.path.basename(final)
-    prefix = _sf_prefix(sf_dir) + "_"
+    pat = re.compile(rf"^{re.escape(_sf_prefix(sf_dir))}_\d+_\d+(?P<trash>\.trash\..+)?$")
+    now = time.time()
     try:
         names = os.listdir(version_dir)
     except OSError:
         return
     for name in names:
-        if name.startswith(prefix) and name != keep:
-            shutil.rmtree(os.path.join(version_dir, name), ignore_errors=True)
+        m = pat.match(name)
+        if m is None or name == keep:
+            continue
+        path = os.path.join(version_dir, name)
+        if m.group("trash"):
+            try:
+                if now - os.path.getmtime(path) < TRASH_GRACE_SEC:
+                    continue
+            except OSError:
+                continue  # already reaped by a concurrent pruner
+        shutil.rmtree(path, ignore_errors=True)

@@ -1640,8 +1640,14 @@ def mmr_select(
     greedily pick ``steps`` rows maximizing lam*rel - (1-lam)*max(sim
     to selected), ties on doc_id. Both inputs MUST already be
     constant-size (materialized) — each step is constant work ending
-    in a 1-row heap; no step touches a corpus. Returns (sel_rank,
-    doc_id, rel, m) with m unrounded (callers round for output)."""
+    in a 1-row heap; no step touches a corpus. A candidate with no
+    ``pairs`` row against the selected set scores maxsim = 0 (the MMR
+    semantics for unrelated docs: left join + coalesce, round-9
+    advice — an inner join here silently dropped such candidates on
+    sparse/thresholded matrices; unreachable from the registered ops,
+    which pass complete matrices, but wrong for external callers).
+    Returns (sel_rank, doc_id, rel, m) with m unrounded (callers
+    round for output)."""
     first = (
         cands.orderBy(F.desc("rel"), "doc_id")
         .limit(1)
@@ -1664,11 +1670,14 @@ def mmr_select(
         )
         pick = (
             cands.join(selected, "doc_id", "left_anti")
-            .join(ms, F.col("doc_id") == F.col("d1"))
+            .join(ms, F.col("doc_id") == F.col("d1"), "left")
             .select(
                 "doc_id",
                 "rel",
-                (lam * F.col("rel") - (1 - lam) * F.col("maxsim")).alias("m"),
+                (
+                    lam * F.col("rel")
+                    - (1 - lam) * F.coalesce(F.col("maxsim"), F.lit(0.0))
+                ).alias("m"),
             )
             .orderBy(F.desc("m"), "doc_id")
             .limit(1)
@@ -1694,6 +1703,8 @@ def mmr_select_grouped(
     tail is thereby SHARED across the whole batch — the amortization
     q_retrieval_pipeline_batch exists to demonstrate — instead of
     re-paid per query as |queries| single-query MMR chains would.
+    Candidates missing from ``pairs`` score maxsim = 0, matching
+    mmr_select's left-join semantics (round-9 advice).
     Returns (query_id, sel_rank, doc_id, rel, m), m unrounded."""
     w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
     first = (
@@ -1725,12 +1736,16 @@ def mmr_select_grouped(
             .join(
                 F.broadcast(ms),
                 (F.col("query_id") == F.col("mq")) & (F.col("doc_id") == F.col("d1")),
+                "left",
             )
             .select(
                 "query_id",
                 "doc_id",
                 "rel",
-                (lam * F.col("rel") - (1 - lam) * F.col("maxsim")).alias("m"),
+                (
+                    lam * F.col("rel")
+                    - (1 - lam) * F.coalesce(F.col("maxsim"), F.lit(0.0))
+                ).alias("m"),
             )
             .withColumn("rn", F.row_number().over(wm))
             .filter(F.col("rn") == 1)

@@ -917,17 +917,38 @@ def test_publish_staging_loser_discards_and_trusts_winner(tmp_path):
     s3 = _build("forced")
     publish_staging(s3, final, marker="meta.json", force=True)
     assert _json.load(open(_os.path.join(final, "meta.json")))["who"] == "forced"
+    # the displaced tree is renamed aside, NOT deleted: readers that
+    # resolved the old path keep their snapshot until the grace expires
+    trash_dirs = [
+        d for d in _os.listdir(tmp_path / "v1") if ".trash." in d
+    ]
+    assert len(trash_dirs) == 1
+    assert _json.load(
+        open(_os.path.join(tmp_path / "v1", trash_dirs[0], "meta.json"))
+    )["who"] == "winner"
 
-    # GC: a sibling key for the same fixture prefix is pruned, other
-    # prefixes and staging dirs are untouched
+    # GC: a sibling key for the same fixture path is pruned; other
+    # fixtures' keys — even ones whose flattened path EXTENDS this
+    # one (/root/tmp/fix/sub, /root/tmp/fix_v2) — staging dirs, and
+    # fresh trash trees are untouched
     other_key = str(tmp_path / "v1" / "root_tmp_fix_111_222")
     foreign = str(tmp_path / "v1" / "root_other_fix_1_2")
-    _os.makedirs(other_key)
-    _os.makedirs(foreign)
+    ext_subdir = str(tmp_path / "v1" / "root_tmp_fix_sub_1_2")
+    ext_suffix = str(tmp_path / "v1" / "root_tmp_fix_v2_1_2")
+    for d in (other_key, foreign, ext_subdir, ext_suffix):
+        _os.makedirs(d)
     prune_stale_keys(final, "/root/tmp/fix")
     assert not _os.path.exists(other_key)
     assert _os.path.exists(foreign)
+    assert _os.path.exists(ext_subdir), "extension-path key must survive"
+    assert _os.path.exists(ext_suffix), "extension-path key must survive"
     assert _os.path.exists(final)
+    trash_path = _os.path.join(tmp_path / "v1", trash_dirs[0])
+    assert _os.path.exists(trash_path), "fresh trash survives the grace window"
+    # age the trash past the grace: the next prune pass reaps it
+    _os.utime(trash_path, (1_000_000_000, 1_000_000_000))
+    prune_stale_keys(final, "/root/tmp/fix")
+    assert not _os.path.exists(trash_path), "aged trash must be reaped"
 
 
 def test_batch_pipeline_query0_matches_single(spark, sf_dir):
