@@ -77,6 +77,12 @@ V2_EXTRA = (
     "op_sim_index_compact",      # r9: tombstone + segment-merge audits
     "op_lex_index_delete_compact",  # r9: lexical deletes + stats re-derive
     "op_corpus_decontaminate",   # r9: benchmark 5-gram contamination screen
+    # r10 additions: the batch-size amortization point, the post-delete
+    # serving gates, and the barrier-free Bloom decontamination form
+    "q_retrieval_pipeline_batch8",   # r10: N=8 batch (s/query curve point)
+    "op_sim_ivfpq_serve_compacted",  # r10: ADC serve from the compacted tree
+    "op_stream_lex_serve",           # r10: BM25 served from the streamed store
+    "op_corpus_decontaminate_bloom",  # r10: fixed-size-bitmap screen, no barrier
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -274,7 +280,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r9-v2-52q-median",
+                    "suite": "r10-v2-56q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

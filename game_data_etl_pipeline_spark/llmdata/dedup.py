@@ -1351,3 +1351,192 @@ def op_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("b_id").alias("n_bench_docs"),
         )
     )
+
+
+# Bloom-filter geometry for op_corpus_decontaminate_bloom: a 2^22-bit
+# filter is 65,536 longs (~0.5 MB broadcast) — CONSTANT in the corpus
+# size, the whole point — and with k=3 hashes holds the false-positive
+# rate ~0.5% at 250k benchmark shingles (sf0.1's eval slice).
+BLOOM_BITS = 1 << 22
+BLOOM_SEEDS = (0x51ED, 0x9E37, 0x85EB)
+
+
+def _bloom_positions(g_col):
+    """The k hash positions of one shingle: xxhash64(g, seed) pmod m
+    per seed (pmod keeps positions total on negative hashes), as an
+    array of (seed index, position) structs so the probe side can
+    count distinct seed hits per shingle."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed_i"),
+                F.pmod(F.xxhash64(g_col, F.lit(s)), F.lit(BLOOM_BITS)).alias("pos"),
+            )
+            for i, s in enumerate(BLOOM_SEEDS)
+        ]
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) 5-gram word shingles — the op_corpus_decontaminate
+    projection, shared by both the exact and the Bloom screens."""
+    t = F.split(F.col("text"), " ")
+    return docs.filter(F.size(t) >= 5).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 5),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 5)),
+            )
+        ).alias("g"),
+    )
+
+
+@register(
+    "op_corpus_decontaminate_bloom",
+    tags=("llm", "dedup", "curation", "scale"),
+    # the exact screen's oracle verbatim plus the audit literals: Bloom
+    # pre-filtering + exact rescreen must reproduce the exact ledger
+    # (no false negatives is a THEOREM for a Bloom filter; the rescreen
+    # kills the false positives), so DuckDB replays the same values
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS bloom_no_false_negatives,
+               TRUE AS bloom_pruned
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+)
+def op_corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op_corpus_decontaminate's 100 TB FORM — the Bloom-filter
+    paragraph of its docstring turned into a running plan (round-9
+    verdict task): build a FIXED-SIZE Bloom filter of the benchmark's
+    5-gram shingles, flag training shingles by map-side containment,
+    and reserve the exact join for the Bloom-positive survivors. The
+    exact screen must materialize the shared shingle projection
+    (localCheckpoint barrier) because its %3 split can't push to the
+    scan; the Bloom form needs NO barrier — the benchmark branch and
+    the training branch are independent scans, which at 100 TB are
+    different tables anyway (a bounded eval set vs the corpus), so the
+    training corpus is shingled exactly once, flows map-side through
+    the filter, and never shuffles by shingle.
+
+    The filter is built declaratively, not via a driver-side sketch:
+    each benchmark shingle's k=3 xxhash64(g, seed) positions fold into
+    a 2^22-bit bitmap stored as a 65,536-row (word index, 64-bit word)
+    table — one ``bit_or`` aggregate — whose size is CONSTANT in the
+    corpus (~0.5 MB broadcast; Spark's runtime bloom injection,
+    tests/test_plans.py::test_bloom_filter_join_injection, covers the
+    equi-join case but cannot express set containment of an exploded
+    column, hence the explicit form). A training shingle is
+    Bloom-positive iff ALL k probed bits are set (left join on word
+    index, coalesce to 0 — an absent word means unset bits).
+
+    False positives only OVER-remove — the safe direction for
+    decontamination (dropping a clean training doc costs one document;
+    leaking a benchmark answer corrupts the eval) — and the exact
+    rescreen of the bounded Bloom-positive set removes even those, so
+    the output ledger is IDENTICAL to the exact screen's and shares
+    its value oracle. False negatives are impossible by construction
+    (a Bloom filter never reports absent for an inserted key); the
+    in-query referee proves it anyway: ``bloom_no_false_negatives``
+    re-runs the exact screen and asserts every exact hit pair is
+    Bloom-positive (the audit exists to VERIFY, not to serve — it is
+    the one corpus-rescanning stage, and it ships only in this
+    registered gate). ``bloom_pruned`` asserts the filter actually
+    cut the candidate set (strictly fewer Bloom-positive pairs than
+    training pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+
+    # ---- build: benchmark shingles -> fixed-size bitmap words table
+    bench_pos = (
+        _shingles(docs.filter(is_bench))
+        .select(F.explode(_bloom_positions(F.col("g"))).alias("sp"))
+        .select(F.col("sp.pos").alias("pos"))
+    )
+    words = (
+        bench_pos.select(
+            F.shiftright("pos", 6).alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+    # ---- probe: one training-corpus scan, map-side containment
+    train = _shingles(docs.filter(~is_bench))
+    probes = train.select(
+        "doc_id",
+        "g",
+        F.explode(_bloom_positions(F.col("g"))).alias("sp"),
+    ).select(
+        "doc_id",
+        "g",
+        F.col("sp.seed_i").alias("seed_i"),
+        F.shiftright(F.col("sp.pos"), 6).alias("widx"),
+        F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
+    )
+    candidates = (
+        probes.join(F.broadcast(words), "widx", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count_distinct(F.when(F.col("hit"), F.col("seed_i"))).alias("k_hits"))
+        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+        .select("doc_id", "g")
+    )
+
+    # ---- exact rescreen of the BOUNDED Bloom-positive set: false
+    # positives find no bench pair and die here, so the ledger equals
+    # the exact screen's
+    bench_pairs = _shingles(docs.filter(is_bench)).select(
+        F.col("doc_id").alias("b_id"), "g"
+    ).distinct()
+    ledger = (
+        candidates.join(F.broadcast(bench_pairs), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )
+
+    # ---- in-query referee: the exact screen replayed as the audit
+    exact_hits = (
+        _shingles(docs.filter(~is_bench))
+        .join(F.broadcast(bench_pairs.select("g").distinct()), "g", "left_semi")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    n_missed = exact_hits.join(candidates, ["doc_id", "g"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    audit = (
+        n_missed.join(F.broadcast(n_cand))
+        .join(F.broadcast(n_train))
+        .select(
+            (F.col("n_missed") == 0).alias("bloom_no_false_negatives"),
+            (F.col("n_cand") < F.col("n_train")).alias("bloom_pruned"),
+        )
+    )
+    return ledger.crossJoin(F.broadcast(audit))

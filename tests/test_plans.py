@@ -836,6 +836,33 @@ def test_ivfpq_serve_plan_contract(spark):
     assert ai._BUILD_COUNT <= before + 1
 
 
+def test_decontaminate_bloom_plan_contract(spark):
+    """op_corpus_decontaminate_bloom is the barrier-free 100 TB form
+    of the exact screen: NO materialized shingle projection may appear
+    (no ExistingRDD — the exact op's localCheckpoint barrier is what
+    this op exists to remove), the bitmap words table and the bench
+    rescreen side must reach the probe side as broadcasts (containment
+    is map-side; the training corpus never shuffles by shingle), and
+    the plan must contain no SortMergeJoin of corpus-sized sides."""
+    df = SPECS["op_corpus_decontaminate_bloom"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "ExistingRDD" not in plan, "shingle materialization barrier leaked in"
+    f = I.facts(df)
+    assert "SortMergeJoin" not in f.joins, f.joins
+    assert f.broadcasts >= 2, f"words + rescreen must broadcast, got {f.broadcasts}"
+
+
+def test_ivfpq_serve_compacted_plan_contract(spark):
+    """op_sim_ivfpq_serve_compacted is the same pure-serving contract
+    as op_sim_ivfpq_serve, pointed at the post-delete tree: no
+    ExistingRDD (no training frame — the compacted path serves with
+    the FROZEN coarse/codebook artifacts), and the postings scan must
+    target the compact_v tree, not the live build."""
+    plan = I.explain_str(SPECS["op_sim_ivfpq_serve_compacted"].fn(spark, SF), "simple")
+    assert "ExistingRDD" not in plan, "training frame leaked into the serve plan"
+    assert "compact_v" in plan, "serve plan does not read the compacted tree"
+
+
 def test_retrieval_pipeline_plan_contract(spark):
     """q_retrieval_pipeline's fused stage (everything before the
     bounded MMR frames are materialized) must preserve each stage op's
