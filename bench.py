@@ -83,6 +83,9 @@ V2_EXTRA = (
     "op_sim_ivfpq_serve_compacted",  # r10: ADC serve from the compacted tree
     "op_stream_lex_serve",           # r10: BM25 served from the streamed store
     "op_corpus_decontaminate_bloom",  # r10: fixed-size-bitmap screen, no barrier
+    "q_retrieval_pipeline_batch_served",  # r10: zero-documents-scan batch serving
+    "op_stream_ann_serve",           # r10: ADC served from streamed segments
+    "op_stream_decontaminate",       # r10: O(batch) arrival-stream screen
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -280,7 +283,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r10-v2-56q-median",
+                    "suite": "r10-v2-59q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

@@ -171,6 +171,23 @@ def op_text_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(spark, path)
 
 
+def resolve_term_buckets(
+    spark: SparkSession, query_terms: tuple[str, ...]
+) -> list[int]:
+    """The memoized query-term -> term_bucket resolution every index
+    reader shares: one bounded |terms|-row job per distinct term set
+    per process (the driver-side collect is the partition-pruning
+    device — bucket ids must be literals to prune the scan)."""
+    if query_terms not in _BUCKET_CACHE:
+        qb = (
+            spark.createDataFrame([(t,) for t in query_terms], "term string")
+            .select(_bucket(F.col("term")).alias("b"))
+            .collect()
+        )
+        _BUCKET_CACHE[query_terms] = sorted({r.b for r in qb})
+    return _BUCKET_CACHE[query_terms]
+
+
 def bm25_from_index(
     spark: SparkSession, path: str, query_terms: tuple[str, ...] = ("vector", "stream", "spark")
 ) -> DataFrame:
@@ -180,14 +197,7 @@ def bm25_from_index(
     (main index) and op_lex_index_upsert (post-upsert tree), so the
     two serve paths cannot drift."""
     k1, b = 1.2, 0.75
-    if query_terms not in _BUCKET_CACHE:
-        qb = (
-            spark.createDataFrame([(t,) for t in query_terms], "term string")
-            .select(_bucket(F.col("term")).alias("b"))
-            .collect()
-        )
-        _BUCKET_CACHE[query_terms] = sorted({r.b for r in qb})
-    buckets = _BUCKET_CACHE[query_terms]
+    buckets = resolve_term_buckets(spark, query_terms)
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*query_terms))

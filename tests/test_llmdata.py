@@ -981,6 +981,23 @@ def test_batch_pipeline_query0_matches_single(spark, sf_dir):
         assert sorted(ranks) == list(range(1, K_OUT + 1)), (q, ranks)
 
 
+def test_batch_served_row_identical(spark, sf_dir):
+    """The served batch pipeline (lexical side from the persisted
+    inverted index) must be ROW-IDENTICAL to the corpus-scan batch —
+    not rank-equivalent, identical: the index parts are the same
+    integers and the scoring tail is shared code, so any divergence
+    is a build/serve consistency bug."""
+    served = {
+        tuple(r)
+        for r in SPECS["q_retrieval_pipeline_batch_served"].fn(spark, sf_dir).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in SPECS["q_retrieval_pipeline_batch"].fn(spark, sf_dir).collect()
+    }
+    assert served == inline
+
+
 def test_lex_delete_compact_semantics(spark, sf_dir):
     """The compacted lexical index must (a) contain no tombstoned doc,
     (b) still rank every surviving query-term hit, and (c) have

@@ -975,6 +975,40 @@ def test_batch_pipeline_plan_contract(spark):
     assert "SortMergeJoin" not in simple
 
 
+def test_batch_served_plan_contract(spark):
+    """q_retrieval_pipeline_batch_served removes the last corpus-text
+    read from the query-time plan: the un-checkpointed served lexical
+    frame must contain NO documents scan (it reads the lex_index tree,
+    bucket-pruned), and the full op plan must likewise be
+    documents-free — the unserved batch contract allows one scan
+    behind the barrier; this one allows none."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        BATCH_QUERY_TERMS,
+        lex_ranked_batch_served,
+    )
+
+    lex_plan = I.explain_str(
+        lex_ranked_batch_served(spark, SF, BATCH_QUERY_TERMS), "formatted"
+    )
+    assert not re.findall(r"Scan parquet[^\n]*documents", lex_plan), (
+        "served lexical side scans the corpus"
+    )
+    assert "lex_index" in lex_plan
+    assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", lex_plan), (
+        "no bucket pruning on the served batch postings read"
+    )
+    full = SPECS["q_retrieval_pipeline_batch_served"].fn(spark, SF)
+    plan = I.explain_str(full, "formatted")
+    simple = I.explain_str(full, "simple")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), (
+        "documents scan leaked into the served batch plan"
+    )
+    assert I.num_global_window_sorts(simple) == 0
+    assert "SortMergeJoin" not in simple
+
+
 def test_lex_upsert_serve_plan_contract(spark):
     """op_lex_index_upsert serves from the POST-UPSERT tree with the
     same query-time contract as op_text_bm25_serve: no documents scan

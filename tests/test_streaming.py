@@ -117,3 +117,36 @@ def test_index_ingest_batches_partition_store(spark, sf_dir):
         per_batch[r.batch_id] = per_batch.get(r.batch_id, 0) + 1
     assert set(per_batch) == {0, 1, 2}
     assert sum(per_batch.values()) == len({r.vec_id for r in rows})
+
+
+def test_stream_ann_serve_matches_offline_serve(spark, sf_dir):
+    """Serving from the stream-ingested segments must be ROW-IDENTICAL
+    to serving the offline build (shared columns), and the in-query
+    ADC bit-equality referee must hold — freshness costs zero
+    accuracy because the trained structure is frozen and streaming
+    encode is deterministic."""
+    from game_data_etl_pipeline_spark.registry import all_specs
+
+    SPECS = all_specs()
+    streamed = SPECS["op_stream_ann_serve"].fn(spark, sf_dir).collect()
+    offline = SPECS["op_sim_ivfpq_serve"].fn(spark, sf_dir).collect()
+    shared = ("query_id", "n_exact_within_bound", "pruned_scan", "recall_floor_met")
+    assert {tuple(getattr(r, c) for c in shared) for r in streamed} == {
+        tuple(getattr(r, c) for c in shared) for r in offline
+    }
+    assert all(r.adc_bitmatch_vs_main for r in streamed)
+
+
+def test_stream_decontaminate_matches_offline_screen(spark, sf_dir):
+    """The per-batch arrival-stream screen's accumulated ledger must
+    equal the offline whole-corpus screen's ledger exactly (per-doc
+    decomposition is lossless), and the Bloom bitmap must have pruned
+    the exact-rescreen candidate set."""
+    from game_data_etl_pipeline_spark.registry import all_specs
+
+    SPECS = all_specs()
+    streamed = SPECS["op_stream_decontaminate"].fn(spark, sf_dir).collect()
+    offline = SPECS["op_corpus_decontaminate"].fn(spark, sf_dir).collect()
+    key = lambda r: (r.doc_id, r.n_hit_shingles, r.n_bench_docs)
+    assert {key(r) for r in streamed} == {key(r) for r in offline}
+    assert streamed and all(r.bloom_pruned for r in streamed)
