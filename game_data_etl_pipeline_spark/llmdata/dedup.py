@@ -1479,27 +1479,29 @@ def op_corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.bit_or("bit").alias("bits"))
     )
 
-    # ---- probe: one training-corpus scan, map-side containment
+    # ---- probe: one training-corpus scan, map-side containment.
+    # Shingles dedupe BEFORE probing (a repeated shingle must count
+    # each seed position once), and non-hit probe rows filter out
+    # BEFORE the groupBy — they can never complete a k-hit shingle,
+    # so only hit rows enter the shuffle (each distinct (doc, g) has
+    # exactly one row per seed; a hit count reaching k means all k
+    # positions were set)
     train = _shingles(docs.filter(~is_bench))
-    probes = train.select(
+    probes = train.distinct().select(
         "doc_id",
         "g",
         F.explode(_bloom_positions(F.col("g"))).alias("sp"),
     ).select(
         "doc_id",
         "g",
-        F.col("sp.seed_i").alias("seed_i"),
         F.shiftright(F.col("sp.pos"), 6).alias("widx"),
         F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
     )
     candidates = (
         probes.join(F.broadcast(words), "widx", "left")
-        .withColumn(
-            "hit",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0),
-        )
+        .filter(F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
         .groupBy("doc_id", "g")
-        .agg(F.count_distinct(F.when(F.col("hit"), F.col("seed_i"))).alias("k_hits"))
+        .agg(F.count(F.lit(1)).alias("k_hits"))
         .filter(F.col("k_hits") == len(BLOOM_SEEDS))
         .select("doc_id", "g")
     )

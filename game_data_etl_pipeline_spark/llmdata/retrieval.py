@@ -1264,19 +1264,16 @@ def pairwise_cosine_grouped(cands: DataFrame) -> DataFrame:
     )
 
 
-def _batch_oracle_sql(query_terms: dict[int, tuple[str, ...]]) -> str:
-    """The full batch-pipeline DuckDB oracle generated from the SAME
-    (query_id -> terms) dict the Spark form runs, for ANY batch size:
-    the VALUES fan-out table, the union-of-terms scan filter, the
-    query-vector id list, and the K_OUT unrolled per-query MMR steps
-    are all loop-emitted, so Spark and oracle cannot drift and N is a
-    parameter, not a literal."""
+def _batch_lex_ctes(query_terms: dict[int, tuple[str, ...]]) -> str:
+    """The per-query batch-BM25 CTE prefix (qt VALUES fan-out through
+    the per-query lexical top-K), machine-generated from the (query_id
+    -> terms) dict — shared by the full exact batch oracle and the
+    batch-ANN oracle so the lexical spine is defined once."""
     qt_values = ", ".join(
         f"({q}, '{t}')" for q, ts in sorted(query_terms.items()) for t in ts
     )
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
     terms_sql = ", ".join(f"'{t}'" for t in all_terms)
-    qids_sql = ", ".join(str(q) for q in sorted(query_terms))
     return f"""
         WITH qt(query_id, term) AS (VALUES {qt_values}),
         t AS (
@@ -1315,7 +1312,18 @@ def _batch_oracle_sql(query_terms: dict[int, tuple[str, ...]]) -> str:
                 FROM bm
                 WHERE doc_id IN (SELECT vec_id FROM embeddings)
             ) WHERE lex_rank <= {K_EACH}
-        ),
+        )"""
+
+
+def _batch_oracle_sql(query_terms: dict[int, tuple[str, ...]]) -> str:
+    """The full batch-pipeline DuckDB oracle generated from the SAME
+    (query_id -> terms) dict the Spark form runs, for ANY batch size:
+    the VALUES fan-out table, the union-of-terms scan filter, the
+    query-vector id list, and the K_OUT unrolled per-query MMR steps
+    are all loop-emitted, so Spark and oracle cannot drift and N is a
+    parameter, not a literal."""
+    qids_sql = ", ".join(str(q) for q in sorted(query_terms))
+    return _batch_lex_ctes(query_terms) + f""",
         q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
             FROM embeddings WHERE vec_id IN ({qids_sql})
@@ -1539,3 +1547,188 @@ def q_retrieval_pipeline_batch_served(spark: SparkSession, sf_dir: str) -> DataF
     making build/serve consistency a structural fact the driver
     re-proves every window."""
     return retrieval_pipeline_batch(spark, sf_dir, BATCH_QUERY_TERMS, served=True)
+
+
+def ann_sem_ranked_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: dict[int, tuple[str, ...]] = BATCH_QUERY_TERMS,
+) -> DataFrame:
+    """Per-query dense top-20 for the whole batch from the PERSISTED
+    IVF-PQ index — ann_sem_ranked generalized the batch way: ALL
+    queries' probe cells resolve in one pass over the broadcast
+    centroids, the postings scan prunes to the UNION of probed cells
+    (shared across queries probing the same cell — the batch
+    amortization on the vector side), ADC scores per (query, posting)
+    pair, and the shortlist/rerank windows PARTITION BY query_id.
+    Returns (query_id, doc_id, sem_rank)."""
+    coarse, books, postings = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qids = sorted(query_terms)
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = ivfpq_adc_scored(
+        queries, postings, coarse, books, probes=IVFPQ_PROBES
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc_sqdist").asc(), "vec_id")
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id", "qe")
+    )
+    rerank_d = euclidean_expr(F.col("qe"), F.col("embedding"))
+    w_rr = Window.partitionBy("query_id").orderBy(F.col("rdist").asc(), "doc_id")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select("query_id", F.col("vec_id").alias("doc_id"), rerank_d.alias("rdist"))
+        .withColumn("sem_rank", F.row_number().over(w_rr).cast("int"))
+        .filter(F.col("sem_rank") <= K_EACH)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+
+
+def _batch_ann_oracle_sql(query_terms: dict[int, tuple[str, ...]]) -> str:
+    """The batch-ANN oracle: the machine-generated per-query lexical
+    spine (shared CTE prefix) value-hashed per query, plus the audit
+    literals — ANN membership depends on trained codebooks DuckDB
+    cannot replay (the q_retrieval_pipeline_ann discipline), so the
+    approximate side is held by in-query audits instead."""
+    return _batch_lex_ctes(query_terms) + """
+        SELECT query_id,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY lex_rank)
+                   AS lex_top_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_lex,
+               TRUE AS sem_full,
+               TRUE AS fused_in_bounds,
+               TRUE AS selected_complete,
+               TRUE AS sem_recall_floor_met
+        FROM lex
+        GROUP BY query_id
+    """
+
+
+@register(
+    "q_retrieval_pipeline_batch_ann",
+    tags=("llm", "retrieval", "pipeline", "index"),
+    oracle=_batch_ann_oracle_sql(BATCH_QUERY_TERMS),
+)
+def q_retrieval_pipeline_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULLY-SERVED BATCH — both retrieval sides read persisted
+    indexes for the whole query batch, which is the complete 100 TB
+    serving shape (q_retrieval_pipeline_served's composition times
+    the batch amortization): the lexical side is
+    lex_ranked_batch_served (bucket-pruned inverted-index lookups,
+    zero documents scans), the dense side is ann_sem_ranked_batch
+    (all queries probe the IVF-PQ index in one chain; postings reads
+    shared across queries probing the same cells), and fusion + the
+    grouped-MMR tail run once for the batch. Per-batch marginal cost:
+    O(terms' posting lists) + O(probed cells' postings) + the bounded
+    fan-out frames — NEITHER corpus is scanned at query time (the one
+    embeddings pass left is the audit yardstick plus the bounded
+    rerank/pairs lookups).
+
+    Oracle discipline (q_retrieval_pipeline_ann's, batched): ANN
+    membership depends on trained codebooks no SQL engine can replay,
+    so the driver hash-verifies the deterministic PER-QUERY lexical
+    spine (each query's top-20 doc ids in rank order, machine-
+    generated from the same dict as the Spark form) and the
+    approximate side is held by per-query in-query audits —
+    ``sem_full`` (a full ANN top-20 per query), ``fused_in_bounds``
+    (20..40 fused candidates per query), ``selected_complete``
+    (exactly K_OUT MMR picks per query, all from that query's fused
+    top-10), ``sem_recall_floor_met`` (each query's ANN top-20
+    recalls >= 40% of its exact cosine top-20, computed in-query as
+    the yardstick). N output rows, one per query — a per-query gate
+    where the single-query op has one global row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = lex_ranked_batch_served(spark, sf_dir, BATCH_QUERY_TERMS).localCheckpoint()
+    sem = ann_sem_ranked_batch(spark, sf_dir, BATCH_QUERY_TERMS).localCheckpoint()
+    fused = fuse_rrf_grouped(lex, sem)
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    cands = (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= K_FUSED)
+        .drop("rn")
+        .withColumn("rel", F.col("rrf") * 60)
+        .localCheckpoint()
+    )
+    with_emb = (
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(F.broadcast(cands.select("query_id", "doc_id")), "doc_id")
+        .select("query_id", "doc_id", "embedding")
+        .localCheckpoint()
+    )
+    pairs = pairwise_cosine_grouped(with_emb).localCheckpoint()
+    picks = mmr_select_grouped(
+        cands.select("query_id", "doc_id", "rel"), pairs, steps=K_OUT, lam=0.5
+    )
+
+    # audit yardstick: per-query exact cosine top-20, one embeddings
+    # scan for the whole batch (exists to VERIFY, not to serve)
+    qids = sorted(BATCH_QUERY_TERMS)
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("qn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("embedding"), F.col("qe"))
+        / (norm_expr(F.col("embedding")) * F.col("qn")),
+        4,
+    )
+    w_x = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    exact_sem = (
+        emb.join(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("x_rank", F.row_number().over(w_x).cast("int"))
+        .filter(F.col("x_rank") <= K_EACH)
+        .select("query_id", "doc_id")
+    )
+
+    lex_rows = lex.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lex_rank", "doc_id"))),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("lex_top_docs"),
+        F.count(F.lit(1)).alias("n_lex"),
+    )
+    sem_rows = sem.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_sem"))
+    overlap = (
+        sem.join(F.broadcast(exact_sem), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    fused_rows = fused.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_fused"))
+    picks_rows = (
+        picks.join(
+            F.broadcast(cands.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_sel_in_fused"))
+    )
+    return (
+        lex_rows.join(F.broadcast(sem_rows), "query_id")
+        .join(F.broadcast(overlap), "query_id")
+        .join(F.broadcast(fused_rows), "query_id")
+        .join(F.broadcast(picks_rows), "query_id")
+        .select(
+            "query_id",
+            "lex_top_docs",
+            "n_lex",
+            (F.col("n_sem") == K_EACH).alias("sem_full"),
+            (
+                (F.col("n_fused") >= K_EACH) & (F.col("n_fused") <= 2 * K_EACH)
+            ).alias("fused_in_bounds"),
+            (F.col("n_sel_in_fused") == K_OUT).alias("selected_complete"),
+            (F.col("n_overlap") >= F.lit(int(0.4 * K_EACH))).alias(
+                "sem_recall_floor_met"
+            ),
+        )
+    )

@@ -1009,6 +1009,37 @@ def test_batch_served_plan_contract(spark):
     assert "SortMergeJoin" not in simple
 
 
+def test_batch_ann_plan_contract(spark):
+    """q_retrieval_pipeline_batch_ann is the fully-served batch: both
+    candidate generators read persisted indexes, so NO documents scan
+    may appear anywhere, the pre-checkpoint ANN side must read the
+    ann_index tree (not train inline — no ExistingRDD beyond the
+    bounded checkpointed frames in the final op is tolerable, but the
+    candidate generator itself must be pure), and the final plan must
+    hold the batch discipline: no global windows, no SortMergeJoin."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        BATCH_QUERY_TERMS,
+        ann_sem_ranked_batch,
+    )
+
+    sem_plan = I.explain_str(
+        ann_sem_ranked_batch(spark, SF, BATCH_QUERY_TERMS), "formatted"
+    )
+    assert "ann_index" in sem_plan, "batch ANN side does not read the persisted index"
+    assert "ExistingRDD" not in sem_plan, "training frame leaked into batch ANN serve"
+    assert not re.findall(r"Scan parquet[^\n]*documents", sem_plan)
+    full = SPECS["q_retrieval_pipeline_batch_ann"].fn(spark, SF)
+    plan = I.explain_str(full, "formatted")
+    simple = I.explain_str(full, "simple")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), (
+        "documents scan leaked into the fully-served batch plan"
+    )
+    assert I.num_global_window_sorts(simple) == 0
+    assert "SortMergeJoin" not in simple
+
+
 def test_lex_upsert_serve_plan_contract(spark):
     """op_lex_index_upsert serves from the POST-UPSERT tree with the
     same query-time contract as op_text_bm25_serve: no documents scan
