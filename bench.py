@@ -87,6 +87,7 @@ V2_EXTRA = (
     "op_stream_ann_serve",           # r10: ADC served from streamed segments
     "op_stream_decontaminate",       # r10: O(batch) arrival-stream screen
     "q_retrieval_pipeline_batch_ann",  # r10: fully-served batch (both indexes)
+    "op_corpus_decontaminate_bloom_served",  # r10: persisted-filter screen
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -284,7 +285,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r10-v2-60q-median",
+                    "suite": "r10-v2-61q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

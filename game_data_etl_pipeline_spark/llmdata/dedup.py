@@ -23,10 +23,20 @@ Scale shapes:
 
 from __future__ import annotations
 
+import json
+import os
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.artifacts import (
+    fingerprint_key,
+    make_staging,
+    prune_stale_keys,
+    publish_staging,
+)
 from game_data_etl_pipeline_spark.registry import register
 
 
@@ -1392,6 +1402,50 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def bloom_words(grams: DataFrame) -> DataFrame:
+    """Fold a DataFrame of shingles (one column ``g``) into the
+    fixed-size bitmap words table: k xxhash64 positions per shingle,
+    OR-ed into 64-bit words keyed by word index — at most
+    BLOOM_BITS/64 rows (~65k longs, ~0.5 MB) regardless of input
+    size. Shared by the in-query screen, the streaming screen, and
+    the persisted-artifact build."""
+    return (
+        grams.select(F.explode(_bloom_positions(F.col("g"))).alias("sp"))
+        .select(
+            F.shiftright(F.col("sp.pos"), 6).alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
+    """Map-side Bloom containment over DISTINCT (doc_id, g) shingles:
+    probe the broadcast words table, keep only hit rows (a non-hit
+    row can never complete a k-hit shingle), and a shingle is
+    Bloom-positive iff all k of its rows hit (each distinct (doc, g)
+    carries exactly one row per seed). Returns (doc_id, g). The ONE
+    probe-chain shared by the batch screen, the streaming screen, and
+    the served-artifact screen — callers must pass deduped shingles."""
+    probes = sh.select(
+        "doc_id", "g", F.explode(_bloom_positions(F.col("g"))).alias("sp")
+    ).select(
+        "doc_id",
+        "g",
+        F.shiftright(F.col("sp.pos"), 6).alias("widx"),
+        F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
+    )
+    return (
+        probes.join(F.broadcast(words), "widx", "left")
+        .filter(F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+        .select("doc_id", "g")
+    )
+
+
 @register(
     "op_corpus_decontaminate_bloom",
     tags=("llm", "dedup", "curation", "scale"),
@@ -1465,46 +1519,12 @@ def op_corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     is_bench = F.pmod(F.col("doc_id"), F.lit(3)) == 0
 
     # ---- build: benchmark shingles -> fixed-size bitmap words table
-    bench_pos = (
-        _shingles(docs.filter(is_bench))
-        .select(F.explode(_bloom_positions(F.col("g"))).alias("sp"))
-        .select(F.col("sp.pos").alias("pos"))
-    )
-    words = (
-        bench_pos.select(
-            F.shiftright("pos", 6).alias("widx"),
-            F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("bit"),
-        )
-        .groupBy("widx")
-        .agg(F.bit_or("bit").alias("bits"))
-    )
+    words = bloom_words(_shingles(docs.filter(is_bench)).select("g"))
 
-    # ---- probe: one training-corpus scan, map-side containment.
-    # Shingles dedupe BEFORE probing (a repeated shingle must count
-    # each seed position once), and non-hit probe rows filter out
-    # BEFORE the groupBy — they can never complete a k-hit shingle,
-    # so only hit rows enter the shuffle (each distinct (doc, g) has
-    # exactly one row per seed; a hit count reaching k means all k
-    # positions were set)
+    # ---- probe: one training-corpus scan, map-side containment —
+    # deduped shingles through the shared hit-rows-only probe chain
     train = _shingles(docs.filter(~is_bench))
-    probes = train.distinct().select(
-        "doc_id",
-        "g",
-        F.explode(_bloom_positions(F.col("g"))).alias("sp"),
-    ).select(
-        "doc_id",
-        "g",
-        F.shiftright(F.col("sp.pos"), 6).alias("widx"),
-        F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
-    )
-    candidates = (
-        probes.join(F.broadcast(words), "widx", "left")
-        .filter(F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
-        .select("doc_id", "g")
-    )
+    candidates = bloom_candidates(train.distinct(), words)
 
     # ---- exact rescreen of the BOUNDED Bloom-positive set: false
     # positives find no bench pair and die here, so the ledger equals
@@ -1540,5 +1560,147 @@ def op_corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_missed") == 0).alias("bloom_no_false_negatives"),
             (F.col("n_cand") < F.col("n_train")).alias("bloom_pruned"),
         )
+    )
+    return ledger.crossJoin(F.broadcast(audit))
+
+
+# Bloom-artifact layout version: words/ (the bitmap) + pairs/ (the
+# distinct benchmark (b_id, g) rescreen side) + meta.json marker.
+BLOOM_INDEX_VERSION = 1
+
+# test hook: serving twice in one process must hit the persisted
+# artifact, never rebuild (the ann/lex build-count discipline)
+_BLOOM_BUILD_COUNT = 0
+
+
+def _bloom_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR_BLOOM",
+        str(Path(__file__).resolve().parents[2] / "spark-warehouse" / "bloom_index"),
+    )
+
+
+def bloom_index_dir(sf_dir: str) -> str:
+    """Artifact dir for one fixture's benchmark filter: keyed by the
+    documents file's (size, mtime_ns) fingerprint — a regenerated
+    corpus mints a fresh filter and GC prunes the stale key (the
+    shared artifacts.py discipline)."""
+    key = fingerprint_key(sf_dir, "documents.parquet")
+    return os.path.join(_bloom_root(), f"v{BLOOM_INDEX_VERSION}", key)
+
+
+def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) and atomically publish the benchmark
+    contamination filter: the fixed-size bitmap words table (the
+    ~0.5 MB object every screening site ships) and the distinct
+    benchmark (b_id, g) pair set (the bounded exact-rescreen side,
+    shipped only to the rescreen stage). Both derive from ONE
+    benchmark-side shingle pass; the benchmark corpus is never read
+    again by any screen that serves from this tree. Staged build +
+    atomic rename + superseded-key GC — the artifacts.py lifecycle
+    shared with the ANN and lexical indexes."""
+    global _BLOOM_BUILD_COUNT
+    final = bloom_index_dir(sf_dir)
+    if os.path.isfile(os.path.join(final, "meta.json")):
+        return final
+    _BLOOM_BUILD_COUNT += 1
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    pairs = (
+        _shingles(docs.filter(is_bench))
+        .select(F.col("doc_id").alias("b_id"), "g")
+        .distinct()
+        .localCheckpoint()  # one bench shingle pass feeds pairs + words
+    )
+    staging = make_staging(final)
+    pairs.coalesce(4).write.mode("overwrite").parquet(os.path.join(staging, "pairs"))
+    bloom_words(pairs.select("g").distinct()).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staging, "words"))
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "version": BLOOM_INDEX_VERSION,
+                "bits": BLOOM_BITS,
+                "seeds": list(BLOOM_SEEDS),
+            },
+            f,
+        )
+    publish_staging(staging, final, marker="meta.json")
+    prune_stale_keys(final, sf_dir)
+    return final
+
+
+@register(
+    "op_corpus_decontaminate_bloom_served",
+    tags=("llm", "dedup", "curation", "scale", "index"),
+    # the exact screen's ledger VERBATIM plus the pruning audit — the
+    # served path must reproduce the offline screen value for value
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS bloom_pruned
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+)
+def op_corpus_decontaminate_bloom_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PERSISTED CONTAMINATION FILTER — the decontamination
+    family's build/serve split (the index-lifecycle discipline applied
+    to the screen): op_corpus_decontaminate_bloom rebuilds the
+    benchmark bitmap inside every screen; at 100 TB the benchmark set
+    is static across thousands of screening jobs, so the filter is an
+    ARTIFACT — built once per benchmark snapshot
+    (``build_bloom_index``: staged, atomically published,
+    fingerprint-keyed with superseded-key GC, the shared artifacts.py
+    lifecycle), then every screen reads the 0.5 MB words table and
+    the bounded pair set from the warehouse. At SCREEN time the
+    benchmark corpus is not read at all — the one documents scan in
+    the plan is the training side flowing through the shared
+    ``bloom_candidates`` probe chain (hit rows only), with the exact
+    rescreen joining the artifact's pair set. Plan contract
+    (tests/test_plans.py): exactly one documents scan, the
+    bloom_index tree in the plan; a pytest build-count hook pins that
+    serving twice never rebuilds.
+
+    Gate: the exact screen's per-doc ledger VERBATIM (false negatives
+    impossible, false positives die in the rescreen — the artifact
+    path changes where the filter lives, not a single ledger value),
+    plus the ``bloom_pruned`` audit that the persisted filter did
+    real work."""
+    path = build_bloom_index(spark, sf_dir)
+    words = spark.read.parquet(os.path.join(path, "words"))
+    bench_pairs = spark.read.parquet(os.path.join(path, "pairs"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = _shingles(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    ).distinct()
+    candidates = bloom_candidates(train, words).localCheckpoint()
+    ledger = (
+        candidates.join(F.broadcast(bench_pairs), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )
+    audit = (
+        candidates.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(train.agg(F.count(F.lit(1)).alias("n_train")))
+        .select((F.col("n_cand") < F.col("n_train")).alias("bloom_pruned"))
     )
     return ledger.crossJoin(F.broadcast(audit))

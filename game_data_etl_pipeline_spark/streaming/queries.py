@@ -1714,9 +1714,9 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a real ingest fan-out — with the residue-coverage assert
     failing loudly on degenerate fixtures."""
     from game_data_etl_pipeline_spark.llmdata.dedup import (
-        BLOOM_SEEDS,
-        _bloom_positions,
         _shingles,
+        bloom_candidates,
+        bloom_words,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1732,17 +1732,8 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    words = (
-        bench_pairs.select("g")
-        .distinct()
-        .select(F.explode(_bloom_positions(F.col("g"))).alias("sp"))
-        .select(
-            F.shiftright(F.col("sp.pos"), 6).alias("widx"),
-            F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
-        )
-        .groupBy("widx")
-        .agg(F.bit_or("bit").alias("bits"))
-        .localCheckpoint(eager=True)
+    words = bloom_words(bench_pairs.select("g").distinct()).localCheckpoint(
+        eager=True
     )
 
     work = _session_workdir(spark, "decontam", sf_dir)
@@ -1769,35 +1760,14 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(os.path.join(stage, d, f), (now + i, now + i))
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
-        # one O(batch) shingle pass, deduped, feeds probes + counters
+        # one O(batch) shingle pass, deduped, feeds probes + counters;
+        # the probe itself is the shared hit-rows-only chain
         sh = (
             _shingles(batch_df.select("doc_id", "text"))
             .distinct()
             .localCheckpoint()
         )
-        probes = sh.select(
-            "doc_id", "g", F.explode(_bloom_positions(F.col("g"))).alias("sp")
-        ).select(
-            "doc_id",
-            "g",
-            F.shiftright(F.col("sp.pos"), 6).alias("widx"),
-            F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
-        )
-        # non-hit probe rows can never complete a k-hit shingle, so
-        # filter BEFORE the groupBy: only hit rows enter the shuffle
-        # (each (doc, g) has exactly one row per seed, so the hit
-        # count reaching k means all k positions were set)
-        candidates = (
-            probes.join(F.broadcast(words), "widx", "left")
-            .filter(
-                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0
-            )
-            .groupBy("doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("k_hits"))
-            .filter(F.col("k_hits") == len(BLOOM_SEEDS))
-            .select("doc_id", "g")
-            .localCheckpoint()  # bounded; feeds ledger + counters
-        )
+        candidates = bloom_candidates(sh, words).localCheckpoint()  # bounded
         (
             candidates.join(F.broadcast(bench_pairs), "g")
             .groupBy("doc_id")

@@ -1074,6 +1074,7 @@ def test_cold_start_index_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
     monkeypatch.setenv("SPARK_GRAFT_LEX_INDEX_DIR", str(tmp_path / "lex"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
     con = make_duck(sf_dir)
     try:
         for name in (
@@ -1085,6 +1086,7 @@ def test_cold_start_index_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
             "op_lex_index_upsert",
             "op_lex_index_delete_compact",
             "op_stream_lex_ingest",
+            "op_corpus_decontaminate_bloom_served",
         ):
             sdf = SPECS[name].fn(spark, sf_dir)
             problems = compare(sdf, con.execute(SPECS[name].oracle).df(), name)

@@ -1009,6 +1009,26 @@ def test_batch_served_plan_contract(spark):
     assert "SortMergeJoin" not in simple
 
 
+def test_bloom_served_plan_contract(spark):
+    """op_corpus_decontaminate_bloom_served reads the PERSISTED filter:
+    the plan must read the bloom_index tree, contain exactly ONE
+    documents scan (the training side — the benchmark corpus is never
+    read at screen time), and serving twice in one process must never
+    rebuild the artifact (the ann/lex build-count discipline)."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    df = SPECS["op_corpus_decontaminate_bloom_served"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "bloom_index" in plan, "served screen does not read the persisted filter"
+    n_doc_scans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert n_doc_scans == 1, f"expected 1 documents scan (train side), got {n_doc_scans}"
+    before = dd._BLOOM_BUILD_COUNT
+    SPECS["op_corpus_decontaminate_bloom_served"].fn(spark, SF)
+    assert dd._BLOOM_BUILD_COUNT == before, "rebuilt the filter per screen"
+
+
 def test_batch_ann_plan_contract(spark):
     """q_retrieval_pipeline_batch_ann is the fully-served batch: both
     candidate generators read persisted indexes, so NO documents scan
