@@ -64,6 +64,7 @@ from game_data_etl_pipeline_spark.llmdata.similarity import (
     IVFPQ_PROBES,
     PQ_KSUB,
     PQ_M,
+    adc_bitmatch_audit,
     ivf_assign,
     ivf_trained_centroids,
     ivfpq_adc_scored,
@@ -697,7 +698,7 @@ def op_sim_ivfpq_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller postings — and this gate is what proves the purge did
     not perturb a single surviving score."""
     comp = ensure_compact_tree(spark, sf_dir)
-    coarse, books, _main = read_ann_index(spark, sf_dir)
+    coarse, books, main_postings = read_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
     comp_postings = spark.read.parquet(os.path.join(comp, "postings")).select(
@@ -715,35 +716,13 @@ def op_sim_ivfpq_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    main_surv = (
-        spark.read.parquet(os.path.join(build_ann_index(spark, sf_dir), "postings"))
-        .select("vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id"))
-        .filter((F.col("vec_id") >= 4) & ~tomb)
-    )
+    main_surv = main_postings.filter((F.col("vec_id") >= 4) & ~tomb)
     adc_comp = ivfpq_adc_scored(
         queries, comp_postings.filter(F.col("vec_id") >= 4), coarse, books,
         probes=IVFPQ_PROBES,
-    ).select("query_id", "vec_id", "adc_sqdist")
+    )
     adc_main = ivfpq_adc_scored(
         queries, main_surv, coarse, books, probes=IVFPQ_PROBES
-    ).select("query_id", "vec_id", F.col("adc_sqdist").alias("m_adc"))
-    n_comp = adc_comp.agg(F.count(F.lit(1)).alias("n_comp"))
-    n_main = adc_main.agg(F.count(F.lit(1)).alias("n_main"))
-    joined = adc_comp.join(F.broadcast(adc_main), ["query_id", "vec_id"]).agg(
-        F.count(F.lit(1)).alias("n_joined"),
-        F.sum(
-            F.when(F.col("adc_sqdist") == F.col("m_adc"), 1).otherwise(0)
-        ).alias("n_bit_equal"),
     )
-    audit = (
-        joined.join(F.broadcast(n_comp))
-        .join(F.broadcast(n_main))
-        .select(
-            (
-                (F.col("n_comp") == F.col("n_main"))
-                & (F.col("n_joined") == F.col("n_comp"))
-                & (F.col("n_bit_equal") == F.col("n_joined"))
-            ).alias("adc_bitmatch_vs_main")
-        )
-    )
+    audit = adc_bitmatch_audit(adc_comp, adc_main)
     return served.crossJoin(F.broadcast(audit))

@@ -88,6 +88,14 @@ def publish_staging(staging: str, final: str, *, marker: str, force: bool = Fals
         trash = f"{final}.trash.{os.path.basename(staging)}"
         try:
             os.rename(final, trash)
+            # rename PRESERVES the dir's mtime (the original build
+            # time), so an artifact older than the grace window would
+            # be reaped by the very prune pass that follows this
+            # publish — stamp the trash dir with the DISPLACEMENT time
+            # so the grace clock starts now (the reader window the
+            # rename-aside exists to protect opens at displacement,
+            # not at build)
+            os.utime(trash, None)
         except OSError:
             pass  # someone else already moved/removed it
     try:

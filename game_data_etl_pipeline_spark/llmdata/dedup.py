@@ -1552,7 +1552,11 @@ def op_corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_missed")
     )
     n_cand = candidates.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    # deduped-to-deduped: candidates are distinct (doc, g) pairs, so
+    # the pruning yardstick must be the distinct probe count — a raw
+    # row count would keep the audit TRUE on shingle duplicates alone
+    # even if the filter pruned nothing
+    n_train = train.agg(F.count_distinct("doc_id", "g").alias("n_train"))
     audit = (
         n_missed.join(F.broadcast(n_cand))
         .join(F.broadcast(n_train))
@@ -1669,13 +1673,15 @@ def op_corpus_decontaminate_bloom_served(spark: SparkSession, sf_dir: str) -> Da
     fingerprint-keyed with superseded-key GC, the shared artifacts.py
     lifecycle), then every screen reads the 0.5 MB words table and
     the bounded pair set from the warehouse. At SCREEN time the
-    benchmark corpus is not read at all — the one documents scan in
-    the plan is the training side flowing through the shared
-    ``bloom_candidates`` probe chain (hit rows only), with the exact
-    rescreen joining the artifact's pair set. Plan contract
-    (tests/test_plans.py): exactly one documents scan, the
-    bloom_index tree in the plan; a pytest build-count hook pins that
-    serving twice never rebuilds.
+    benchmark corpus is not read at all and the training corpus is
+    read exactly ONCE — its deduped shingle projection materializes
+    one time and feeds both the shared ``bloom_candidates`` probe
+    chain (hit rows only) and the pruning audit's distinct count,
+    with the exact rescreen joining the artifact's pair set. Plan
+    contract (tests/test_plans.py): ZERO documents scans in the
+    served plan (the single training read happens at the
+    materialization), the bloom_index tree in the plan; a pytest
+    build-count hook pins that serving twice never rebuilds.
 
     Gate: the exact screen's per-doc ledger VERBATIM (false negatives
     impossible, false positives die in the rescreen — the artifact
@@ -1686,9 +1692,17 @@ def op_corpus_decontaminate_bloom_served(spark: SparkSession, sf_dir: str) -> Da
     words = spark.read.parquet(os.path.join(path, "words"))
     bench_pairs = spark.read.parquet(os.path.join(path, "pairs"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    train = _shingles(
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
-    ).distinct()
+    # ONE training-corpus scan: the deduped shingle projection
+    # materializes once and feeds BOTH the probe chain and the
+    # pruning audit's distinct count (without the barrier the audit
+    # would re-scan + re-shingle the corpus — Catalyst never reuses
+    # scan subtrees). Serving-only callers that skip the audit use
+    # bloom_candidates directly, barrier-free.
+    train = (
+        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0))
+        .distinct()
+        .localCheckpoint()
+    )
     candidates = bloom_candidates(train, words).localCheckpoint()
     ledger = (
         candidates.join(F.broadcast(bench_pairs), "g")

@@ -1395,7 +1395,30 @@ def retrieval_pipeline_batch(
     emb = load_table(spark, sf_dir, "embeddings")
     lexer = lex_ranked_batch_served if served else lex_ranked_batch
     lex = lexer(spark, sf_dir, query_terms).localCheckpoint()
-    qids = sorted(query_terms)
+    sem = exact_sem_ranked_batch(emb, sorted(query_terms))
+    fused, cands, picks = batch_fuse_mmr(emb, lex, sem)
+    return picks.join(
+        F.broadcast(cands.select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf")),
+        ["query_id", "doc_id"],
+    ).select(
+        "query_id",
+        "sel_rank",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        "rrf",
+        (F.round(F.col("m"), 6) + 0.0).alias("mmr"),
+    )
+
+
+def exact_sem_ranked_batch(
+    emb: DataFrame, qids: list[int], rank_name: str = "sem_rank"
+) -> DataFrame:
+    """Per-query exact-cosine top-K_EACH for the batch from ONE
+    embeddings scan (query rows broadcast against it; ranks as windows
+    PARTITIONED BY query_id). The one exact dense scorer shared by the
+    batch pipeline's candidate side and the batch-ANN op's in-query
+    recall yardstick, so the two cannot drift."""
     qs = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1407,14 +1430,25 @@ def retrieval_pipeline_batch(
         4,
     )
     w_sem = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
-    sem = (
+    return (
         emb.join(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
-        .withColumn("sem_rank", F.row_number().over(w_sem).cast("int"))
-        .filter(F.col("sem_rank") <= K_EACH)
-        .select("query_id", "doc_id", "sem_rank")
+        .withColumn(rank_name, F.row_number().over(w_sem).cast("int"))
+        .filter(F.col(rank_name) <= K_EACH)
+        .select("query_id", "doc_id", rank_name)
     )
+
+
+def batch_fuse_mmr(
+    emb: DataFrame, lex: DataFrame, sem: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared post-candidate batch tail: RRF fusion keyed by
+    (query_id, doc_id), fused top-K_FUSED per query, the bounded
+    embedding/pairs materializations, and the grouped greedy MMR.
+    Returns (fused, cands, picks) so callers can attach provenance or
+    audits. One body serves the exact, served, and ANN batch forms —
+    a change to K handling or rel scaling propagates to all three."""
     fused = fuse_rrf_grouped(lex, sem)
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
     cands = (
@@ -1434,18 +1468,7 @@ def retrieval_pipeline_batch(
     picks = mmr_select_grouped(
         cands.select("query_id", "doc_id", "rel"), pairs, steps=K_OUT, lam=0.5
     )
-    return picks.join(
-        F.broadcast(cands.select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf")),
-        ["query_id", "doc_id"],
-    ).select(
-        "query_id",
-        "sel_rank",
-        "doc_id",
-        "lex_rank",
-        "sem_rank",
-        "rrf",
-        (F.round(F.col("m"), 6) + 0.0).alias("mmr"),
-    )
+    return fused, cands, picks
 
 
 @register(
@@ -1644,48 +1667,14 @@ def q_retrieval_pipeline_batch_ann(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load_table(spark, sf_dir, "embeddings")
     lex = lex_ranked_batch_served(spark, sf_dir, BATCH_QUERY_TERMS).localCheckpoint()
     sem = ann_sem_ranked_batch(spark, sf_dir, BATCH_QUERY_TERMS).localCheckpoint()
-    fused = fuse_rrf_grouped(lex, sem)
-    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
-    cands = (
-        fused.withColumn("rn", F.row_number().over(w_f))
-        .filter(F.col("rn") <= K_FUSED)
-        .drop("rn")
-        .withColumn("rel", F.col("rrf") * 60)
-        .localCheckpoint()
-    )
-    with_emb = (
-        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
-        .join(F.broadcast(cands.select("query_id", "doc_id")), "doc_id")
-        .select("query_id", "doc_id", "embedding")
-        .localCheckpoint()
-    )
-    pairs = pairwise_cosine_grouped(with_emb).localCheckpoint()
-    picks = mmr_select_grouped(
-        cands.select("query_id", "doc_id", "rel"), pairs, steps=K_OUT, lam=0.5
-    )
+    fused, cands, picks = batch_fuse_mmr(emb, lex, sem)
 
     # audit yardstick: per-query exact cosine top-20, one embeddings
-    # scan for the whole batch (exists to VERIFY, not to serve)
-    qids = sorted(BATCH_QUERY_TERMS)
-    qs = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        norm_expr(F.col("embedding")).alias("qn"),
-    )
-    cos = F.round(
-        dot_expr(F.col("embedding"), F.col("qe"))
-        / (norm_expr(F.col("embedding")) * F.col("qn")),
-        4,
-    )
-    w_x = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
-    exact_sem = (
-        emb.join(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
-        .withColumn("x_rank", F.row_number().over(w_x).cast("int"))
-        .filter(F.col("x_rank") <= K_EACH)
-        .select("query_id", "doc_id")
-    )
+    # scan for the whole batch (exists to VERIFY, not to serve) — the
+    # batch pipeline's own exact scorer, shared code
+    exact_sem = exact_sem_ranked_batch(
+        emb, sorted(BATCH_QUERY_TERMS), rank_name="x_rank"
+    ).select("query_id", "doc_id")
 
     lex_rows = lex.groupBy("query_id").agg(
         F.array_join(
@@ -1713,22 +1702,32 @@ def q_retrieval_pipeline_batch_ann(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_sel_in_fused"))
     )
+    # lex_rows is the spine (it matches the oracle's GROUP BY over the
+    # lexical side); every audit frame LEFT-joins onto it with its
+    # count coalesced to 0, so a query whose ANN side degenerates
+    # (zero overlap with exact, zero scored candidates) still emits
+    # its row with the audit boolean FALSE instead of silently
+    # vanishing — the dropped-row failure mode the ivfpq serve chain's
+    # left-join spine exists to prevent (round-7 advice)
     return (
-        lex_rows.join(F.broadcast(sem_rows), "query_id")
-        .join(F.broadcast(overlap), "query_id")
-        .join(F.broadcast(fused_rows), "query_id")
-        .join(F.broadcast(picks_rows), "query_id")
+        lex_rows.join(F.broadcast(sem_rows), "query_id", "left")
+        .join(F.broadcast(overlap), "query_id", "left")
+        .join(F.broadcast(fused_rows), "query_id", "left")
+        .join(F.broadcast(picks_rows), "query_id", "left")
         .select(
             "query_id",
             "lex_top_docs",
             "n_lex",
-            (F.col("n_sem") == K_EACH).alias("sem_full"),
+            (F.coalesce(F.col("n_sem"), F.lit(0)) == K_EACH).alias("sem_full"),
             (
-                (F.col("n_fused") >= K_EACH) & (F.col("n_fused") <= 2 * K_EACH)
+                (F.coalesce(F.col("n_fused"), F.lit(0)) >= K_EACH)
+                & (F.coalesce(F.col("n_fused"), F.lit(0)) <= 2 * K_EACH)
             ).alias("fused_in_bounds"),
-            (F.col("n_sel_in_fused") == K_OUT).alias("selected_complete"),
-            (F.col("n_overlap") >= F.lit(int(0.4 * K_EACH))).alias(
-                "sem_recall_floor_met"
+            (F.coalesce(F.col("n_sel_in_fused"), F.lit(0)) == K_OUT).alias(
+                "selected_complete"
             ),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(int(0.4 * K_EACH))
+            ).alias("sem_recall_floor_met"),
         )
     )

@@ -1341,6 +1341,40 @@ def ivfpq_adc_scored(
     ).select("query_id", "vec_id", "qe", adc.alias("adc_sqdist"))
 
 
+def adc_bitmatch_audit(adc_a: DataFrame, adc_b: DataFrame) -> DataFrame:
+    """One-row boolean frame ``adc_bitmatch_vs_main``: two
+    (query_id, vec_id, adc_sqdist) score sets are IDENTICAL —
+    count-equal in both directions, every pair joined, every score
+    IEEE-bit-equal (== on doubles, no tolerance). The shared referee
+    for every frozen-structure replay claim: a store derived from the
+    main build artifact (compacted tree, streamed segments) must
+    reproduce its ADC scores exactly, because the router and codebooks
+    are frozen and encode is deterministic. Both sides empty folds to
+    TRUE (vacuous equality); a NULL sum on an empty join coalesces to
+    0 so the fold never returns NULL."""
+    a = adc_a.select("query_id", "vec_id", "adc_sqdist")
+    b = adc_b.select("query_id", "vec_id", F.col("adc_sqdist").alias("b_adc"))
+    n_a = a.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = b.agg(F.count(F.lit(1)).alias("n_b"))
+    joined = a.join(F.broadcast(b), ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col("adc_sqdist") == F.col("b_adc"), 1).otherwise(0)
+        ).alias("n_eq"),
+    )
+    return (
+        joined.join(F.broadcast(n_a))
+        .join(F.broadcast(n_b))
+        .select(
+            (
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("n_joined") == F.col("n_a"))
+                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
+            ).alias("adc_bitmatch_vs_main")
+        )
+    )
+
+
 def ivfpq_serve_stages(
     emb: DataFrame, cands: DataFrame, coarse: DataFrame, pq: DataFrame
 ) -> DataFrame:

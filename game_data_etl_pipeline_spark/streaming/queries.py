@@ -1608,6 +1608,7 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from game_data_etl_pipeline_spark.llmdata.ann_index import read_ann_index
     from game_data_etl_pipeline_spark.llmdata.similarity import (
         IVFPQ_PROBES,
+        adc_bitmatch_audit,
         ivfpq_adc_scored,
         ivfpq_serve_stages,
     )
@@ -1630,30 +1631,12 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc_stream = ivfpq_adc_scored(
         queries, streamed.filter(F.col("vec_id") >= 4), coarse, books,
         probes=IVFPQ_PROBES,
-    ).select("query_id", "vec_id", "adc_sqdist")
+    )
     adc_main = ivfpq_adc_scored(
         queries, main_postings.filter(F.col("vec_id") >= 4), coarse, books,
         probes=IVFPQ_PROBES,
-    ).select("query_id", "vec_id", F.col("adc_sqdist").alias("m_adc"))
-    n_stream = adc_stream.agg(F.count(F.lit(1)).alias("n_stream"))
-    n_main = adc_main.agg(F.count(F.lit(1)).alias("n_main"))
-    joined = adc_stream.join(F.broadcast(adc_main), ["query_id", "vec_id"]).agg(
-        F.count(F.lit(1)).alias("n_joined"),
-        F.sum(
-            F.when(F.col("adc_sqdist") == F.col("m_adc"), 1).otherwise(0)
-        ).alias("n_bit_equal"),
     )
-    audit = (
-        joined.join(F.broadcast(n_stream))
-        .join(F.broadcast(n_main))
-        .select(
-            (
-                (F.col("n_stream") == F.col("n_main"))
-                & (F.col("n_joined") == F.col("n_stream"))
-                & (F.col("n_bit_equal") == F.col("n_joined"))
-            ).alias("adc_bitmatch_vs_main")
-        )
-    )
+    audit = adc_bitmatch_audit(adc_stream, adc_main)
     return served.crossJoin(F.broadcast(audit))
 
 

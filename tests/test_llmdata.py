@@ -914,6 +914,12 @@ def test_publish_staging_loser_discards_and_trusts_winner(tmp_path):
     assert not _os.path.exists(s2), "loser staging must be discarded"
     assert _json.load(open(_os.path.join(final, "meta.json")))["who"] == "winner"
 
+    # age the LIVE tree far past the grace window before forcing: the
+    # rename-aside preserves mtime, so without the displacement-time
+    # re-stamp the very next prune pass would reap the trash of any
+    # old artifact — the reader window the grace exists to protect
+    # opens at DISPLACEMENT time, not at build time
+    _os.utime(final, (1_000_000_000, 1_000_000_000))
     s3 = _build("forced")
     publish_staging(s3, final, marker="meta.json", force=True)
     assert _json.load(open(_os.path.join(final, "meta.json")))["who"] == "forced"
