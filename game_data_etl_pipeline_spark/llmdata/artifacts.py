@@ -107,14 +107,19 @@ def publish_staging(staging: str, final: str, *, marker: str, force: bool = Fals
 
 
 def prune_stale_keys(final: str, sf_dir: str) -> None:
-    """After a successful publish, reap sibling artifact keys for the
-    SAME fixture path — superseded fingerprints from regenerated
-    fixtures — plus aged-out force-rebuild trash trees. Matching is by
-    the exact key shape (see module docstring): other fixtures' keys —
-    including ones whose flattened path extends this one — and
-    in-flight staging dirs are untouched. Trash dirs younger than
-    TRASH_GRACE_SEC are skipped so the publish that minted them cannot
-    reap them in the same pass."""
+    """After a successful publish, retire sibling artifact keys for
+    the SAME fixture path — superseded fingerprints from regenerated
+    fixtures — and reap aged-out trash trees. Matching is by the exact
+    key shape (see module docstring): other fixtures' keys — including
+    ones whose flattened path extends this one — and in-flight staging
+    dirs are untouched. A superseded LIVE key is never rmtree'd
+    in-pass (a reader mid-scan on the just-superseded fingerprint
+    would hit the same torn-files window the force-rebuild grace
+    closes); it is renamed aside to a ``.trash.*`` name stamped with
+    the displacement time, so ALL reader-visible trees age out
+    uniformly through the one TRASH_GRACE_SEC window (round-10
+    advice). Trash dirs younger than the grace are skipped so the
+    pass that minted them cannot reap them."""
     version_dir = os.path.dirname(final)
     keep = os.path.basename(final)
     pat = re.compile(rf"^{re.escape(_sf_prefix(sf_dir))}_\d+_\d+(?P<trash>\.trash\..+)?$")
@@ -134,4 +139,13 @@ def prune_stale_keys(final: str, sf_dir: str) -> None:
                     continue
             except OSError:
                 continue  # already reaped by a concurrent pruner
-        shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            # superseded live key: displace, don't delete — it becomes
+            # a trash tree and a LATER pass reaps it after the grace
+            trash = f"{path}.trash.gc{os.getpid()}_{int(now * 1000)}"
+            try:
+                os.rename(path, trash)
+                os.utime(trash, None)  # grace clock starts at displacement
+            except OSError:
+                pass  # a concurrent pruner won the rename

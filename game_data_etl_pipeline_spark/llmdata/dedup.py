@@ -1421,18 +1421,25 @@ def bloom_words(grams: DataFrame) -> DataFrame:
 
 
 def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
-    """Map-side Bloom containment over DISTINCT (doc_id, g) shingles:
-    probe the broadcast words table, keep only hit rows (a non-hit
-    row can never complete a k-hit shingle), and a shingle is
-    Bloom-positive iff all k of its rows hit (each distinct (doc, g)
-    carries exactly one row per seed). Returns (doc_id, g). The ONE
+    """Map-side Bloom containment over (doc_id, g) shingles: probe the
+    broadcast words table, keep only hit rows (a non-hit row can never
+    complete a k-hit shingle), and a shingle is Bloom-positive iff
+    rows for all k DISTINCT seeds hit — counting distinct ``seed_i``
+    rather than rows, so a duplicated input shingle (2k rows, k per
+    copy) still needs every seed to hit and can never be silently
+    dropped (hit-row counting on non-deduped input would double the
+    yardstick and produce false NEGATIVES, the unsafe direction for
+    decontamination). Returns DISTINCT (doc_id, g). The ONE
     probe-chain shared by the batch screen, the streaming screen, and
-    the served-artifact screen — callers must pass deduped shingles."""
+    the served-artifact screen — callers still dedupe first so the
+    probe join carries minimal rows, but correctness no longer
+    depends on it."""
     probes = sh.select(
         "doc_id", "g", F.explode(_bloom_positions(F.col("g"))).alias("sp")
     ).select(
         "doc_id",
         "g",
+        F.col("sp.seed_i").alias("seed_i"),
         F.shiftright(F.col("sp.pos"), 6).alias("widx"),
         F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
     )
@@ -1440,7 +1447,7 @@ def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
         probes.join(F.broadcast(words), "widx", "left")
         .filter(F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
         .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .agg(F.count_distinct("seed_i").alias("k_hits"))
         .filter(F.col("k_hits") == len(BLOOM_SEEDS))
         .select("doc_id", "g")
     )

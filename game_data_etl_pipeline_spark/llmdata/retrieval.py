@@ -1032,6 +1032,9 @@ BATCH_QUERY_TERMS = {
     1: ("join", "hash", "merge"),
     2: ("filter", "scan", "column"),
 }
+# size of the 3-query compatibility fixture above (consumed by the
+# pytest plan contracts), NOT of the 8-query dict below
+N_BATCH_QUERIES = len(BATCH_QUERY_TERMS)
 # 8 queries over the fixture vocabulary, with deliberate term overlap
 # across queries (0-2 repeat the 3-batch sets): shared terms are
 # scored once and fanned out, the per-term amortization the batch
@@ -1044,7 +1047,6 @@ BATCH_QUERY_TERMS_8 = {
     6: ("query", "fast", "slow"),
     7: ("agg", "order", "part"),
 }
-N_BATCH_QUERIES = len(BATCH_QUERY_TERMS)
 
 
 def _mmr_grouped_steps_sql(steps: int = 5) -> str:
@@ -1153,7 +1155,6 @@ def lex_ranked_batch_served(
     lets q_retrieval_pipeline_batch_served keep the machine-generated
     batch oracle VERBATIM."""
     from game_data_etl_pipeline_spark.llmdata.lex_index import (
-        _bucket,
         build_lex_index,
         resolve_term_buckets,
     )

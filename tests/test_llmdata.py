@@ -933,10 +933,13 @@ def test_publish_staging_loser_discards_and_trusts_winner(tmp_path):
         open(_os.path.join(tmp_path / "v1", trash_dirs[0], "meta.json"))
     )["who"] == "winner"
 
-    # GC: a sibling key for the same fixture path is pruned; other
-    # fixtures' keys — even ones whose flattened path EXTENDS this
-    # one (/root/tmp/fix/sub, /root/tmp/fix_v2) — staging dirs, and
-    # fresh trash trees are untouched
+    # GC: a sibling key for the same fixture path is DISPLACED (renamed
+    # aside to a .trash.* name — never rmtree'd in-pass, a reader
+    # mid-scan on the just-superseded fingerprint keeps its snapshot
+    # through the same grace window force-rebuild trash gets; round-10
+    # advice); other fixtures' keys — even ones whose flattened path
+    # EXTENDS this one (/root/tmp/fix/sub, /root/tmp/fix_v2) — staging
+    # dirs, and fresh trash trees are untouched
     other_key = str(tmp_path / "v1" / "root_tmp_fix_111_222")
     foreign = str(tmp_path / "v1" / "root_other_fix_1_2")
     ext_subdir = str(tmp_path / "v1" / "root_tmp_fix_sub_1_2")
@@ -945,6 +948,17 @@ def test_publish_staging_loser_discards_and_trusts_winner(tmp_path):
         _os.makedirs(d)
     prune_stale_keys(final, "/root/tmp/fix")
     assert not _os.path.exists(other_key)
+    superseded_trash = [
+        d
+        for d in _os.listdir(tmp_path / "v1")
+        if d.startswith("root_tmp_fix_111_222.trash.")
+    ]
+    assert len(superseded_trash) == 1, "superseded live key must be displaced, not deleted"
+    # a later pass reaps it once aged past the grace
+    sup_path = _os.path.join(tmp_path / "v1", superseded_trash[0])
+    _os.utime(sup_path, (1_000_000_000, 1_000_000_000))
+    prune_stale_keys(final, "/root/tmp/fix")
+    assert not _os.path.exists(sup_path), "aged displaced key must be reaped"
     assert _os.path.exists(foreign)
     assert _os.path.exists(ext_subdir), "extension-path key must survive"
     assert _os.path.exists(ext_suffix), "extension-path key must survive"
