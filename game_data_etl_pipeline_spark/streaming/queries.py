@@ -74,6 +74,31 @@ def _fmt(col, alias: str):
     return F.date_format(col, _TS_FMT).alias(alias)
 
 
+def _stage_microbatches(df: DataFrame, work: str, *, n: int = 3) -> str:
+    """Stage ``df`` (carrying an int ``batch_id`` column in [0, n)) as
+    ``n`` mtime-ordered single-file parquet micro-batch dirs under
+    ``<work>/incoming``, for deterministic replay with
+    ``maxFilesPerTrigger=1``. The ONE fixture-staging device shared by
+    every stream-ingest op (ANN segments, lexical postings, the
+    decontamination screen — round-10 verdict task 7), so the replay
+    harnesses cannot drift: the workdir is recreated from scratch
+    (idempotent rerun within a session; _session_workdir keys by app
+    id across sessions), each residue class lands as exactly one file,
+    and the mtime ladder fixes the ingestion order the availableNow
+    trigger replays. Callers keep their own batch_id derivation and
+    residue-coverage assert (their oracles hard-code n_batches)."""
+    stage = os.path.join(work, "incoming")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(stage)
+    now = 1_700_000_000
+    for b in range(n):
+        d = os.path.join(stage, f"batch{b}")
+        df.filter(F.col("batch_id") == b).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now + b, now + b))
+    return stage
+
+
 @register(
     "op_stream_tumbling",
     tags=("streaming",),
@@ -845,12 +870,8 @@ def op_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_incremental_dedup_store_grows pins
     the micro-batch mechanics (store growth, cross-batch drop)."""
     work = _session_workdir(spark, "incdedup", sf_dir)
-    stage = os.path.join(work, "incoming")
     store = os.path.join(work, "store")
     admitted = os.path.join(work, "admitted")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     recrawl = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     arrivals = (
@@ -859,17 +880,7 @@ def op_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fingerprint", F.md5("text"))
         .select("doc_id", "batch_id", "fingerprint")
     )
-    batch_names = []
-    for b in range(3):
-        name = f"batch{b}"
-        arrivals.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        batch_names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(batch_names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+    stage = _stage_microbatches(arrivals, work)
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         fresh = batch_df.groupBy("fingerprint").agg(
@@ -983,12 +994,8 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
     pairs (8,12) and (0,50) straddle batches: the later member of each
     must be dropped, pinned in tests/test_streaming.py."""
     work = _session_workdir(spark, "incfuzzy", sf_dir)
-    stage = os.path.join(work, "incoming")
     store = os.path.join(work, "store")
     admitted = os.path.join(work, "admitted")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     shingles = F.transform(
@@ -1011,17 +1018,7 @@ def op_stream_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataF
     sigs = terms.groupBy("doc_id").agg(*[h(j) for j in range(8)]).withColumn(
         "batch_id", (F.col("doc_id") % 3).cast("int")
     )
-    names = []
-    for b in range(3):
-        name = f"batch{b}"
-        sigs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+    stage = _stage_microbatches(sigs, work)
 
     scols = [f"s{j}" for j in range(8)]
 
@@ -1141,26 +1138,12 @@ def stream_ann_store(
     )
 
     work = _session_workdir(spark, tag, sf_dir)
-    stage = os.path.join(work, "incoming")
     store = os.path.join(work, "postings")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") % 3).cast("int").alias("batch_id")
     )
     _assert_residues_nonempty(emb, "vec_id", 3, op)
-    batch_names = []
-    for b in range(3):
-        name = f"batch{b}"
-        emb.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        batch_names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(batch_names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+    stage = _stage_microbatches(emb, work)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         vecs = batch_df.select("vec_id", "embedding", "batch_id")
@@ -1326,26 +1309,12 @@ def op_stream_lex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     main_path = build_lex_index(spark, sf_dir)
 
     work = _session_workdir(spark, "lexingest", sf_dir)
-    stage = os.path.join(work, "incoming")
     store = os.path.join(work, "postings")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("batch_id")
     )
     _assert_residues_nonempty(docs, "doc_id", 3, "op_stream_lex_ingest")
-    batch_names = []
-    for b in range(3):
-        name = f"batch{b}"
-        docs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        batch_names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(batch_names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+    stage = _stage_microbatches(docs, work)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         t = batch_df.select(
@@ -1469,25 +1438,11 @@ def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from game_data_etl_pipeline_spark.llmdata.text import _terms
 
     work = _session_workdir(spark, "lexserve", sf_dir)
-    stage = os.path.join(work, "incoming")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("batch_id")
     )
     _assert_residues_nonempty(docs, "doc_id", 3, "op_stream_lex_serve")
-    batch_names = []
-    for b in range(3):
-        name = f"batch{b}"
-        docs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        batch_names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(batch_names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+    stage = _stage_microbatches(docs, work)
 
     post_store = os.path.join(work, "postings")
     df_deltas = os.path.join(work, "df_deltas")
@@ -1720,27 +1675,13 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = _session_workdir(spark, "decontam", sf_dir)
-    stage = os.path.join(work, "incoming")
     ledger_store = os.path.join(work, "ledger")
     counter_store = os.path.join(work, "counters")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(stage)
-
     train_docs = docs.filter(~is_bench).withColumn(
         "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
     )
     _assert_residues_nonempty(train_docs, "batch_id", 3, "op_stream_decontaminate")
-    batch_names = []
-    for b in range(3):
-        name = f"batch{b}"
-        train_docs.filter(F.col("batch_id") == b).coalesce(1).write.parquet(
-            os.path.join(stage, name)
-        )
-        batch_names.append(name)
-    now = 1_700_000_000
-    for i, d in enumerate(batch_names):
-        for f in os.listdir(os.path.join(stage, d)):
-            os.utime(os.path.join(stage, d, f), (now + i, now + i))
+    stage = _stage_microbatches(train_docs, work)
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
         # one O(batch) shingle pass, deduped, feeds probes + counters;
