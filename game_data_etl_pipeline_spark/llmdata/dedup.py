@@ -1369,18 +1369,28 @@ def op_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rate ~0.5% at 250k benchmark shingles (sf0.1's eval slice).
 BLOOM_BITS = 1 << 22
 BLOOM_SEEDS = (0x51ED, 0x9E37, 0x85EB)
+# Saturation ceiling: the classic half-full design point. FPR of a
+# Bloom filter is ~fill^k; at fill 0.5 with k=3 that is ~12.5% — the
+# last point where "exact-rescreen only the bounded Bloom-positive
+# set" stays bounded. Past it a larger benchmark silently degrades the
+# filter toward flag-everything, which for decontamination means
+# over-removing training docs wholesale (the "safe direction" argument
+# quietly becoming "drop everything") — so builders measure fill and
+# FAIL LOUDLY above the ceiling instead (round-10 verdict task 3).
+BLOOM_FILL_MAX = 0.5
 
 
-def _bloom_positions(g_col):
+def _bloom_positions(g_col, *, bits: int = BLOOM_BITS):
     """The k hash positions of one shingle: xxhash64(g, seed) pmod m
     per seed (pmod keeps positions total on negative hashes), as an
     array of (seed index, position) structs so the probe side can
-    count distinct seed hits per shingle."""
+    count distinct seed hits per shingle. ``bits`` overrides the
+    geometry for saturation tests; build and probe must agree."""
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("seed_i"),
-                F.pmod(F.xxhash64(g_col, F.lit(s)), F.lit(BLOOM_BITS)).alias("pos"),
+                F.pmod(F.xxhash64(g_col, F.lit(s)), F.lit(bits)).alias("pos"),
             )
             for i, s in enumerate(BLOOM_SEEDS)
         ]
@@ -1402,15 +1412,15 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def bloom_words(grams: DataFrame) -> DataFrame:
+def bloom_words(grams: DataFrame, *, bits: int = BLOOM_BITS) -> DataFrame:
     """Fold a DataFrame of shingles (one column ``g``) into the
     fixed-size bitmap words table: k xxhash64 positions per shingle,
     OR-ed into 64-bit words keyed by word index — at most
-    BLOOM_BITS/64 rows (~65k longs, ~0.5 MB) regardless of input
-    size. Shared by the in-query screen, the streaming screen, and
-    the persisted-artifact build."""
+    ``bits``/64 rows (~65k longs, ~0.5 MB at the default geometry)
+    regardless of input size. Shared by the in-query screen, the
+    streaming screen, and the persisted-artifact build."""
     return (
-        grams.select(F.explode(_bloom_positions(F.col("g"))).alias("sp"))
+        grams.select(F.explode(_bloom_positions(F.col("g"), bits=bits)).alias("sp"))
         .select(
             F.shiftright(F.col("sp.pos"), 6).alias("widx"),
             F.expr("shiftleft(1L, cast(pmod(sp.pos, 64) AS int))").alias("bit"),
@@ -1418,6 +1428,35 @@ def bloom_words(grams: DataFrame) -> DataFrame:
         .groupBy("widx")
         .agg(F.bit_or("bit").alias("bits"))
     )
+
+
+def bloom_fill_ratio(words: DataFrame, *, bits: int = BLOOM_BITS) -> float:
+    """Measured fill ratio of a words table: popcount of every 64-bit
+    word (one bounded aggregate over <= bits/64 rows) over the bitmap
+    size. The saturation yardstick for the guard below and the
+    registered audit op."""
+    row = words.agg(F.sum(F.bit_count("bits")).alias("n_set")).collect()[0]
+    return (row["n_set"] or 0) / bits
+
+
+def assert_bloom_fill(
+    words: DataFrame, *, bits: int = BLOOM_BITS, what: str = "bloom filter"
+) -> float:
+    """Loud saturation guard: fail the BUILD, not the screen, when the
+    benchmark outgrows the fixed geometry (a saturated filter held
+    under the decontamination contract over-removes training docs,
+    so the only safe response is to stop and re-size BLOOM_BITS).
+    Returns the measured fill for callers that record it."""
+    fill = bloom_fill_ratio(words, bits=bits)
+    if fill > BLOOM_FILL_MAX:
+        raise ValueError(
+            f"{what} saturated: fill ratio {fill:.4f} exceeds "
+            f"BLOOM_FILL_MAX={BLOOM_FILL_MAX} at {bits} bits — the "
+            f"benchmark shingle set has outgrown the filter geometry; "
+            f"raise BLOOM_BITS (false-positive rate ~fill^k would make "
+            f"the screen over-remove training documents)"
+        )
+    return fill
 
 
 def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
@@ -1625,15 +1664,19 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
     )
     staging = make_staging(final)
     pairs.coalesce(4).write.mode("overwrite").parquet(os.path.join(staging, "pairs"))
-    bloom_words(pairs.select("g").distinct()).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(staging, "words"))
+    words = bloom_words(pairs.select("g").distinct()).localCheckpoint()
+    # saturation guard at BUILD time: a benchmark that outgrows the
+    # geometry must fail the build loudly, never publish a filter that
+    # silently over-removes (round-10 verdict task 3)
+    fill = assert_bloom_fill(words, what=f"bloom_index[{final}]")
+    words.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "words"))
     with open(os.path.join(staging, "meta.json"), "w") as f:
         json.dump(
             {
                 "version": BLOOM_INDEX_VERSION,
                 "bits": BLOOM_BITS,
                 "seeds": list(BLOOM_SEEDS),
+                "fill_ratio": fill,
             },
             f,
         )
@@ -1723,5 +1766,279 @@ def op_corpus_decontaminate_bloom_served(spark: SparkSession, sf_dir: str) -> Da
         candidates.agg(F.count(F.lit(1)).alias("n_cand"))
         .crossJoin(train.agg(F.count(F.lit(1)).alias("n_train")))
         .select((F.col("n_cand") < F.col("n_train")).alias("bloom_pruned"))
+    )
+    return ledger.crossJoin(F.broadcast(audit))
+
+
+@register(
+    "op_bloom_saturation_audit",
+    tags=("llm", "dedup", "curation", "index"),
+    # the bench-side distinct-shingle count is SQL-replayable; the
+    # bitmap's popcount is not (xxhash64 geometry), so the fill checks
+    # ride as in-query audit booleans the driver hash-pins to TRUE
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        grams AS (
+            SELECT UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        )
+        SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_bench_shingles,
+               TRUE AS fill_under_max,
+               TRUE AS set_bits_bounded
+        FROM grams
+    """,
+)
+def op_bloom_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FILTER'S CAPACITY GAUGE — round-10 verdict task 3: nothing
+    measured the persisted filter's fill ratio, so a 100x benchmark
+    set would saturate the fixed 2^22-bit geometry silently and the
+    screen's false-positive rate (~fill^k) would quietly climb toward
+    flag-everything — over-REMOVAL, the direction that throws away
+    training data wholesale. This op reads the persisted artifact and
+    audits its health: ``n_bench_shingles`` (the inserted-key count,
+    value-hashed against DuckDB's replay of the bench shingle set),
+    ``fill_under_max`` (popcount of the bitmap words — one bounded
+    aggregate over <=65k longs — stays under BLOOM_FILL_MAX = 0.5,
+    the half-full design point), and ``set_bits_bounded`` (0 <
+    popcount <= min(k * inserted keys, BLOOM_BITS) — each insert sets
+    at most k bits, so a popcount outside that envelope means the
+    build geometry drifted from the meta contract). The same guard
+    runs as a hard failure inside ``build_bloom_index`` (a saturated
+    benchmark must fail the BUILD, never publish — pytest pins the
+    loud failure on a deliberately undersized-bits build); this
+    registered form is the ongoing driver-verified evidence on the
+    live artifact."""
+    path = build_bloom_index(spark, sf_dir)
+    words = spark.read.parquet(os.path.join(path, "words"))
+    pairs = spark.read.parquet(os.path.join(path, "pairs"))
+    n_sh = pairs.select("g").distinct().agg(
+        F.count(F.lit(1)).alias("n_bench_shingles")
+    )
+    pop = words.agg(F.sum(F.bit_count("bits")).alias("n_set"))
+    return n_sh.crossJoin(F.broadcast(pop)).select(
+        "n_bench_shingles",
+        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
+            "fill_under_max"
+        ),
+        (
+            (F.col("n_set") > 0)
+            & (
+                F.col("n_set")
+                <= F.least(
+                    F.lit(len(BLOOM_SEEDS)) * F.col("n_bench_shingles"),
+                    F.lit(BLOOM_BITS).cast("long"),
+                )
+            )
+        ).alias("set_bits_bounded"),
+    )
+
+
+def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the Bloom UPSERT demo tree: a BASE filter
+    over half the benchmark (doc_id % 6 == 0), persisted first, then
+    the other half (doc_id % 6 == 3 — the remaining %3==0 docs) merged
+    in as a benchmark-delta upsert that READS the persisted base words
+    back and bit_or-folds the delta's words into them — bitmaps are
+    monotone, so the merge is exact, never approximate, and no base
+    shingle is ever re-read. Tree layout: ``base_words/`` (the
+    pre-upsert filter, kept for the monotonicity referee),
+    ``words/`` (the merged filter every screen serves from),
+    ``pairs/`` (the full benchmark rescreen side). Staged build +
+    atomic publish + superseded-key GC — the shared artifacts.py
+    lifecycle — and the saturation guard runs on the MERGED filter
+    (an upsert is exactly when a filter outgrows its geometry)."""
+    final = os.path.join(
+        _bloom_root(),
+        f"upsert_v{BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    if os.path.isfile(os.path.join(final, "upsert_done.json")):
+        return final
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_pairs = (
+        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 0))
+        .select(F.col("doc_id").alias("b_id"), "g")
+        .distinct()
+        .localCheckpoint()
+    )
+    delta_pairs = (
+        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 3))
+        .select(F.col("doc_id").alias("b_id"), "g")
+        .distinct()
+        .localCheckpoint()
+    )
+    staging = make_staging(final)
+    bloom_words(base_pairs.select("g").distinct()).coalesce(1).write.parquet(
+        os.path.join(staging, "base_words")
+    )
+    # the upsert proper: persisted base words read back, delta words
+    # bit_or-folded in (a union + one bit_or aggregate — word indexes
+    # absent from one side contribute identity-0 bits)
+    base_words = spark.read.parquet(os.path.join(staging, "base_words"))
+    merged = (
+        base_words.unionByName(bloom_words(delta_pairs.select("g").distinct()))
+        .groupBy("widx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .localCheckpoint()
+    )
+    assert_bloom_fill(merged, what=f"bloom_upsert[{final}]")
+    merged.coalesce(1).write.parquet(os.path.join(staging, "words"))
+    base_pairs.unionByName(delta_pairs).coalesce(4).write.parquet(
+        os.path.join(staging, "pairs")
+    )
+    with open(os.path.join(staging, "upsert_done.json"), "w") as f:
+        json.dump(
+            {
+                "version": BLOOM_INDEX_VERSION,
+                "bits": BLOOM_BITS,
+                "seeds": list(BLOOM_SEEDS),
+                "base_slice": "doc_id % 6 == 0",
+                "delta_slice": "doc_id % 6 == 3",
+            },
+            f,
+        )
+    publish_staging(staging, final, marker="upsert_done.json")
+    prune_stale_keys(final, sf_dir)
+    return final
+
+
+@register(
+    "op_bloom_index_upsert",
+    tags=("llm", "dedup", "curation", "index"),
+    # the exact screen's ledger VERBATIM (screening from the upserted
+    # filter changes where the filter came from, not one ledger value)
+    # plus the three audit literals
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS merged_equals_rebuilt,
+               TRUE AS merge_monotone,
+               TRUE AS fill_under_max
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+)
+def op_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK-DELTA UPSERT of the persisted contamination filter —
+    round-10 verdict task 3's second half: benchmarks GROW (a new eval
+    suite ships; yesterday's filter covers yesterday's set), and
+    rebuilding the filter from scratch re-reads every benchmark doc
+    when the only new information is the delta slice. Because Bloom
+    bitmaps are MONOTONE, the delta's words table bit_or-folds into
+    the persisted filter exactly: ``ensure_bloom_upsert_tree`` builds
+    a base filter over half the benchmark (doc_id % 6 == 0), then
+    merges the other half (% 6 == 3) into the base words READ BACK
+    from the artifact — one union + bit_or aggregate over <=65k-row
+    frames, no base shingle re-read, staged/atomic/GC'd like every
+    index tree.
+
+    Three referees: ``merged_equals_rebuilt`` — the upserted words
+    table is word-for-word IDENTICAL (count equality both directions,
+    every widx joined, every 64-bit word ==) to ``build_bloom_index``'s
+    from-scratch filter over the full benchmark, the rebuilt-filter
+    equality oracle that makes the merge's exactness a measured fact;
+    ``merge_monotone`` — every base word survives as a subset of its
+    merged word (bits & merged == bits), upserts can only ADD;
+    ``fill_under_max`` — the merged filter passed the saturation
+    gauge (the guard also ran loudly inside the build). The GATE is
+    the ledger: the screen served from the UPSERTED filter reproduces
+    the exact screen's per-doc contamination ledger VERBATIM (the
+    driver value-hashes it), because a correct merge admits exactly
+    the full benchmark's shingle set."""
+    up = ensure_bloom_upsert_tree(spark, sf_dir)
+    full = build_bloom_index(spark, sf_dir)
+    merged = spark.read.parquet(os.path.join(up, "words"))
+    base = spark.read.parquet(os.path.join(up, "base_words"))
+    rebuilt = spark.read.parquet(os.path.join(full, "words"))
+    bench_pairs = spark.read.parquet(os.path.join(up, "pairs"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # the screen, served from the UPSERTED filter (the shared probe
+    # chain + bounded exact rescreen — op_corpus_decontaminate_bloom's
+    # serve shape)
+    train = (
+        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0))
+        .distinct()
+    )
+    candidates = bloom_candidates(train, merged)
+    ledger = (
+        candidates.join(F.broadcast(bench_pairs), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )
+
+    # referee 1: merged == rebuilt, word for word — the
+    # adc_bitmatch_audit discipline (count equality both directions +
+    # broadcast inner join + per-pair ==) rather than a full outer
+    # join, which cannot broadcast and would SortMergeJoin even these
+    # <=65k-row frames
+    r = rebuilt.select("widx", F.col("bits").alias("r_bits"))
+    n_m = merged.agg(F.count(F.lit(1)).alias("n_m"))
+    n_r = rebuilt.agg(F.count(F.lit(1)).alias("n_r"))
+    eq = (
+        merged.join(F.broadcast(r), "widx")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined_eq"),
+            F.sum(
+                F.when(F.col("bits") == F.col("r_bits"), 1).otherwise(0)
+            ).alias("n_eq"),
+        )
+        .join(F.broadcast(n_m))
+        .join(F.broadcast(n_r))
+    )
+    # referee 2: base subset-of merged (joined on widx; a base word
+    # index missing from merged would violate monotonicity — inner
+    # join + count equality catches it)
+    b = base.select("widx", F.col("bits").alias("b_bits"))
+    n_base = base.agg(F.count(F.lit(1)).alias("n_base"))
+    mono = merged.join(b, "widx").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(
+                F.col("b_bits").bitwiseAND(F.col("bits")) == F.col("b_bits"), 1
+            ).otherwise(0)
+        ).alias("n_mono"),
+    )
+    pop = merged.agg(F.sum(F.bit_count("bits")).alias("n_set"))
+    audit = (
+        eq.join(F.broadcast(mono))
+        .join(F.broadcast(n_base))
+        .join(F.broadcast(pop))
+        .select(
+            (
+                (F.col("n_m") == F.col("n_r"))
+                & (F.col("n_joined_eq") == F.col("n_m"))
+                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined_eq"))
+            ).alias("merged_equals_rebuilt"),
+            (
+                (F.col("n_joined") == F.col("n_base"))
+                & (F.coalesce(F.col("n_mono"), F.lit(0)) == F.col("n_joined"))
+            ).alias("merge_monotone"),
+            ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
+                "fill_under_max"
+            ),
+        )
     )
     return ledger.crossJoin(F.broadcast(audit))

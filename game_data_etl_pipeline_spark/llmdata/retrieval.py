@@ -1573,6 +1573,32 @@ def q_retrieval_pipeline_batch_served(spark: SparkSession, sf_dir: str) -> DataF
     return retrieval_pipeline_batch(spark, sf_dir, BATCH_QUERY_TERMS, served=True)
 
 
+@register(
+    "q_retrieval_pipeline_batch_served8",
+    tags=("llm", "retrieval", "pipeline", "index"),
+    # the 8-query batch oracle VERBATIM (machine-generated from the
+    # same dict as q_retrieval_pipeline_batch8): the index-served
+    # lexical side is bit-equal to the scan side at any N
+    oracle=_batch_oracle_sql(BATCH_QUERY_TERMS_8),
+)
+def q_retrieval_pipeline_batch_served8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED batch pipeline at N=8 — the missing point on the
+    serve-path amortization curve (round-10 verdict task 4: the
+    N=1/3/8 curve was measured only for the scan-based batch, and the
+    served path's constant tail — bucket resolution, postings reads —
+    differs from the scan path's, so its curve must be measured, not
+    inferred). Identical plan to q_retrieval_pipeline_batch_served —
+    ZERO documents scans, the batch's union-of-terms resolved to its
+    partition buckets once, one embeddings pass on the dense side —
+    with only the bounded fan-out frames growing 8/3x, so s/query
+    keeps falling as the postings reads and the grouped-MMR tail
+    split 8 ways (bench.py carries the entry; SCALE.md records the
+    served s/query at N ∈ {3, 8} next to the scan curve). Held to the
+    machine-generated 8-query batch oracle VERBATIM: all 40 MMR picks
+    with full provenance, value-hashed."""
+    return retrieval_pipeline_batch(spark, sf_dir, BATCH_QUERY_TERMS_8, served=True)
+
+
 def ann_sem_ranked_batch(
     spark: SparkSession,
     sf_dir: str,

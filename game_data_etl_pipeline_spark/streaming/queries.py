@@ -1596,6 +1596,136 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_stream_ann_serve_compacted",
+    tags=("streaming", "similarity", "index"),
+    # op_sim_ivfpq_serve_compacted's oracle VERBATIM (the survivor
+    # world: embeddings WHERE vec_id % 17 != 3) plus the
+    # segments-merged audit literal — the streamed store, tombstoned
+    # and compacted, must serve the same per-query survivor
+    # neighborhoods as the offline compacted tree
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4 AND vec_id % 17 != 3
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               TRUE AS pruned_scan,
+               TRUE AS recall_floor_met,
+               TRUE AS adc_bitmatch_vs_main,
+               TRUE AS segments_merged
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMED STORE'S FULL LIFECYCLE — stream-ingest -> delete ->
+    compact -> serve (round-10 verdict task 2: the offline upsert tree
+    has delete+compact with a value-level serve gate, but the streamed
+    store only ever ACCUMULATED segments — real growing-segment stores
+    tombstone and merge those too, or the 'freshness costs nothing'
+    claim quietly stops at the first GDPR purge). Embeddings arrive in
+    3 micro-batches through the shared ``stream_ann_store`` device
+    (each commit appends a cent_id-partitioned segment encoded against
+    the frozen trained structure); the deterministic
+    pmod(vec_id, 17) == 3 slice is then tombstoned and the per-cell
+    append segments merge into ONE segment per cell — survivors
+    stream through a shuffle-free per-cell rewrite, bytes moved, never
+    re-encoded — and the verbatim probe -> ADC -> shortlist -> rerank
+    chain serves from the compacted streamed store.
+
+    Two referees, both in-query because DuckDB cannot replay trained
+    codebooks: ``adc_bitmatch_vs_main`` holds every probed-cell ADC
+    score from the compacted STREAMED segments IEEE-bit-equal,
+    pair-for-pair with count equality both directions, to the scores
+    from the ORIGINAL offline build artifact restricted to survivors
+    (frozen router + codebooks + deterministic encode make post-delete
+    scores exactly replayable across stores — the shared
+    ``adc_bitmatch_audit``); ``segments_merged`` pins the compaction
+    did real filesystem work (strictly fewer parquet files than the
+    3-appends-per-cell streamed store). The driver hash-verifies the
+    per-query survivor neighborhoods against op_sim_ivfpq_serve's
+    oracle re-derived over ``vec_id % 17 != 3``.
+
+    At 100 TB this is the nightly segment-merge on the ingest tier:
+    per-commit segments land O(batch) all day, the merge reads each
+    cell range once and rewrites survivors shuffle-free, and the
+    morning's queries fan over merged segments with bit-identical
+    scores — freshness, deletes, and compaction proven mutually
+    score-neutral."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_MOD,
+        TOMB_RESIDUE,
+        _count_parquet_files,
+        read_ann_index,
+    )
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        IVFPQ_PROBES,
+        adc_bitmatch_audit,
+        ivfpq_adc_scored,
+        ivfpq_serve_stages,
+    )
+
+    store = stream_ann_store(
+        spark, sf_dir, "annservecomp", "op_stream_ann_serve_compacted"
+    )
+    tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
+
+    # compact: drop tombstones, merge the per-commit appends into ONE
+    # segment per cell (repartition by cell -> one file per non-empty
+    # cell under partitionBy) in a sibling tree — the streamed store
+    # itself is never mutated, the ensure_compact_tree discipline
+    compacted_dir = os.path.join(os.path.dirname(store), "compacted")
+    shutil.rmtree(compacted_dir, ignore_errors=True)
+    (
+        spark.read.parquet(store)
+        .filter(~tomb)
+        .select("vec_id", "codes", "cent_id")
+        .repartition("cent_id")
+        .write.partitionBy("cent_id")
+        .parquet(compacted_dir)
+    )
+    files_before = _count_parquet_files(store)
+    files_after = _count_parquet_files(compacted_dir)
+
+    coarse, books, main_postings = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = spark.read.parquet(compacted_dir).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    # the survivor world: candidate/rerank/audit corpus excludes
+    # tombstoned ids; queries (vec_id < 4) stay external vectors
+    emb_surv = emb.filter((F.col("vec_id") < 4) | ~tomb)
+    served = ivfpq_serve_stages(
+        emb_surv, comp.filter(F.col("vec_id") >= 4), coarse, books
+    )
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    adc_comp = ivfpq_adc_scored(
+        queries, comp.filter(F.col("vec_id") >= 4), coarse, books,
+        probes=IVFPQ_PROBES,
+    )
+    adc_main = ivfpq_adc_scored(
+        queries,
+        main_postings.filter((F.col("vec_id") >= 4) & ~tomb),
+        coarse,
+        books,
+        probes=IVFPQ_PROBES,
+    )
+    audit = adc_bitmatch_audit(adc_comp, adc_main).withColumn(
+        "segments_merged", F.lit(0 < files_after < files_before)
+    )
+    return served.crossJoin(F.broadcast(audit))
+
+
+@register(
     "op_stream_decontaminate",
     tags=("streaming", "llm", "dedup", "curation"),
     # op_corpus_decontaminate's ledger VERBATIM plus the pruning audit:

@@ -1074,3 +1074,60 @@ def test_lex_upsert_serve_plan_contract(spark):
     assert not re.findall(r"Scan parquet[^\n]*documents", plan), "corpus scan at serve time"
     assert "upsert_v" in plan, "serve plan does not read the upsert tree"
     assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan), "no bucket pruning"
+
+
+def test_batch_served8_plan_contract(spark):
+    """q_retrieval_pipeline_batch_served8 must hold the served-batch
+    contract at N=8 exactly as at N=3 — the amortization claim rests
+    on the plan NOT growing with the batch: zero documents scans
+    anywhere, bucket-pruned postings reads on the served lexical side,
+    per-query windows only, no SortMergeJoin."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata.retrieval import (
+        BATCH_QUERY_TERMS_8,
+        lex_ranked_batch_served,
+    )
+
+    lex_plan = I.explain_str(
+        lex_ranked_batch_served(spark, SF, BATCH_QUERY_TERMS_8), "formatted"
+    )
+    assert not re.findall(r"Scan parquet[^\n]*documents", lex_plan)
+    assert "lex_index" in lex_plan
+    assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", lex_plan), (
+        "no bucket pruning on the N=8 served postings read"
+    )
+    full = SPECS["q_retrieval_pipeline_batch_served8"].fn(spark, SF)
+    plan = I.explain_str(full, "formatted")
+    simple = I.explain_str(full, "simple")
+    assert not re.findall(r"Scan parquet[^\n]*documents", plan), (
+        "documents scan leaked into the N=8 served batch plan"
+    )
+    assert I.num_global_window_sorts(simple) == 0
+    assert "SortMergeJoin" not in simple
+
+
+def test_bloom_upsert_plan_contract(spark):
+    """op_bloom_index_upsert serves the screen from the UPSERTED
+    filter and referees it against the rebuilt one: the plan must
+    read the bloom_index artifact trees (upsert + full), scan the
+    corpus text exactly ONCE (the training shingling — the benchmark
+    side comes entirely from the persisted pair set), and never
+    SortMergeJoin (every frame in the referee joins is a <=65k-row
+    words table or a broadcast). Re-running the op must rebuild
+    neither tree."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    df = SPECS["op_bloom_index_upsert"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "bloom_index" in plan, "upsert op does not read the persisted trees"
+    n_doc_scans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert n_doc_scans == 1, (
+        f"expected exactly one training-corpus scan, found {n_doc_scans}"
+    )
+    assert "SortMergeJoin" not in plan
+    before = dd._BLOOM_BUILD_COUNT
+    SPECS["op_bloom_index_upsert"].fn(spark, SF)
+    assert dd._BLOOM_BUILD_COUNT == before, "re-serving rebuilt the full filter"
