@@ -95,6 +95,7 @@ V2_EXTRA = (
     "op_bloom_index_upsert",           # r11: benchmark-delta filter merge + serve
     "op_bloom_saturation_audit",       # r11: persisted-filter fill gauge
     "q_retrieval_pipeline_batch_served8",  # r11: served batch s/query at N=8
+    "op_stream_lex_compact_serve",     # r11: streamed lex store delete+compact serve
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -305,7 +306,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r11-v2-65q-median",
+                    "suite": "r11-v2-66q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

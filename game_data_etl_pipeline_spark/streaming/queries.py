@@ -1393,55 +1393,30 @@ def op_stream_lex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_stream_lex_serve",
-    tags=("streaming", "llm", "text", "index"),
-    # op_text_bm25's oracle VERBATIM (the op_text_bm25_serve /
-    # op_lex_index_upsert discipline): BM25 served from the STREAMED
-    # store must reproduce the corpus-scan scorer bit-for-bit
-    oracle=BM25_CTES
-    + """
-        SELECT doc_id, bm25, n_terms_hit FROM bm
-    """,
-)
-def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SERVE FROM THE STREAMED LEXICAL STORE — the end-to-end
-    freshness proof op_stream_lex_ingest stopped short of (round-9
-    verdict: the streamed postings were audited bit-identical to the
-    offline build but never *served*): documents arrive in 3
-    micro-batches; each foreachBatch transaction tokenizes ONLY its
-    batch and appends three O(batch) artifacts — partition-aligned
-    postings into the term_bucket layout, the batch's per-term df
-    contribution, and a 1-row (n_docs, tot_dl) stats delta. After the
-    stream drains, one bounded merge job folds the PERSISTED deltas
-    into serveable df/stats (exact integer sums over disjoint doc
-    sets — the op_lex_index_upsert merge algebra; no posting is
-    touched, no document re-read), and the query path is the verbatim
-    ``bm25_from_index`` bucket-pruned lookup.
-
-    The gate is the strongest in the registry: op_text_bm25's DuckDB
-    oracle VERBATIM, so the driver's value hash holds
-    stream-ingest -> delta-merge -> serve to BIT-EQUALITY with the
-    full corpus-scan scorer. This is the near-real-time-search claim
-    made executable: a document ingested in micro-batch N is served
-    with exactly the scores a full offline rebuild would give.
-
-    At 100 TB this is the Elasticsearch/Lucene NRT pipeline as
-    Structured Streaming: per-commit segments land O(batch), the
-    df/stats fold is vocabulary-bounded (Zipf, not corpus), and
-    query-time bucket pruning is identical before and after any
-    number of commits."""
-    from game_data_etl_pipeline_spark.llmdata.lex_index import (
-        _bucket,
-        bm25_from_index,
-    )
+def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str:
+    """The shared streamed-LEXICAL-store device — stream_ann_store's
+    twin: stage the corpus as 3 mtime-ordered micro-batches, replay
+    with maxFilesPerTrigger=1, and have each foreachBatch transaction
+    tokenize ONLY its batch and append three O(batch) artifacts —
+    partition-aligned postings into the term_bucket layout, the
+    batch's per-term df contribution, and a 1-row (n_docs, tot_dl)
+    stats delta. After the stream drains, one vocabulary-bounded fold
+    merges the persisted deltas into serveable df/stats (exact integer
+    sums over disjoint doc sets — the op_lex_index_upsert merge
+    algebra; no posting touched, no document re-read). Returns the
+    work dir holding postings/ (per-commit segments), df/, stats/.
+    Shared by op_stream_lex_serve (serves the fresh store) and
+    op_stream_lex_compact_serve (tombstones + merges it), so the
+    served path and the compacted path ingest through the same
+    code."""
+    from game_data_etl_pipeline_spark.llmdata.lex_index import _bucket
     from game_data_etl_pipeline_spark.llmdata.text import _terms
 
-    work = _session_workdir(spark, "lexserve", sf_dir)
+    work = _session_workdir(spark, tag, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("batch_id")
     )
-    _assert_residues_nonempty(docs, "doc_id", 3, "op_stream_lex_serve")
+    _assert_residues_nonempty(docs, "doc_id", 3, op)
     stage = _stage_microbatches(docs, work)
 
     post_store = os.path.join(work, "postings")
@@ -1500,7 +1475,140 @@ def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(os.path.join(work, "stats"))
     )
+    return work
+
+
+@register(
+    "op_stream_lex_serve",
+    tags=("streaming", "llm", "text", "index"),
+    # op_text_bm25's oracle VERBATIM (the op_text_bm25_serve /
+    # op_lex_index_upsert discipline): BM25 served from the STREAMED
+    # store must reproduce the corpus-scan scorer bit-for-bit
+    oracle=BM25_CTES
+    + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
+    """,
+)
+def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE FROM THE STREAMED LEXICAL STORE — the end-to-end
+    freshness proof op_stream_lex_ingest stopped short of (round-9
+    verdict: the streamed postings were audited bit-identical to the
+    offline build but never *served*): documents arrive in 3
+    micro-batches through the shared ``stream_lex_store`` device
+    (per-commit O(batch) postings + df/stats deltas, one
+    vocabulary-bounded post-stream fold), and the query path is the
+    verbatim ``bm25_from_index`` bucket-pruned lookup.
+
+    The gate is the strongest in the registry: op_text_bm25's DuckDB
+    oracle VERBATIM, so the driver's value hash holds
+    stream-ingest -> delta-merge -> serve to BIT-EQUALITY with the
+    full corpus-scan scorer. This is the near-real-time-search claim
+    made executable: a document ingested in micro-batch N is served
+    with exactly the scores a full offline rebuild would give.
+
+    At 100 TB this is the Elasticsearch/Lucene NRT pipeline as
+    Structured Streaming: per-commit segments land O(batch), the
+    df/stats fold is vocabulary-bounded (Zipf, not corpus), and
+    query-time bucket pruning is identical before and after any
+    number of commits."""
+    from game_data_etl_pipeline_spark.llmdata.lex_index import bm25_from_index
+
+    work = stream_lex_store(spark, sf_dir, "lexserve", "op_stream_lex_serve")
     return bm25_from_index(spark, work)
+
+
+@register(
+    "op_stream_lex_compact_serve",
+    tags=("streaming", "llm", "text", "index"),
+    # op_lex_index_delete_compact's oracle VERBATIM — op_text_bm25
+    # recomputed over the surviving corpus (doc_id % 17 != 3): after
+    # deletes, df / n_docs / tot_dl all shift, so every surviving
+    # score changes, and the compacted STREAMED store must reproduce
+    # the re-derived scorer bit-for-bit
+    oracle=BM25_CTES.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 17 != 3) documents",
+    )
+    + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
+    """,
+)
+def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMED LEXICAL STORE'S FULL LIFECYCLE — stream-ingest ->
+    delete -> compact -> serve, op_stream_ann_serve_compacted's twin
+    on the text side (round-11 symmetry: the offline lexical tree has
+    delete+compact at survivor bit-equality, the streamed store only
+    accumulated per-commit segments): documents arrive in 3
+    micro-batches through the shared ``stream_lex_store`` device, the
+    deterministic pmod(doc_id, 17) == 3 slice is tombstoned, and the
+    merge drops tombstoned postings, rewrites ONE segment per term
+    bucket (strictly fewer parquet files — asserted loudly in the
+    driver, the residue-assert precedent), and RE-DERIVES df and the
+    corpus stats from the surviving postings — exact integer math, no
+    document re-read, exactly the op_lex_index_delete_compact
+    algebra pointed at the streamed store instead of the offline
+    upsert tree.
+
+    Gate: op_text_bm25's oracle recomputed over ``doc_id % 17 != 3``
+    VERBATIM — serving from the compacted streamed store IS the
+    full-rebuild scorer for the surviving corpus, IDF shifts and all,
+    held to bit-equality by the driver's value hash. At 100 TB this is
+    Lucene NRT plus forceMerge as one Structured Streaming pipeline:
+    commits land O(batch) all day, the nightly merge streams each
+    bucket's survivors once (partition pruning scopes per-bucket
+    schedules) and carries the stats re-derivation in the same pass,
+    and next morning's queries read one segment per bucket with
+    exactly the scores a from-scratch rebuild would give."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_MOD,
+        TOMB_RESIDUE,
+        _count_parquet_files,
+    )
+    from game_data_etl_pipeline_spark.llmdata.lex_index import (
+        _bucket,
+        bm25_from_index,
+    )
+
+    work = stream_lex_store(
+        spark, sf_dir, "lexcompact", "op_stream_lex_compact_serve"
+    )
+    comp = os.path.join(work, "compacted")
+    shutil.rmtree(comp, ignore_errors=True)
+    survivors = spark.read.parquet(os.path.join(work, "postings")).filter(
+        F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
+    )
+    (
+        survivors.repartition("term_bucket")
+        .write.partitionBy("term_bucket")
+        .parquet(os.path.join(comp, "postings"))
+    )
+    # derived stats re-emitted from the PERSISTED surviving postings
+    # (read back from the compacted tree): the merge pass that rewrote
+    # the segments carries the counts — document text never re-read
+    surv_disk = spark.read.parquet(os.path.join(comp, "postings"))
+    (
+        surv_disk.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", _bucket(F.col("term")))
+        .repartition("term_bucket")
+        .write.partitionBy("term_bucket")
+        .parquet(os.path.join(comp, "df"))
+    )
+    (
+        surv_disk.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
+        .coalesce(1)
+        .write.parquet(os.path.join(comp, "stats"))
+    )
+    files_before = _count_parquet_files(os.path.join(work, "postings"))
+    files_after = _count_parquet_files(os.path.join(comp, "postings"))
+    if not 0 < files_after < files_before:
+        raise ValueError(
+            f"op_stream_lex_compact_serve: compaction did not merge "
+            f"segments ({files_before} -> {files_after} parquet files)"
+        )
+    return bm25_from_index(spark, comp)
 
 
 @register(
