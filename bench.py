@@ -96,6 +96,8 @@ V2_EXTRA = (
     "op_bloom_saturation_audit",       # r11: persisted-filter fill gauge
     "q_retrieval_pipeline_batch_served8",  # r11: served batch s/query at N=8
     "op_stream_lex_compact_serve",     # r11: streamed lex store delete+compact serve
+    "q_retrieval_pipeline_batch_ann8",  # r11: fully-served batch at N=8
+    "op_stream_bloom_upsert",          # r11: benchmark-delta filter merge as a stream
 )
 
 # The previous round's recorded frozen-suite total and host probes
@@ -306,7 +308,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r11-v2-66q-median",
+                    "suite": "r11-v2-68q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

@@ -1664,6 +1664,40 @@ def _batch_ann_oracle_sql(query_terms: dict[int, tuple[str, ...]]) -> str:
     oracle=_batch_ann_oracle_sql(BATCH_QUERY_TERMS),
 )
 def q_retrieval_pipeline_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-served batch at N=3 — see retrieval_pipeline_batch_ann
+    (the shared N-ary body) for the plan narrative and gate design."""
+    return retrieval_pipeline_batch_ann(spark, sf_dir, BATCH_QUERY_TERMS)
+
+
+@register(
+    "q_retrieval_pipeline_batch_ann8",
+    tags=("llm", "retrieval", "pipeline", "index"),
+    # the batch-ANN oracle machine-generated from the 8-query dict:
+    # per-query lexical spines value-hashed, approximate side held by
+    # the per-query in-query audits
+    oracle=_batch_ann_oracle_sql(BATCH_QUERY_TERMS_8),
+)
+def q_retrieval_pipeline_batch_ann8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-SERVED batch at N=8 — the last cell of the
+    (scan / lex-served / fully-served) × (N=1 / 3 / 8) serving matrix
+    (round 11: the served amortization curve exists for the lexical
+    side; this measures it when BOTH candidate generators read
+    persisted indexes). Same plan as q_retrieval_pipeline_batch_ann —
+    zero corpus scans at query time, all 8 queries' probe cells
+    resolved in one pass with postings reads shared across queries
+    probing the same cells — with only the bounded fan-out frames
+    growing. Gate: 8 per-query rows, each lexical spine value-hashed
+    via the machine-generated oracle, each ANN audit held per query
+    (the left-join spine keeps degenerate queries visible as FALSE
+    rather than dropped)."""
+    return retrieval_pipeline_batch_ann(spark, sf_dir, BATCH_QUERY_TERMS_8)
+
+
+def retrieval_pipeline_batch_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: dict[int, tuple[str, ...]],
+) -> DataFrame:
     """THE FULLY-SERVED BATCH — both retrieval sides read persisted
     indexes for the whole query batch, which is the complete 100 TB
     serving shape (q_retrieval_pipeline_served's composition times
@@ -1692,15 +1726,15 @@ def q_retrieval_pipeline_batch_ann(spark: SparkSession, sf_dir: str) -> DataFram
     the yardstick). N output rows, one per query — a per-query gate
     where the single-query op has one global row."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lex = lex_ranked_batch_served(spark, sf_dir, BATCH_QUERY_TERMS).localCheckpoint()
-    sem = ann_sem_ranked_batch(spark, sf_dir, BATCH_QUERY_TERMS).localCheckpoint()
+    lex = lex_ranked_batch_served(spark, sf_dir, query_terms).localCheckpoint()
+    sem = ann_sem_ranked_batch(spark, sf_dir, query_terms).localCheckpoint()
     fused, cands, picks = batch_fuse_mmr(emb, lex, sem)
 
     # audit yardstick: per-query exact cosine top-20, one embeddings
     # scan for the whole batch (exists to VERIFY, not to serve) — the
     # batch pipeline's own exact scorer, shared code
     exact_sem = exact_sem_ranked_batch(
-        emb, sorted(BATCH_QUERY_TERMS), rank_name="x_rank"
+        emb, sorted(query_terms), rank_name="x_rank"
     ).select("query_id", "doc_id")
 
     lex_rows = lex.groupBy("query_id").agg(

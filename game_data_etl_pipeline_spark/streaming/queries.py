@@ -1960,3 +1960,161 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_cand") < F.sum("n_probed")).alias("bloom_pruned")
     )
     return ledger.crossJoin(F.broadcast(audit))
+
+
+@register(
+    "op_stream_bloom_upsert",
+    tags=("streaming", "llm", "dedup", "curation", "index"),
+    # the exact screen's ledger VERBATIM plus the two audit literals:
+    # a filter accumulated from streamed benchmark deltas must admit
+    # exactly the full benchmark's shingle set (bit_or is monotone
+    # and associative — arrival order cannot matter), so screening
+    # with it reproduces the offline ledger value for value
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t) - 4),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+            FROM sh WHERE len(t) >= 5
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS merged_equals_rebuilt,
+               TRUE AS fill_under_max
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+)
+def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BENCHMARK ARRIVES AS A STREAM — op_bloom_index_upsert's
+    delta-merge algebra moved to Structured Streaming, completing the
+    contamination filter's lifecycle matrix (build offline / serve
+    persisted / batch-delta upsert / THIS op for continuous benchmark
+    growth — the shape of an eval suite that gains tasks weekly):
+    benchmark documents arrive in 3 content-hash-routed micro-batches;
+    each foreachBatch transaction shingles ONLY its batch and appends
+    two O(batch) artifacts — the batch's (b_id, g) pair set and its
+    words-table delta (a bit_or fold of just those shingles, <=65k
+    rows). After the stream drains, ONE bounded bit_or groupBy folds
+    the persisted deltas into the final filter: bitmaps are monotone
+    and bit_or is associative-commutative, so arrival order, batch
+    boundaries, and shingle duplication across batches all vanish —
+    the merge is EXACT by algebra, not by luck.
+
+    Gate: the training corpus screened with the stream-accumulated
+    filter reproduces the offline exact screen's per-doc ledger
+    VERBATIM (driver value-hash), and two referees ride along:
+    ``merged_equals_rebuilt`` holds the folded filter word-for-word
+    equal (count equality both directions + broadcast join + 64-bit
+    ==) to a from-scratch rebuild over the full benchmark — the
+    in-query referee that exists to VERIFY, paying the one
+    bench-side re-scan only in this gate; ``fill_under_max`` pins the
+    accumulated filter under the saturation ceiling (a stream that
+    quietly outgrows the geometry must surface here, the same
+    BLOOM_FILL_MAX gauge the builders enforce loudly).
+
+    At 100 TB this is benchmark-registry maintenance as an ingest
+    stream: each new eval shard lands O(shard), the 0.5 MB filter
+    re-folds in one vocabulary-free bounded job, and no previously
+    ingested benchmark doc is ever re-read."""
+    from game_data_etl_pipeline_spark.llmdata.dedup import (
+        BLOOM_BITS,
+        BLOOM_FILL_MAX,
+        _shingles,
+        bloom_candidates,
+        bloom_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+
+    work = _session_workdir(spark, "bloomupsert", sf_dir)
+    word_deltas = os.path.join(work, "word_deltas")
+    pair_store = os.path.join(work, "pairs")
+    bench = docs.filter(is_bench).withColumn(
+        "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    )
+    _assert_residues_nonempty(bench, "batch_id", 3, "op_stream_bloom_upsert")
+    stage = _stage_microbatches(bench, work)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        # one O(batch) shingle pass feeds both appends
+        sh = (
+            _shingles(batch_df.select("doc_id", "text"))
+            .select(F.col("doc_id").alias("b_id"), "g")
+            .distinct()
+            .localCheckpoint()
+        )
+        sh.write.mode("append").parquet(pair_store)
+        bloom_words(sh.select("g").distinct()).write.mode("append").parquet(
+            word_deltas
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, batch_id int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # the post-stream fold: ONE bit_or groupBy over the persisted
+    # deltas (<= 3 x 65k rows, bounded by geometry, not corpus)
+    words = (
+        spark.read.parquet(word_deltas)
+        .groupBy("widx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .localCheckpoint()
+    )
+    bench_pairs = spark.read.parquet(pair_store)
+
+    # the screen, from the stream-accumulated filter
+    train = _shingles(docs.filter(~is_bench)).distinct()
+    candidates = bloom_candidates(train, words)
+    ledger = (
+        candidates.join(F.broadcast(bench_pairs), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )
+
+    # referee: stream-folded filter == from-scratch rebuild (the one
+    # bench-side re-scan, spent only in this verification gate)
+    rebuilt = bloom_words(
+        _shingles(docs.filter(is_bench)).select("g").distinct()
+    ).select("widx", F.col("bits").alias("r_bits"))
+    n_m = words.agg(F.count(F.lit(1)).alias("n_m"))
+    n_r = rebuilt.agg(F.count(F.lit(1)).alias("n_r"))
+    eq = words.join(F.broadcast(rebuilt), "widx").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col("bits") == F.col("r_bits"), 1).otherwise(0)
+        ).alias("n_eq"),
+    )
+    pop = words.agg(F.sum(F.bit_count("bits")).alias("n_set"))
+    audit = (
+        eq.join(F.broadcast(n_m))
+        .join(F.broadcast(n_r))
+        .join(F.broadcast(pop))
+        .select(
+            (
+                (F.col("n_m") == F.col("n_r"))
+                & (F.col("n_joined") == F.col("n_m"))
+                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
+            ).alias("merged_equals_rebuilt"),
+            ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
+                "fill_under_max"
+            ),
+        )
+    )
+    return ledger.crossJoin(F.broadcast(audit))
