@@ -1463,12 +1463,14 @@ def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
     """Map-side Bloom containment over (doc_id, g) shingles: probe the
     broadcast words table, keep only hit rows (a non-hit row can never
     complete a k-hit shingle), and a shingle is Bloom-positive iff
-    rows for all k DISTINCT seeds hit — counting distinct ``seed_i``
-    rather than rows, so a duplicated input shingle (2k rows, k per
-    copy) still needs every seed to hit and can never be silently
-    dropped (hit-row counting on non-deduped input would double the
-    yardstick and produce false NEGATIVES, the unsafe direction for
-    decontamination). Returns DISTINCT (doc_id, g). The ONE
+    rows for all k DISTINCT seeds hit — folded as a seed BITMASK
+    (bit_or of 1<<seed_i == 2^k - 1: cheap partial aggregation, no
+    per-group distinct) rather than a row count, so a duplicated
+    input shingle (2k rows, k per copy) still needs every seed to hit
+    and can never be silently dropped (hit-row counting on non-deduped
+    input would double the yardstick and produce false NEGATIVES, the
+    unsafe direction for decontamination). Returns DISTINCT
+    (doc_id, g). The ONE
     probe-chain shared by the batch screen, the streaming screen, and
     the served-artifact screen — callers still dedupe first so the
     probe join carries minimal rows, but correctness no longer
@@ -1486,8 +1488,10 @@ def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
         probes.join(F.broadcast(words), "widx", "left")
         .filter(F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
         .groupBy("doc_id", "g")
-        .agg(F.count_distinct("seed_i").alias("k_hits"))
-        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+        .agg(
+            F.expr("bit_or(shiftleft(1, CAST(seed_i AS int)))").alias("seed_mask")
+        )
+        .filter(F.col("seed_mask") == (1 << len(BLOOM_SEEDS)) - 1)
         .select("doc_id", "g")
     )
 
