@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1634,6 +1635,67 @@ def _bloom_root() -> str:
     )
 
 
+def check_bloom_meta(path: str) -> None:
+    """Serving-time geometry handshake: a persisted filter PROBED at a
+    different geometry than it was BUILT with lands positions on the
+    wrong words, fails the k-seed test, and silently produces false
+    NEGATIVES — contaminated training docs pass, the unsafe direction
+    (the exact hazard of following assert_bloom_fill's "raise
+    BLOOM_BITS" remediation while old artifacts survive). Every serve
+    path validates the artifact's recorded bits/seeds against the
+    session constants before probing, so a geometry change invalidates
+    stale artifacts LOUDLY (round-11 review finding)."""
+    for marker in ("meta.json", "upsert_done.json"):
+        mpath = os.path.join(path, marker)
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                meta = json.load(f)
+            break
+    else:
+        raise ValueError(f"bloom artifact {path} has no completion marker")
+    if meta.get("bits") != BLOOM_BITS or list(meta.get("seeds", [])) != list(
+        BLOOM_SEEDS
+    ):
+        raise ValueError(
+            f"bloom artifact {path} was built at bits={meta.get('bits')}, "
+            f"seeds={meta.get('seeds')} but this session probes at "
+            f"bits={BLOOM_BITS}, seeds={list(BLOOM_SEEDS)} — rebuild the "
+            f"filter; probing across geometries silently yields false "
+            f"negatives"
+        )
+
+
+def words_bitmatch_audit(
+    words_a: DataFrame, words_b: DataFrame, out: str
+) -> DataFrame:
+    """One-row boolean frame ``out``: two (widx, bits) words tables
+    are IDENTICAL — count equality both directions, every widx
+    joined, every 64-bit word == (the adc_bitmatch_audit discipline
+    on the bitmap domain; broadcast inner join, never a full outer
+    that would SortMergeJoin). Shared by op_bloom_index_upsert and
+    op_stream_bloom_upsert so the two merge referees cannot drift."""
+    b = words_b.select("widx", F.col("bits").alias("b_bits"))
+    n_a = words_a.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = words_b.agg(F.count(F.lit(1)).alias("n_b"))
+    joined = words_a.join(F.broadcast(b), "widx").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col("bits") == F.col("b_bits"), 1).otherwise(0)
+        ).alias("n_eq"),
+    )
+    return (
+        joined.join(F.broadcast(n_a))
+        .join(F.broadcast(n_b))
+        .select(
+            (
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("n_joined") == F.col("n_a"))
+                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
+            ).alias(out)
+        )
+    )
+
+
 def bloom_index_dir(sf_dir: str) -> str:
     """Artifact dir for one fixture's benchmark filter: keyed by the
     documents file's (size, mtime_ns) fingerprint — a regenerated
@@ -1667,12 +1729,22 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
         .localCheckpoint()  # one bench shingle pass feeds pairs + words
     )
     staging = make_staging(final)
-    pairs.coalesce(4).write.mode("overwrite").parquet(os.path.join(staging, "pairs"))
-    words = bloom_words(pairs.select("g").distinct()).localCheckpoint()
-    # saturation guard at BUILD time: a benchmark that outgrows the
-    # geometry must fail the build loudly, never publish a filter that
-    # silently over-removes (round-10 verdict task 3)
-    fill = assert_bloom_fill(words, what=f"bloom_index[{final}]")
+    try:
+        pairs.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(staging, "pairs")
+        )
+        words = bloom_words(pairs.select("g").distinct()).localCheckpoint()
+        # saturation guard at BUILD time: a benchmark that outgrows the
+        # geometry must fail the build loudly, never publish a filter
+        # that silently over-removes (round-10 verdict task 3)
+        fill = assert_bloom_fill(words, what=f"bloom_index[{final}]")
+    except Exception:
+        # a failed build must not leak its staging tree — GC never
+        # touches in-flight staging_* dirs, so a saturated benchmark
+        # retried every driver window would otherwise accrete one
+        # full pair set per attempt (round-11 review finding)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     words.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "words"))
     with open(os.path.join(staging, "meta.json"), "w") as f:
         json.dump(
@@ -1743,6 +1815,7 @@ def op_corpus_decontaminate_bloom_served(spark: SparkSession, sf_dir: str) -> Da
     plus the ``bloom_pruned`` audit that the persisted filter did
     real work."""
     path = build_bloom_index(spark, sf_dir)
+    check_bloom_meta(path)
     words = spark.read.parquet(os.path.join(path, "words"))
     bench_pairs = spark.read.parquet(os.path.join(path, "pairs"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1818,6 +1891,7 @@ def op_bloom_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered form is the ongoing driver-verified evidence on the
     live artifact."""
     path = build_bloom_index(spark, sf_dir)
+    check_bloom_meta(path)
     words = spark.read.parquet(os.path.join(path, "words"))
     pairs = spark.read.parquet(os.path.join(path, "pairs"))
     n_sh = pairs.select("g").distinct().agg(
@@ -1876,25 +1950,44 @@ def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
         .distinct()
         .localCheckpoint()
     )
+    # degenerate-slice guard: an empty base or delta slice would make
+    # every merge referee pass VACUOUSLY (merged == base == rebuilt) —
+    # the silent-degeneration mode the streaming ops' residue assert
+    # exists to catch (round-11 review finding)
+    for slice_name, frame in (
+        ("base (doc_id % 6 == 0)", base_pairs),
+        ("delta (doc_id % 6 == 3)", delta_pairs),
+    ):
+        if not frame.head(1):
+            raise ValueError(
+                f"ensure_bloom_upsert_tree: degenerate fixture — the "
+                f"{slice_name} benchmark slice holds no shingles, so the "
+                f"upsert referees would pass without merging anything"
+            )
     staging = make_staging(final)
-    bloom_words(base_pairs.select("g").distinct()).coalesce(1).write.parquet(
-        os.path.join(staging, "base_words")
-    )
-    # the upsert proper: persisted base words read back, delta words
-    # bit_or-folded in (a union + one bit_or aggregate — word indexes
-    # absent from one side contribute identity-0 bits)
-    base_words = spark.read.parquet(os.path.join(staging, "base_words"))
-    merged = (
-        base_words.unionByName(bloom_words(delta_pairs.select("g").distinct()))
-        .groupBy("widx")
-        .agg(F.bit_or("bits").alias("bits"))
-        .localCheckpoint()
-    )
-    assert_bloom_fill(merged, what=f"bloom_upsert[{final}]")
-    merged.coalesce(1).write.parquet(os.path.join(staging, "words"))
-    base_pairs.unionByName(delta_pairs).coalesce(4).write.parquet(
-        os.path.join(staging, "pairs")
-    )
+    try:
+        bloom_words(base_pairs.select("g").distinct()).coalesce(1).write.parquet(
+            os.path.join(staging, "base_words")
+        )
+        # the upsert proper: persisted base words read back, delta words
+        # bit_or-folded in (a union + one bit_or aggregate — word indexes
+        # absent from one side contribute identity-0 bits)
+        base_words = spark.read.parquet(os.path.join(staging, "base_words"))
+        merged = (
+            base_words.unionByName(bloom_words(delta_pairs.select("g").distinct()))
+            .groupBy("widx")
+            .agg(F.bit_or("bits").alias("bits"))
+            .localCheckpoint()
+        )
+        assert_bloom_fill(merged, what=f"bloom_upsert[{final}]")
+        merged.coalesce(1).write.parquet(os.path.join(staging, "words"))
+        base_pairs.unionByName(delta_pairs).coalesce(4).write.parquet(
+            os.path.join(staging, "pairs")
+        )
+    except Exception:
+        # failed builds must not leak staging trees (GC skips them)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     with open(os.path.join(staging, "upsert_done.json"), "w") as f:
         json.dump(
             {
@@ -1970,6 +2063,8 @@ def op_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full benchmark's shingle set."""
     up = ensure_bloom_upsert_tree(spark, sf_dir)
     full = build_bloom_index(spark, sf_dir)
+    check_bloom_meta(up)
+    check_bloom_meta(full)
     merged = spark.read.parquet(os.path.join(up, "words"))
     base = spark.read.parquet(os.path.join(up, "base_words"))
     rebuilt = spark.read.parquet(os.path.join(full, "words"))
@@ -1993,56 +2088,38 @@ def op_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # referee 1: merged == rebuilt, word for word — the
-    # adc_bitmatch_audit discipline (count equality both directions +
-    # broadcast inner join + per-pair ==) rather than a full outer
-    # join, which cannot broadcast and would SortMergeJoin even these
-    # <=65k-row frames
-    r = rebuilt.select("widx", F.col("bits").alias("r_bits"))
-    n_m = merged.agg(F.count(F.lit(1)).alias("n_m"))
-    n_r = rebuilt.agg(F.count(F.lit(1)).alias("n_r"))
-    eq = (
-        merged.join(F.broadcast(r), "widx")
-        .agg(
-            F.count(F.lit(1)).alias("n_joined_eq"),
-            F.sum(
-                F.when(F.col("bits") == F.col("r_bits"), 1).otherwise(0)
-            ).alias("n_eq"),
-        )
-        .join(F.broadcast(n_m))
-        .join(F.broadcast(n_r))
-    )
+    # referee 1: merged == rebuilt, word for word — the shared
+    # words_bitmatch_audit (adc_bitmatch discipline: count equality
+    # both directions + broadcast inner join + per-pair ==, never a
+    # full outer join that would SortMergeJoin even 65k-row frames)
+    eqa = words_bitmatch_audit(merged, rebuilt, "merged_equals_rebuilt")
     # referee 2: base subset-of merged (joined on widx; a base word
     # index missing from merged would violate monotonicity — inner
     # join + count equality catches it)
     b = base.select("widx", F.col("bits").alias("b_bits"))
     n_base = base.agg(F.count(F.lit(1)).alias("n_base"))
-    mono = merged.join(b, "widx").agg(
-        F.count(F.lit(1)).alias("n_joined"),
-        F.sum(
-            F.when(
-                F.col("b_bits").bitwiseAND(F.col("bits")) == F.col("b_bits"), 1
-            ).otherwise(0)
-        ).alias("n_mono"),
-    )
-    pop = merged.agg(F.sum(F.bit_count("bits")).alias("n_set"))
-    audit = (
-        eq.join(F.broadcast(mono))
+    mono = (
+        merged.join(b, "widx")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.sum(
+                F.when(
+                    F.col("b_bits").bitwiseAND(F.col("bits")) == F.col("b_bits"), 1
+                ).otherwise(0)
+            ).alias("n_mono"),
+        )
         .join(F.broadcast(n_base))
-        .join(F.broadcast(pop))
         .select(
-            (
-                (F.col("n_m") == F.col("n_r"))
-                & (F.col("n_joined_eq") == F.col("n_m"))
-                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined_eq"))
-            ).alias("merged_equals_rebuilt"),
             (
                 (F.col("n_joined") == F.col("n_base"))
                 & (F.coalesce(F.col("n_mono"), F.lit(0)) == F.col("n_joined"))
-            ).alias("merge_monotone"),
-            ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
-                "fill_under_max"
-            ),
+            ).alias("merge_monotone")
         )
     )
+    fill = merged.agg(F.sum(F.bit_count("bits")).alias("n_set")).select(
+        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
+            "fill_under_max"
+        )
+    )
+    audit = eqa.crossJoin(F.broadcast(mono)).crossJoin(F.broadcast(fill))
     return ledger.crossJoin(F.broadcast(audit))

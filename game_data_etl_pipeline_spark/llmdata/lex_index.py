@@ -391,7 +391,7 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (partition pruning scopes per-bucket schedules), and the df
     recompute is the same pass — no extra corpus touch, document text
     never read."""
-    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
+    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD
 
     demo = ensure_lex_upsert_tree(spark, sf_dir)
     comp = os.path.join(
@@ -401,36 +401,7 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.isfile(os.path.join(comp, "compact_done.json")):
         staging = make_staging(comp)
-        survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(
-            F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
-        )
-        (
-            survivors.repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(staging, "postings"))
-        )
-        # derived stats re-emitted from the PERSISTED surviving
-        # postings (read back from staging): the same merge pass that
-        # rewrites the segments carries the counts
-        surv_disk = spark.read.parquet(os.path.join(staging, "postings"))
-        dfq = (
-            surv_disk.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .withColumn("term_bucket", _bucket(F.col("term")))
-        )
-        (
-            dfq.repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(staging, "df"))
-        )
-        stats = (
-            surv_disk.select("doc_id", "dl")
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
+        compact_lex_postings(spark, os.path.join(demo, "postings"), staging)
         with open(os.path.join(staging, "compact_done.json"), "w") as f:
             json.dump(
                 {"version": LEX_INDEX_VERSION, "tomb_mod": TOMB_MOD}, f
@@ -438,3 +409,48 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_staging(staging, comp, marker="compact_done.json")
         prune_stale_keys(comp, sf_dir)
     return bm25_from_index(spark, comp)
+
+
+def compact_lex_postings(spark: SparkSession, src_postings: str, dest: str) -> None:
+    """The ONE lexical delete+compact algebra: read the postings at
+    ``src_postings``, drop pmod(doc_id, TOMB_MOD) == TOMB_RESIDUE
+    tombstones, rewrite ONE segment per term bucket under
+    ``dest/postings``, and RE-DERIVE df + corpus stats from the
+    PERSISTED surviving postings (read back from ``dest`` — the same
+    merge pass that rewrites the segments carries the counts; exact
+    integer math, document text never read). Shared by
+    op_lex_index_delete_compact (offline upsert tree, via staging +
+    atomic publish) and op_stream_lex_compact_serve (streamed store),
+    so the offline and streamed compaction cannot drift (round-11
+    review finding)."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
+
+    survivors = spark.read.parquet(src_postings).filter(
+        F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
+    )
+    (
+        survivors.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(dest, "postings"))
+    )
+    surv_disk = spark.read.parquet(os.path.join(dest, "postings"))
+    dfq = (
+        surv_disk.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", _bucket(F.col("term")))
+    )
+    (
+        dfq.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(dest, "df"))
+    )
+    (
+        surv_disk.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dest, "stats"))
+    )

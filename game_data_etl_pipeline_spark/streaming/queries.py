@@ -1559,14 +1559,10 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedules) and carries the stats re-derivation in the same pass,
     and next morning's queries read one segment per bucket with
     exactly the scores a from-scratch rebuild would give."""
-    from game_data_etl_pipeline_spark.llmdata.ann_index import (
-        TOMB_MOD,
-        TOMB_RESIDUE,
-        _count_parquet_files,
-    )
+    from game_data_etl_pipeline_spark.llmdata.ann_index import _count_parquet_files
     from game_data_etl_pipeline_spark.llmdata.lex_index import (
-        _bucket,
         bm25_from_index,
+        compact_lex_postings,
     )
 
     work = stream_lex_store(
@@ -1574,33 +1570,9 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = os.path.join(work, "compacted")
     shutil.rmtree(comp, ignore_errors=True)
-    survivors = spark.read.parquet(os.path.join(work, "postings")).filter(
-        F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
-    )
-    (
-        survivors.repartition("term_bucket")
-        .write.partitionBy("term_bucket")
-        .parquet(os.path.join(comp, "postings"))
-    )
-    # derived stats re-emitted from the PERSISTED surviving postings
-    # (read back from the compacted tree): the merge pass that rewrote
-    # the segments carries the counts — document text never re-read
-    surv_disk = spark.read.parquet(os.path.join(comp, "postings"))
-    (
-        surv_disk.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("term_bucket", _bucket(F.col("term")))
-        .repartition("term_bucket")
-        .write.partitionBy("term_bucket")
-        .parquet(os.path.join(comp, "df"))
-    )
-    (
-        surv_disk.select("doc_id", "dl")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
-        .coalesce(1)
-        .write.parquet(os.path.join(comp, "stats"))
-    )
+    # the shared delete+compact algebra (the same code the offline
+    # op_lex_index_delete_compact runs), pointed at the streamed store
+    compact_lex_postings(spark, os.path.join(work, "postings"), comp)
     files_before = _count_parquet_files(os.path.join(work, "postings"))
     files_after = _count_parquet_files(os.path.join(comp, "postings"))
     if not 0 < files_after < files_before:
@@ -2031,6 +2003,7 @@ def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles,
         bloom_candidates,
         bloom_words,
+        words_bitmatch_audit,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2089,32 +2062,14 @@ def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # referee: stream-folded filter == from-scratch rebuild (the one
-    # bench-side re-scan, spent only in this verification gate)
-    rebuilt = bloom_words(
-        _shingles(docs.filter(is_bench)).select("g").distinct()
-    ).select("widx", F.col("bits").alias("r_bits"))
-    n_m = words.agg(F.count(F.lit(1)).alias("n_m"))
-    n_r = rebuilt.agg(F.count(F.lit(1)).alias("n_r"))
-    eq = words.join(F.broadcast(rebuilt), "widx").agg(
-        F.count(F.lit(1)).alias("n_joined"),
-        F.sum(
-            F.when(F.col("bits") == F.col("r_bits"), 1).otherwise(0)
-        ).alias("n_eq"),
-    )
-    pop = words.agg(F.sum(F.bit_count("bits")).alias("n_set"))
-    audit = (
-        eq.join(F.broadcast(n_m))
-        .join(F.broadcast(n_r))
-        .join(F.broadcast(pop))
-        .select(
-            (
-                (F.col("n_m") == F.col("n_r"))
-                & (F.col("n_joined") == F.col("n_m"))
-                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
-            ).alias("merged_equals_rebuilt"),
-            ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
-                "fill_under_max"
-            ),
+    # bench-side re-scan, spent only in this verification gate) — the
+    # shared words_bitmatch_audit, same code as the batch upsert's
+    rebuilt = bloom_words(_shingles(docs.filter(is_bench)).select("g").distinct())
+    eqa = words_bitmatch_audit(words, rebuilt, "merged_equals_rebuilt")
+    fill = words.agg(F.sum(F.bit_count("bits")).alias("n_set")).select(
+        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
+            "fill_under_max"
         )
     )
+    audit = eqa.crossJoin(F.broadcast(fill))
     return ledger.crossJoin(F.broadcast(audit))

@@ -1244,3 +1244,39 @@ def test_bloom_screen_no_false_negatives_property(spark, corpus):
         cands_dup.exceptAll(cands).count() == 0
         and cands.exceptAll(cands_dup).count() == 0
     ), "duplicated-input probe drifted from deduped probe"
+
+
+def test_bloom_meta_geometry_handshake(tmp_path):
+    """check_bloom_meta must refuse to serve a filter persisted at a
+    different geometry: probing across bits/seeds lands positions on
+    the wrong words and silently yields false NEGATIVES — the serve
+    paths validate the artifact's recorded geometry before probing,
+    so raising BLOOM_BITS invalidates stale artifacts loudly."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata.dedup import (
+        BLOOM_BITS,
+        BLOOM_SEEDS,
+        check_bloom_meta,
+    )
+
+    good = tmp_path / "good"
+    _os.makedirs(good)
+    with open(good / "meta.json", "w") as f:
+        _json.dump({"bits": BLOOM_BITS, "seeds": list(BLOOM_SEEDS)}, f)
+    check_bloom_meta(str(good))  # must not raise
+
+    stale = tmp_path / "stale"
+    _os.makedirs(stale)
+    with open(stale / "meta.json", "w") as f:
+        _json.dump({"bits": BLOOM_BITS // 2, "seeds": list(BLOOM_SEEDS)}, f)
+    with pytest.raises(ValueError, match="geometries|rebuild"):
+        check_bloom_meta(str(stale))
+
+    unmarked = tmp_path / "unmarked"
+    _os.makedirs(unmarked)
+    with pytest.raises(ValueError, match="marker"):
+        check_bloom_meta(str(unmarked))
