@@ -1280,3 +1280,108 @@ def test_bloom_meta_geometry_handshake(tmp_path):
     _os.makedirs(unmarked)
     with pytest.raises(ValueError, match="marker"):
         check_bloom_meta(str(unmarked))
+
+
+@given(
+    st.lists(_bloom_doc.filter(bool), min_size=9, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=9, max_size=40),
+)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_fold_partition_invariance_property(spark, shingles, routes):
+    """PROPERTY: folding per-batch words tables with bit_or equals
+    building the filter from all shingles at once, for ANY partition
+    of the shingle set into batches — the algebraic fact
+    op_stream_bloom_upsert's exactness rests on (bit_or is monotone,
+    associative, commutative; duplicates across batches are
+    idempotent). Random shingle sets routed into 3 batches by a
+    random routing vector, including empty batches and cross-batch
+    duplicates."""
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.llmdata.dedup import (
+        bloom_words,
+        words_bitmatch_audit,
+    )
+
+    rows = [(g, routes[i % len(routes)]) for i, g in enumerate(shingles)]
+    df = spark.createDataFrame(rows, "g string, batch int")
+    whole = bloom_words(df.select("g"))
+    parts = [
+        bloom_words(df.filter(F.col("batch") == b).select("g")) for b in range(3)
+    ]
+    folded = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("widx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    row = words_bitmatch_audit(folded, whole, "eq").collect()[0]
+    assert row.eq, "per-batch bit_or fold diverged from the whole-set filter"
+
+
+@given(st.lists(_bloom_doc, min_size=30, max_size=60))
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+def test_lex_compact_algebra_matches_rebuild_property(spark, tmp_path_factory, corpus):
+    """PROPERTY: compact_lex_postings (tombstone-drop + per-bucket
+    rewrite + df/stats re-derivation) equals an index built from
+    scratch over the surviving documents, for ANY corpus — the
+    algebra op_lex_index_delete_compact and op_stream_lex_compact_serve
+    both rest on. Random docs (unicode, duplicates, empty strings);
+    tombstones are the shared pmod(doc_id, 17) == 3 slice."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
+    from game_data_etl_pipeline_spark.llmdata.lex_index import (
+        _bucket,
+        compact_lex_postings,
+    )
+    from game_data_etl_pipeline_spark.llmdata.text import _terms
+
+    work = str(tmp_path_factory.mktemp("lexprop"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    post = (
+        docs.select("doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _bucket(F.col("term")))
+    )
+    src = _os.path.join(work, "postings")
+    post.repartition("term_bucket").write.partitionBy("term_bucket").parquet(src)
+    dest = _os.path.join(work, "compacted")
+    compact_lex_postings(spark, src, dest)
+
+    surviving = docs.filter(F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE)
+    # postings: exactly the surviving docs' (term, doc_id, dl, tf)
+    got_post = {
+        (r.term, r.doc_id, r.dl, r.tf)
+        for r in spark.read.parquet(_os.path.join(dest, "postings")).collect()
+    }
+    want_post = {
+        (r.term, r.doc_id, r.dl, r.tf)
+        for r in surviving.select(
+            "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    assert got_post == want_post
+    # df: per-term surviving-doc counts; stats: survivor n_docs/tot_dl
+    got_df = {
+        (r.term, r.df)
+        for r in spark.read.parquet(_os.path.join(dest, "df")).collect()
+    }
+    want_df = {
+        (t, sum(1 for (term, _, _, _) in want_post if term == t))
+        for t in {term for (term, _, _, _) in want_post}
+    }
+    assert got_df == want_df
+    srow = spark.read.parquet(_os.path.join(dest, "stats")).collect()[0]
+    want_docs = {(d, dl) for (_, d, dl, _) in want_post}
+    assert srow.n_docs == len(want_docs)
+    assert (srow.tot_dl or 0) == sum(dl for _, dl in want_docs)
