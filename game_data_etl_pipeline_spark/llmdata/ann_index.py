@@ -56,9 +56,9 @@ from pyspark.sql import functions as F
 from game_data_etl_pipeline_spark.catalog import load_table
 from game_data_etl_pipeline_spark.llmdata.artifacts import (
     fingerprint_key,
-    make_staging,
     prune_stale_keys,
     publish_staging,
+    staging_tree,
 )
 from game_data_etl_pipeline_spark.llmdata.similarity import (
     IVFPQ_PROBES,
@@ -127,28 +127,28 @@ def build_ann_index(spark: SparkSession, sf_dir: str, *, force: bool = False) ->
     cells = ivf_assign(emb, cents=coarse, form="argmax").select("vec_id", "cent_id")
     postings = pq_encode(emb, pq).join(cells, "vec_id")
 
-    staging = make_staging(final)
-    coarse.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "coarse"))
-    pq.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "codebooks"))
-    (
-        postings.repartition("cent_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(os.path.join(staging, "postings"))
-    )
-    with open(os.path.join(staging, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "version": INDEX_VERSION,
-                "pq_m": PQ_M,
-                "pq_ksub": PQ_KSUB,
-                "source": sf_dir,
-            },
-            f,
+    with staging_tree(final) as staging:
+        coarse.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "coarse"))
+        pq.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "codebooks"))
+        (
+            postings.repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(staging, "postings"))
         )
-    # atomic publish (force renames the live tree aside, never rmtree
-    # in place) + GC of superseded fingerprints for this fixture
-    publish_staging(staging, final, marker="meta.json", force=force)
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "version": INDEX_VERSION,
+                    "pq_m": PQ_M,
+                    "pq_ksub": PQ_KSUB,
+                    "source": sf_dir,
+                },
+                f,
+            )
+        # atomic publish (force renames the live tree aside, never rmtree
+        # in place) + GC of superseded fingerprints for this fixture
+        publish_staging(staging, final, marker="meta.json", force=force)
     prune_stale_keys(final, sf_dir)
     return final
 
@@ -325,38 +325,38 @@ def ensure_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
     split = emb.agg(
         F.expr("max(vec_id) * 4 div 5").cast("long").alias("split")
     ).localCheckpoint(eager=True)
-    staging = make_staging(demo)
-    main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
-        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
-    )
-    base = main_postings.join(F.broadcast(split)).filter(
-        F.col("vec_id") < F.col("split")
-    )
-    (
-        base.drop("split")
-        .repartition("cent_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(os.path.join(staging, "postings"))
-    )
-    delta = (
-        emb.join(F.broadcast(split))
-        .filter(F.col("vec_id") >= F.col("split"))
-        .select("vec_id", "embedding")
-    )
-    delta_cells = ivf_assign(delta, cents=coarse, form="argmax").select(
-        "vec_id", "cent_id"
-    )
-    delta_post = pq_encode(delta, books).join(delta_cells, "vec_id")
-    (
-        delta_post.repartition("cent_id")
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(os.path.join(staging, "postings"))
-    )
-    with open(os.path.join(staging, "upsert_done.json"), "w") as f:
-        json.dump({"version": INDEX_VERSION}, f)
-    publish_staging(staging, demo, marker="upsert_done.json")
+    with staging_tree(demo) as staging:
+        main_postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+            "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+        )
+        base = main_postings.join(F.broadcast(split)).filter(
+            F.col("vec_id") < F.col("split")
+        )
+        (
+            base.drop("split")
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        delta = (
+            emb.join(F.broadcast(split))
+            .filter(F.col("vec_id") >= F.col("split"))
+            .select("vec_id", "embedding")
+        )
+        delta_cells = ivf_assign(delta, cents=coarse, form="argmax").select(
+            "vec_id", "cent_id"
+        )
+        delta_post = pq_encode(delta, books).join(delta_cells, "vec_id")
+        (
+            delta_post.repartition("cent_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        with open(os.path.join(staging, "upsert_done.json"), "w") as f:
+            json.dump({"version": INDEX_VERSION}, f)
+        publish_staging(staging, demo, marker="upsert_done.json")
     prune_stale_keys(demo, sf_dir)
     return demo
 
@@ -520,17 +520,17 @@ def ensure_compact_tree(spark: SparkSession, sf_dir: str) -> str:
     if os.path.isfile(os.path.join(comp, "compact_done.json")):
         return comp
     tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
-    staging = make_staging(comp)
-    survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(~tomb)
-    (
-        survivors.repartition("cent_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(os.path.join(staging, "postings"))
-    )
-    with open(os.path.join(staging, "compact_done.json"), "w") as f:
-        json.dump({"version": INDEX_VERSION, "tomb_mod": TOMB_MOD}, f)
-    publish_staging(staging, comp, marker="compact_done.json")
+    with staging_tree(comp) as staging:
+        survivors = spark.read.parquet(os.path.join(demo, "postings")).filter(~tomb)
+        (
+            survivors.repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        with open(os.path.join(staging, "compact_done.json"), "w") as f:
+            json.dump({"version": INDEX_VERSION, "tomb_mod": TOMB_MOD}, f)
+        publish_staging(staging, comp, marker="compact_done.json")
     prune_stale_keys(comp, sf_dir)
     return comp
 

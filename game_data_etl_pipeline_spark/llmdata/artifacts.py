@@ -44,6 +44,7 @@ import re
 import shutil
 import tempfile
 import time
+from contextlib import contextmanager
 
 # how long a force-rebuild trash tree survives before GC may reap it:
 # long enough for any in-flight scan of the old snapshot to finish
@@ -67,6 +68,25 @@ def make_staging(final: str) -> str:
     publish rename is atomic)."""
     os.makedirs(os.path.dirname(final), exist_ok=True)
     return tempfile.mkdtemp(prefix="staging_", dir=os.path.dirname(final))
+
+
+@contextmanager
+def staging_tree(final: str):
+    """``make_staging`` with guaranteed failure cleanup: yields a
+    staging dir next to ``final``; if the build body raises — a Spark
+    write failure, a saturation guard, a marker-write OSError — the
+    staging tree is removed before the exception propagates. GC never
+    touches in-flight ``staging_*`` dirs (they could be another
+    process's live build), so an unprotected builder failure would
+    otherwise leak one partial tree per retry, every driver window
+    (round-11 review finding). The happy path ends with the caller's
+    ``publish_staging`` consuming the dir inside the ``with``."""
+    staging = make_staging(final)
+    try:
+        yield staging
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
 
 def publish_staging(staging: str, final: str, *, marker: str, force: bool = False) -> None:

@@ -1,0 +1,54 @@
+"""Shared one-row equality referees over keyed DataFrames.
+
+The "bitmatch" discipline every frozen-structure replay gate uses:
+two keyed value sets are IDENTICAL iff they are count-equal in both
+directions, every key pair joins, and every value compares == (IEEE
+equality on doubles, integer equality on bitmaps — no tolerance).
+Implemented as count frames + ONE broadcast inner join (never a full
+outer join, which cannot broadcast and would SortMergeJoin even
+bounded frames). One body serves the ADC-score referees
+(similarity.adc_bitmatch_audit) and the Bloom words-table referees
+(dedup.words_bitmatch_audit), so a fix to the fold logic — the
+NULL-sum coalesce, the two-directional count — reaches every gate
+(round-11 review finding: the referee existed twice)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bitmatch_audit(
+    frame_a: DataFrame,
+    frame_b: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out: str,
+) -> DataFrame:
+    """One-row boolean frame ``out``: the (keys -> value_col) sets of
+    ``frame_a`` and ``frame_b`` are identical. Both sides empty folds
+    to TRUE (vacuous equality); a NULL sum on an empty join coalesces
+    to 0 so the fold never returns NULL."""
+    a = frame_a.select(*keys, value_col)
+    b = frame_b.select(*keys, F.col(value_col).alias("_b_val"))
+    n_a = a.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = b.agg(F.count(F.lit(1)).alias("n_b"))
+    joined = a.join(F.broadcast(b), list(keys)).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col(value_col) == F.col("_b_val"), 1).otherwise(0)
+        ).alias("n_eq"),
+    )
+    return (
+        joined.join(F.broadcast(n_a))
+        .join(F.broadcast(n_b))
+        .select(
+            (
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("n_joined") == F.col("n_a"))
+                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
+            ).alias(out)
+        )
+    )

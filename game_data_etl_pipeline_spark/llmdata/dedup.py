@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,9 +34,9 @@ from pyspark.sql import functions as F
 from game_data_etl_pipeline_spark.catalog import load_table
 from game_data_etl_pipeline_spark.llmdata.artifacts import (
     fingerprint_key,
-    make_staging,
     prune_stale_keys,
     publish_staging,
+    staging_tree,
 )
 from game_data_etl_pipeline_spark.registry import register
 
@@ -1490,7 +1490,10 @@ def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
         .filter(F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
         .groupBy("doc_id", "g")
         .agg(
-            F.expr("bit_or(shiftleft(1, CAST(seed_i AS int)))").alias("seed_mask")
+            # 1L, not 1: an int-typed shift silently overflows past 31
+            # seeds and would zero every mask — universal false
+            # negatives with no guard (round-11 review finding)
+            F.expr("bit_or(shiftleft(1L, CAST(seed_i AS int)))").alias("seed_mask")
         )
         .filter(F.col("seed_mask") == (1 << len(BLOOM_SEEDS)) - 1)
         .select("doc_id", "g")
@@ -1665,35 +1668,40 @@ def check_bloom_meta(path: str) -> None:
         )
 
 
+def _geometry_current(path: str) -> bool:
+    """Cache-validity test for the builders: True iff the persisted
+    tree's recorded geometry matches the session constants. A stale
+    geometry is a CACHE MISS, not a permanent failure — the builder
+    displaces the old tree (rename-aside through the trash-grace
+    window) and rebuilds, so raising BLOOM_BITS self-heals instead of
+    wedging every serve op until a human deletes the artifact
+    (round-11 review finding). The serve paths still call
+    ``check_bloom_meta`` as the loud invariant: after a build returns,
+    geometry always matches."""
+    try:
+        check_bloom_meta(path)
+        return True
+    except ValueError:
+        trash = f"{path}.trash.geom{os.getpid()}_{int(time.time() * 1000)}"
+        try:
+            os.rename(path, trash)
+            os.utime(trash, None)  # grace clock starts at displacement
+        except OSError:
+            pass  # a concurrent builder already displaced it
+        return False
+
+
 def words_bitmatch_audit(
     words_a: DataFrame, words_b: DataFrame, out: str
 ) -> DataFrame:
     """One-row boolean frame ``out``: two (widx, bits) words tables
-    are IDENTICAL — count equality both directions, every widx
-    joined, every 64-bit word == (the adc_bitmatch_audit discipline
-    on the bitmap domain; broadcast inner join, never a full outer
-    that would SortMergeJoin). Shared by op_bloom_index_upsert and
-    op_stream_bloom_upsert so the two merge referees cannot drift."""
-    b = words_b.select("widx", F.col("bits").alias("b_bits"))
-    n_a = words_a.agg(F.count(F.lit(1)).alias("n_a"))
-    n_b = words_b.agg(F.count(F.lit(1)).alias("n_b"))
-    joined = words_a.join(F.broadcast(b), "widx").agg(
-        F.count(F.lit(1)).alias("n_joined"),
-        F.sum(
-            F.when(F.col("bits") == F.col("b_bits"), 1).otherwise(0)
-        ).alias("n_eq"),
-    )
-    return (
-        joined.join(F.broadcast(n_a))
-        .join(F.broadcast(n_b))
-        .select(
-            (
-                (F.col("n_a") == F.col("n_b"))
-                & (F.col("n_joined") == F.col("n_a"))
-                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
-            ).alias(out)
-        )
-    )
+    are IDENTICAL — the shared ``audits.bitmatch_audit`` referee on
+    the bitmap domain (adc_bitmatch_audit's twin). Used by
+    op_bloom_index_upsert and op_stream_bloom_upsert so the two merge
+    referees cannot drift."""
+    from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
+
+    return bitmatch_audit(words_a, words_b, ["widx"], "bits", out)
 
 
 def bloom_index_dir(sf_dir: str) -> str:
@@ -1717,7 +1725,7 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
     shared with the ANN and lexical indexes."""
     global _BLOOM_BUILD_COUNT
     final = bloom_index_dir(sf_dir)
-    if os.path.isfile(os.path.join(final, "meta.json")):
+    if os.path.isfile(os.path.join(final, "meta.json")) and _geometry_current(final):
         return final
     _BLOOM_BUILD_COUNT += 1
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1728,8 +1736,7 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
         .distinct()
         .localCheckpoint()  # one bench shingle pass feeds pairs + words
     )
-    staging = make_staging(final)
-    try:
+    with staging_tree(final) as staging:
         pairs.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(staging, "pairs")
         )
@@ -1738,25 +1745,20 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
         # geometry must fail the build loudly, never publish a filter
         # that silently over-removes (round-10 verdict task 3)
         fill = assert_bloom_fill(words, what=f"bloom_index[{final}]")
-    except Exception:
-        # a failed build must not leak its staging tree — GC never
-        # touches in-flight staging_* dirs, so a saturated benchmark
-        # retried every driver window would otherwise accrete one
-        # full pair set per attempt (round-11 review finding)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    words.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "words"))
-    with open(os.path.join(staging, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "version": BLOOM_INDEX_VERSION,
-                "bits": BLOOM_BITS,
-                "seeds": list(BLOOM_SEEDS),
-                "fill_ratio": fill,
-            },
-            f,
+        words.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "words")
         )
-    publish_staging(staging, final, marker="meta.json")
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "version": BLOOM_INDEX_VERSION,
+                    "bits": BLOOM_BITS,
+                    "seeds": list(BLOOM_SEEDS),
+                    "fill_ratio": fill,
+                },
+                f,
+            )
+        publish_staging(staging, final, marker="meta.json")
     prune_stale_keys(final, sf_dir)
     return final
 
@@ -1935,7 +1937,9 @@ def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
         f"upsert_v{BLOOM_INDEX_VERSION}",
         fingerprint_key(sf_dir, "documents.parquet"),
     )
-    if os.path.isfile(os.path.join(final, "upsert_done.json")):
+    if os.path.isfile(os.path.join(final, "upsert_done.json")) and _geometry_current(
+        final
+    ):
         return final
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base_pairs = (
@@ -1964,8 +1968,7 @@ def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
                 f"{slice_name} benchmark slice holds no shingles, so the "
                 f"upsert referees would pass without merging anything"
             )
-    staging = make_staging(final)
-    try:
+    with staging_tree(final) as staging:
         bloom_words(base_pairs.select("g").distinct()).coalesce(1).write.parquet(
             os.path.join(staging, "base_words")
         )
@@ -1984,22 +1987,18 @@ def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
         base_pairs.unionByName(delta_pairs).coalesce(4).write.parquet(
             os.path.join(staging, "pairs")
         )
-    except Exception:
-        # failed builds must not leak staging trees (GC skips them)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    with open(os.path.join(staging, "upsert_done.json"), "w") as f:
-        json.dump(
-            {
-                "version": BLOOM_INDEX_VERSION,
-                "bits": BLOOM_BITS,
-                "seeds": list(BLOOM_SEEDS),
-                "base_slice": "doc_id % 6 == 0",
-                "delta_slice": "doc_id % 6 == 3",
-            },
-            f,
-        )
-    publish_staging(staging, final, marker="upsert_done.json")
+        with open(os.path.join(staging, "upsert_done.json"), "w") as f:
+            json.dump(
+                {
+                    "version": BLOOM_INDEX_VERSION,
+                    "bits": BLOOM_BITS,
+                    "seeds": list(BLOOM_SEEDS),
+                    "base_slice": "doc_id % 6 == 0",
+                    "delta_slice": "doc_id % 6 == 3",
+                },
+                f,
+            )
+        publish_staging(staging, final, marker="upsert_done.json")
     prune_stale_keys(final, sf_dir)
     return final
 

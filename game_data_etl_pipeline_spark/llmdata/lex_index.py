@@ -42,9 +42,9 @@ from pyspark.sql import functions as F
 from game_data_etl_pipeline_spark.catalog import load_table
 from game_data_etl_pipeline_spark.llmdata.artifacts import (
     fingerprint_key,
-    make_staging,
     prune_stale_keys,
     publish_staging,
+    staging_tree,
 )
 from game_data_etl_pipeline_spark.llmdata.text import BM25_CTES, _terms
 from game_data_etl_pipeline_spark.registry import register
@@ -112,23 +112,25 @@ def build_lex_index(spark: SparkSession, sf_dir: str) -> str:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_terms())).alias("tot_dl"),
     )
-    staging = make_staging(final)
-    (
-        postings.repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(staging, "postings"))
-    )
-    (
-        dfq.repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(staging, "df"))
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
-    with open(os.path.join(staging, "meta.json"), "w") as f:
-        json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
-    publish_staging(staging, final, marker="meta.json")
+    with staging_tree(final) as staging:
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        (
+            dfq.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(staging, "df"))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "stats")
+        )
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
+        publish_staging(staging, final, marker="meta.json")
     prune_stale_keys(final, sf_dir)
     return final
 
@@ -246,71 +248,71 @@ def ensure_lex_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
     )
     if os.path.isfile(os.path.join(demo, "upsert_done.json")):
         return demo
-    staging = make_staging(demo)
-    docs = load_table(spark, sf_dir, "documents")
-    split = docs.agg(
-        F.expr("max(doc_id) * 4 div 5").cast("long").alias("split")
-    ).localCheckpoint(eager=True)
-    with_split = docs.join(F.broadcast(split))
+    with staging_tree(demo) as staging:
+        docs = load_table(spark, sf_dir, "documents")
+        split = docs.agg(
+            F.expr("max(doc_id) * 4 div 5").cast("long").alias("split")
+        ).localCheckpoint(eager=True)
+        with_split = docs.join(F.broadcast(split))
 
-    def _index_parts(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-        t = d.select(
-            "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+        def _index_parts(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+            t = d.select(
+                "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+            )
+            postings = (
+                t.groupBy("term", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("term_bucket", _bucket(F.col("term")))
+            )
+            dfq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            stats = d.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(_terms())).alias("tot_dl"),
+            )
+            return postings, dfq, stats
+
+        def _write_bucketed(frame: DataFrame, sub: str, mode: str = "overwrite") -> None:
+            (
+                frame.repartition("term_bucket")
+                .write.mode(mode)
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(staging, sub))
+            )
+
+        # phase 1: the pre-existing BASE index (persisted artifacts)
+        base_p, base_df, base_st = _index_parts(
+            with_split.filter(F.col("doc_id") < F.col("split"))
         )
-        postings = (
-            t.groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
+        _write_bucketed(base_p, "postings")
+        _write_bucketed(base_df.withColumn("term_bucket", _bucket(F.col("term"))), "df_base")
+        base_st.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "stats_base")
+        )
+        # phase 2, the UPSERT: O(delta) tokenize + partition-aligned
+        # posting append; df/stats re-emitted by merging the PERSISTED
+        # base artifacts (read back from disk) with the delta counts
+        delta_p, delta_df, delta_st = _index_parts(
+            with_split.filter(F.col("doc_id") >= F.col("split"))
+        )
+        _write_bucketed(delta_p, "postings", mode="append")
+        merged_df = (
+            spark.read.parquet(os.path.join(staging, "df_base"))
+            .select("term", "df")
+            .unionByName(delta_df)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
             .withColumn("term_bucket", _bucket(F.col("term")))
         )
-        dfq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        stats = d.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(_terms())).alias("tot_dl"),
+        _write_bucketed(merged_df, "df")
+        base_st_disk = spark.read.parquet(os.path.join(staging, "stats_base"))
+        merged_st = (
+            base_st_disk.unionByName(delta_st)
+            .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_dl").alias("tot_dl"))
         )
-        return postings, dfq, stats
-
-    def _write_bucketed(frame: DataFrame, sub: str, mode: str = "overwrite") -> None:
-        (
-            frame.repartition("term_bucket")
-            .write.mode(mode)
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(staging, sub))
-        )
-
-    # phase 1: the pre-existing BASE index (persisted artifacts)
-    base_p, base_df, base_st = _index_parts(
-        with_split.filter(F.col("doc_id") < F.col("split"))
-    )
-    _write_bucketed(base_p, "postings")
-    _write_bucketed(base_df.withColumn("term_bucket", _bucket(F.col("term"))), "df_base")
-    base_st.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(staging, "stats_base")
-    )
-    # phase 2, the UPSERT: O(delta) tokenize + partition-aligned
-    # posting append; df/stats re-emitted by merging the PERSISTED
-    # base artifacts (read back from disk) with the delta counts
-    delta_p, delta_df, delta_st = _index_parts(
-        with_split.filter(F.col("doc_id") >= F.col("split"))
-    )
-    _write_bucketed(delta_p, "postings", mode="append")
-    merged_df = (
-        spark.read.parquet(os.path.join(staging, "df_base"))
-        .select("term", "df")
-        .unionByName(delta_df)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .withColumn("term_bucket", _bucket(F.col("term")))
-    )
-    _write_bucketed(merged_df, "df")
-    base_st_disk = spark.read.parquet(os.path.join(staging, "stats_base"))
-    merged_st = (
-        base_st_disk.unionByName(delta_st)
-        .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_dl").alias("tot_dl"))
-    )
-    merged_st.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
-    with open(os.path.join(staging, "upsert_done.json"), "w") as f:
-        json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
-    publish_staging(staging, demo, marker="upsert_done.json")
+        merged_st.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats"))
+        with open(os.path.join(staging, "upsert_done.json"), "w") as f:
+            json.dump({"version": LEX_INDEX_VERSION, "buckets": LEX_BUCKETS}, f)
+        publish_staging(staging, demo, marker="upsert_done.json")
     prune_stale_keys(demo, sf_dir)
     return demo
 
@@ -400,13 +402,13 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_key(sf_dir, "documents.parquet"),
     )
     if not os.path.isfile(os.path.join(comp, "compact_done.json")):
-        staging = make_staging(comp)
-        compact_lex_postings(spark, os.path.join(demo, "postings"), staging)
-        with open(os.path.join(staging, "compact_done.json"), "w") as f:
-            json.dump(
-                {"version": LEX_INDEX_VERSION, "tomb_mod": TOMB_MOD}, f
-            )
-        publish_staging(staging, comp, marker="compact_done.json")
+        with staging_tree(comp) as staging:
+            compact_lex_postings(spark, os.path.join(demo, "postings"), staging)
+            with open(os.path.join(staging, "compact_done.json"), "w") as f:
+                json.dump(
+                    {"version": LEX_INDEX_VERSION, "tomb_mod": TOMB_MOD}, f
+                )
+            publish_staging(staging, comp, marker="compact_done.json")
         prune_stale_keys(comp, sf_dir)
     return bm25_from_index(spark, comp)
 

@@ -1349,29 +1349,15 @@ def adc_bitmatch_audit(adc_a: DataFrame, adc_b: DataFrame) -> DataFrame:
     for every frozen-structure replay claim: a store derived from the
     main build artifact (compacted tree, streamed segments) must
     reproduce its ADC scores exactly, because the router and codebooks
-    are frozen and encode is deterministic. Both sides empty folds to
-    TRUE (vacuous equality); a NULL sum on an empty join coalesces to
-    0 so the fold never returns NULL."""
-    a = adc_a.select("query_id", "vec_id", "adc_sqdist")
-    b = adc_b.select("query_id", "vec_id", F.col("adc_sqdist").alias("b_adc"))
-    n_a = a.agg(F.count(F.lit(1)).alias("n_a"))
-    n_b = b.agg(F.count(F.lit(1)).alias("n_b"))
-    joined = a.join(F.broadcast(b), ["query_id", "vec_id"]).agg(
-        F.count(F.lit(1)).alias("n_joined"),
-        F.sum(
-            F.when(F.col("adc_sqdist") == F.col("b_adc"), 1).otherwise(0)
-        ).alias("n_eq"),
-    )
-    return (
-        joined.join(F.broadcast(n_a))
-        .join(F.broadcast(n_b))
-        .select(
-            (
-                (F.col("n_a") == F.col("n_b"))
-                & (F.col("n_joined") == F.col("n_a"))
-                & (F.coalesce(F.col("n_eq"), F.lit(0)) == F.col("n_joined"))
-            ).alias("adc_bitmatch_vs_main")
-        )
+    are frozen and encode is deterministic. Delegates to the shared
+    ``audits.bitmatch_audit`` (one referee body for the ADC and the
+    Bloom-words domains): both sides empty folds to TRUE (vacuous
+    equality); a NULL sum on an empty join coalesces to 0 so the fold
+    never returns NULL."""
+    from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
+
+    return bitmatch_audit(
+        adc_a, adc_b, ["query_id", "vec_id"], "adc_sqdist", "adc_bitmatch_vs_main"
     )
 
 

@@ -1385,3 +1385,53 @@ def test_lex_compact_algebra_matches_rebuild_property(spark, tmp_path_factory, c
     want_docs = {(d, dl) for (_, d, dl, _) in want_post}
     assert srow.n_docs == len(want_docs)
     assert (srow.tot_dl or 0) == sum(dl for _, dl in want_docs)
+
+
+def test_staging_tree_cleans_up_on_failure(tmp_path):
+    """staging_tree must remove the staging dir when the build body
+    raises — GC skips in-flight staging_* dirs, so an unprotected
+    builder failure would leak one partial tree per retry."""
+    import os as _os
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata.artifacts import staging_tree
+
+    final = str(tmp_path / "v1" / "root_tmp_fix_1_2")
+    with pytest.raises(RuntimeError):
+        with staging_tree(final) as staging:
+            with open(_os.path.join(staging, "partial.parquet"), "w") as f:
+                f.write("x")
+            raise RuntimeError("simulated mid-build failure")
+    leftovers = [d for d in _os.listdir(tmp_path / "v1") if d.startswith("staging_")]
+    assert leftovers == [], f"staging tree leaked: {leftovers}"
+
+
+def test_bloom_build_self_heals_stale_geometry(spark, sf_dir, tmp_path, monkeypatch):
+    """A persisted filter whose recorded geometry mismatches the
+    session constants is a CACHE MISS, not a permanent failure:
+    build_bloom_index must displace the stale tree (rename-aside
+    through the trash-grace window) and rebuild at the current
+    geometry, so raising BLOOM_BITS self-heals instead of wedging
+    every serve op until a human deletes the artifact."""
+    import json as _json
+    import os as _os
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
+    stale = dd.bloom_index_dir(sf_dir)
+    _os.makedirs(stale)
+    with open(_os.path.join(stale, "meta.json"), "w") as f:
+        _json.dump({"version": 1, "bits": 64, "seeds": [1, 2, 3]}, f)
+
+    rebuilt = dd.build_bloom_index(spark, sf_dir)
+    assert rebuilt == stale  # same key, fresh tree
+    with open(_os.path.join(rebuilt, "meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["bits"] == dd.BLOOM_BITS
+    assert list(meta["seeds"]) == list(dd.BLOOM_SEEDS)
+    dd.check_bloom_meta(rebuilt)  # the serve-time invariant now holds
+    version_dir = _os.path.dirname(rebuilt)
+    displaced = [d for d in _os.listdir(version_dir) if ".trash.geom" in d]
+    assert len(displaced) == 1, "stale-geometry tree must be displaced, not deleted"
