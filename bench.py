@@ -100,25 +100,28 @@ V2_EXTRA = (
     "op_stream_bloom_upsert",          # r11: benchmark-delta filter merge as a stream
 )
 
-# The previous round's recorded frozen-suite total and host probes
-# (BENCH_r06.json). normalized_vs_prev divides this round's total by
-# the probe ratio so a host shift is read off the artifact instead of
-# re-derived by the judge (the round-6 adjudication: a uniform ~1.7x
-# "slowdown" that was entirely hardware). Update each round after the
-# driver records BENCH_r{N}.json.
-# r10 note: the driver-recorded BENCH_r10.json tail was again truncated
-# before its calibration block, so (the r8-r10 convention) these values
-# come from the r10 judge's probe-matched run on the final r10 tree
-# (VERDICT.md round 10): raw frozen total_min 16.88 s with probes py
-# 0.673 / jvm 0.2574 — BOTH probes agreed the host ran 1.13-1.15x slow
-# (py 1.154x, jvm 1.132x of the r8 reference frame), so normalization
-# was trustworthy that session. The total is seeded jvm-NORMALIZED into
-# the r8-judge frame (16.34) and paired with that frame's probes, so
-# this round's jvm_ratio divides out whatever the current host does
-# relative to the same fixed frame.
+# The previous round's recorded frozen-suite total and host probes.
+# normalized_vs_prev divides this round's total by the probe ratio so
+# a host shift is read off the artifact instead of re-derived by the
+# judge (the round-6 adjudication: a uniform ~1.7x "slowdown" that was
+# entirely hardware). Update each round after the driver records
+# BENCH_r{N}.json.
+# r11 note: the driver-recorded BENCH_r11.json tail was again truncated
+# before its calibration block, so (the r8+ convention) these values
+# come from the r11 judge's probe-matched run on the final r11 tree
+# (VERDICT.md round 11): raw frozen total_min 16.632 s with probes py
+# 0.5819 / jvm 0.2775. The probes DISAGREED that session (py 1.00x vs
+# jvm 1.22x of the r8 reference frame), so the r11 total cannot be
+# normalized to a single point — it is seeded into the fixed r8 frame
+# under EACH probe separately (jvm 16.632/1.2209 = 13.623; py
+# 16.632/0.9981 = 16.664) and total_ratio is reported per chain: if
+# the same probe tracked the host in both sessions, its chain is
+# exact, so when the two chains split by >10% read the BAND, not a
+# point (r11 verdict task 4).
 PREV = {
-    "round": 10,
-    "frozen_total_sec": 16.34,
+    "round": 11,
+    "frozen_total_min_jvm_frame": 13.623,
+    "frozen_total_min_py_frame": 16.664,
     "py_spin_sec": 0.583,
     "jvm_spin_sec": 0.2273,
 }
@@ -271,15 +274,27 @@ def main() -> None:
     # primary normalizer (the suite is JVM-codegen-bound like the
     # probe); the py probe is reported as a cross-check. A ratio near
     # 1.0 in normalized_vs_prev.total_ratio means "same engine speed
-    # as last round once the host is factored out".
+    # as last round once the host is factored out". Numerator is
+    # total_MIN, the documented host-noise floor — the PREV totals are
+    # min-seeded, so the median would mix noise classes (r11 verdict
+    # task 4: the median-based ratio read 1.056 while every min-based
+    # read sat at 0.83-1.02). Each chain (jvm / py) is self-consistent
+    # end-to-end; when host_ratio_jvm and host_ratio_py split by >10%
+    # (probe_disagreement) the truth lies in the [ratio_jvm, ratio_py]
+    # band and neither single number should be quoted alone.
     jvm_ratio = calibration["jvm_spin_sec"] / PREV["jvm_spin_sec"]
     py_ratio = calibration["py_spin_sec"] / PREV["py_spin_sec"]
+    ratio_jvm = (total_min / jvm_ratio) / PREV["frozen_total_min_jvm_frame"]
+    ratio_py = (total_min / py_ratio) / PREV["frozen_total_min_py_frame"]
     normalized = {
         "vs_round": PREV["round"],
         "host_ratio_jvm": round(jvm_ratio, 4),
         "host_ratio_py": round(py_ratio, 4),
-        "total_normalized_sec": round(total / jvm_ratio, 4),
-        "total_ratio": round((total / jvm_ratio) / PREV["frozen_total_sec"], 4),
+        "total_min_normalized_jvm": round(total_min / jvm_ratio, 4),
+        "total_min_normalized_py": round(total_min / py_ratio, 4),
+        "total_ratio": round(ratio_jvm, 4),
+        "total_ratio_py": round(ratio_py, 4),
+        "probe_disagreement": abs(jvm_ratio / py_ratio - 1.0) > 0.10,
     }
 
     print(

@@ -1270,10 +1270,15 @@ def op_dedup_audit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_corpus_decontaminate",
-    tags=("llm", "dedup", "curation"),
-    oracle="""
+# The decontamination family's shared DuckDB replay, ONE source of
+# truth (round-11 verdict task 5: the ledger CTE block was pasted
+# verbatim into six registrations — the Spark side already shared one
+# probe chain, but a ledger edit could silently drift five of the six
+# oracle copies). ``DECONTAM_DG_CTES`` replays the deduped
+# (doc_id, 5-gram shingle) projection; ``decontam_ledger_oracle``
+# appends the bench/train %3 split and the per-doc contamination
+# ledger, with each op's audit literals as TRUE columns.
+DECONTAM_DG_CTES = """
         WITH sh AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
         ),
@@ -1284,15 +1289,35 @@ def op_dedup_audit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                || ' ' || t[i+4] || ' ' || t[i+5])) AS g
             FROM sh WHERE len(t) >= 5
         ),
-        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),"""
+
+
+def decontam_ledger_oracle(*audit_cols: str) -> str:
+    """The exact-screen contamination-ledger oracle with ``audit_cols``
+    as trailing TRUE literals — every decontamination gate (batch,
+    Bloom, served, upsert, streamed) shares this one construction, so
+    the ledger semantics cannot drift between registrations."""
+    audits = "".join(f",\n               TRUE AS {c}" for c in audit_cols)
+    return (
+        DECONTAM_DG_CTES
+        + """
         bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
         train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
         SELECT t.doc_id,
                CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
-               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs
+               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs"""
+        + audits
+        + """
         FROM train t JOIN bench b ON t.g = b.g
         GROUP BY t.doc_id
-    """,
+    """
+    )
+
+
+@register(
+    "op_corpus_decontaminate",
+    tags=("llm", "dedup", "curation"),
+    oracle=decontam_ledger_oracle(),
 )
 def op_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION — the cross-set n-gram overlap screen
@@ -1507,28 +1532,7 @@ def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
     # pre-filtering + exact rescreen must reproduce the exact ledger
     # (no false negatives is a THEOREM for a Bloom filter; the rescreen
     # kills the false positives), so DuckDB replays the same values
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        grams AS (
-            SELECT doc_id,
-                   UNNEST(list_transform(range(len(t) - 4),
-                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
-            FROM sh WHERE len(t) >= 5
-        ),
-        dg AS (SELECT DISTINCT doc_id, g FROM grams),
-        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
-        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
-        SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
-               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
-               TRUE AS bloom_no_false_negatives,
-               TRUE AS bloom_pruned
-        FROM train t JOIN bench b ON t.g = b.g
-        GROUP BY t.doc_id
-    """,
+    oracle=decontam_ledger_oracle("bloom_no_false_negatives", "bloom_pruned"),
 )
 def op_corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op_corpus_decontaminate's 100 TB FORM — the Bloom-filter
@@ -1760,6 +1764,12 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
             )
         publish_staging(staging, final, marker="meta.json")
     prune_stale_keys(final, sf_dir)
+    # post-publish invariant: if the stale tree could not be displaced
+    # (_geometry_current swallows non-ENOENT OSErrors too) the publish
+    # rename fails and its race fallback would accept the STALE tree's
+    # marker — re-validate so build_bloom_index can never return a
+    # tree whose geometry mismatches the session (round-11 advice)
+    check_bloom_meta(final)
     return final
 
 
@@ -1768,27 +1778,7 @@ def build_bloom_index(spark: SparkSession, sf_dir: str) -> str:
     tags=("llm", "dedup", "curation", "scale", "index"),
     # the exact screen's ledger VERBATIM plus the pruning audit — the
     # served path must reproduce the offline screen value for value
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        grams AS (
-            SELECT doc_id,
-                   UNNEST(list_transform(range(len(t) - 4),
-                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
-            FROM sh WHERE len(t) >= 5
-        ),
-        dg AS (SELECT DISTINCT doc_id, g FROM grams),
-        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
-        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
-        SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
-               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
-               TRUE AS bloom_pruned
-        FROM train t JOIN bench b ON t.g = b.g
-        GROUP BY t.doc_id
-    """,
+    oracle=decontam_ledger_oracle("bloom_pruned"),
 )
 def op_corpus_decontaminate_bloom_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE PERSISTED CONTAMINATION FILTER — the decontamination
@@ -2000,6 +1990,7 @@ def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
             )
         publish_staging(staging, final, marker="upsert_done.json")
     prune_stale_keys(final, sf_dir)
+    check_bloom_meta(final)  # same post-publish invariant as the build
     return final
 
 
@@ -2009,29 +2000,9 @@ def ensure_bloom_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
     # the exact screen's ledger VERBATIM (screening from the upserted
     # filter changes where the filter came from, not one ledger value)
     # plus the three audit literals
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        grams AS (
-            SELECT doc_id,
-                   UNNEST(list_transform(range(len(t) - 4),
-                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
-            FROM sh WHERE len(t) >= 5
-        ),
-        dg AS (SELECT DISTINCT doc_id, g FROM grams),
-        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
-        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
-        SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
-               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
-               TRUE AS merged_equals_rebuilt,
-               TRUE AS merge_monotone,
-               TRUE AS fill_under_max
-        FROM train t JOIN bench b ON t.g = b.g
-        GROUP BY t.doc_id
-    """,
+    oracle=decontam_ledger_oracle(
+        "merged_equals_rebuilt", "merge_monotone", "fill_under_max"
+    ),
 )
 def op_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCHMARK-DELTA UPSERT of the persisted contamination filter —

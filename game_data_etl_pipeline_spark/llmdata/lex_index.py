@@ -413,23 +413,38 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(spark, comp)
 
 
-def compact_lex_postings(spark: SparkSession, src_postings: str, dest: str) -> None:
+def compact_lex_postings(
+    spark: SparkSession,
+    src_postings: str,
+    dest: str,
+    tombstones: DataFrame | None = None,
+) -> None:
     """The ONE lexical delete+compact algebra: read the postings at
-    ``src_postings``, drop pmod(doc_id, TOMB_MOD) == TOMB_RESIDUE
-    tombstones, rewrite ONE segment per term bucket under
-    ``dest/postings``, and RE-DERIVE df + corpus stats from the
-    PERSISTED surviving postings (read back from ``dest`` — the same
-    merge pass that rewrites the segments carries the counts; exact
-    integer math, document text never read). Shared by
+    ``src_postings``, drop tombstoned documents, rewrite ONE segment
+    per term bucket under ``dest/postings``, and RE-DERIVE df + corpus
+    stats from the PERSISTED surviving postings (read back from
+    ``dest`` — the same merge pass that rewrites the segments carries
+    the counts; exact integer math, document text never read).
+    ``tombstones`` is a (doc_id) DataFrame — the id-list shape a real
+    purge request has — broadcast into a left-anti join (the list is
+    bounded by construction, so survivors never shuffle on doc_id);
+    ``None`` keeps the deterministic pmod(doc_id, TOMB_MOD) ==
+    TOMB_RESIDUE residue fixture. Shared by
     op_lex_index_delete_compact (offline upsert tree, via staging +
-    atomic publish) and op_stream_lex_compact_serve (streamed store),
-    so the offline and streamed compaction cannot drift (round-11
-    review finding)."""
+    atomic publish), op_stream_lex_compact_serve (streamed store),
+    and op_lex_lifecycle_e2e (the composed lineage), so no two
+    compaction paths can drift (round-11 review finding)."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
 
-    survivors = spark.read.parquet(src_postings).filter(
-        F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
-    )
+    src = spark.read.parquet(src_postings)
+    if tombstones is None:
+        survivors = src.filter(
+            F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
+        )
+    else:
+        survivors = src.join(
+            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
     (
         survivors.repartition("term_bucket")
         .write.mode("overwrite")
@@ -456,3 +471,108 @@ def compact_lex_postings(spark: SparkSession, src_postings: str, dest: str) -> N
         .write.mode("overwrite")
         .parquet(os.path.join(dest, "stats"))
     )
+
+
+def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the COMPOSED-lifecycle end state for the
+    lexical family: one lineage walked build -> delta upsert (the
+    ensure_lex_upsert_tree end state: merged df/stats, two posting
+    segments per bucket) -> id-LIST tombstone (TOMB_IDS, the
+    purge-request shape) -> compact through the shared
+    ``compact_lex_postings`` algebra (one segment per bucket, df and
+    corpus stats re-derived from the survivors). Staged + atomically
+    published + superseded keys pruned; the upsert tree stays live."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_IDS,
+        tombstone_ids_df,
+    )
+
+    demo = ensure_lex_upsert_tree(spark, sf_dir)
+    e2e = os.path.join(
+        _lex_root(),
+        f"e2e_v{LEX_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    if os.path.isfile(os.path.join(e2e, "e2e_done.json")):
+        return e2e
+    with staging_tree(e2e) as staging:
+        compact_lex_postings(
+            spark,
+            os.path.join(demo, "postings"),
+            staging,
+            tombstones=tombstone_ids_df(spark, "doc_id"),
+        )
+        with open(os.path.join(staging, "e2e_done.json"), "w") as f:
+            json.dump(
+                {
+                    "version": LEX_INDEX_VERSION,
+                    "buckets": LEX_BUCKETS,
+                    "tomb_ids": list(TOMB_IDS),
+                },
+                f,
+            )
+        publish_staging(staging, e2e, marker="e2e_done.json")
+    prune_stale_keys(e2e, sf_dir)
+    return e2e
+
+
+def _e2e_survivor_oracle() -> str:
+    """op_text_bm25's oracle recomputed over the e2e lineage's NET
+    corpus (documents minus the TOMB_IDS purge list) — the id list is
+    generated from the same constant the compactor anti-joins, so the
+    Spark side and the oracle cannot drift."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_IDS_SQL
+
+    return BM25_CTES.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id NOT IN {TOMB_IDS_SQL})"
+        " documents",
+    ) + """
+        SELECT doc_id, bm25, n_terms_hit FROM bm
+    """
+
+
+@register(
+    "op_lex_lifecycle_e2e",
+    tags=("llm", "text", "index"),
+    oracle=_e2e_survivor_oracle(),
+)
+def op_lex_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL LIFECYCLE COMPOSED ON ONE LINEAGE — round-11 verdict
+    task 2 on the lexical side: build (base slice) -> delta upsert
+    (exact integer df/stats merge) -> id-LIST tombstone (TOMB_IDS —
+    task 3's purge-request shape, anti-joined by the shared
+    ``compact_lex_postings`` algebra instead of the residue predicate
+    the per-transition gates use) -> compact (one segment per bucket,
+    df and corpus stats RE-DERIVED from the survivors) -> serve.
+
+    Gate: serving BM25 from the lineage's end state is held to
+    BIT-EQUALITY with op_text_bm25's oracle recomputed over
+    ``documents WHERE doc_id NOT IN TOMB_IDS`` — because every merged
+    statistic is an exact integer and the score is the one shared
+    IEEE expression, the end state of build -> upsert -> purge ->
+    compact IS the from-scratch index of the net corpus, IDF shifts
+    and all, and the driver's value hash proves it per doc. A pytest
+    additionally pins the end-state artifacts (postings, df, stats)
+    row-for-row equal to a from-scratch build over the survivor
+    corpus (tests/test_llmdata.py). Segment hygiene is enforced
+    loudly: the compacted tree must hold strictly fewer parquet files
+    than the 2-segments-per-bucket upsert tree.
+
+    At 100 TB this is the inverted index's whole life as one provable
+    pipeline: the build amortizes, deltas land O(delta), the purge
+    list broadcasts into a map-side anti-join, the merge re-derives
+    df/stats in the same per-bucket pass that rewrites the segments,
+    and the morning's scores are the scores a fresh index would give."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import _count_parquet_files
+
+    demo = ensure_lex_upsert_tree(spark, sf_dir)
+    e2e = ensure_lex_e2e_tree(spark, sf_dir)
+    files_before = _count_parquet_files(os.path.join(demo, "postings"))
+    files_after = _count_parquet_files(os.path.join(e2e, "postings"))
+    if not 0 < files_after < files_before:
+        raise ValueError(
+            f"op_lex_lifecycle_e2e: compaction did not merge segments "
+            f"({files_before} -> {files_after} parquet files)"
+        )
+    return bm25_from_index(spark, e2e)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.dedup import decontam_ledger_oracle
 from game_data_etl_pipeline_spark.llmdata.text import BM25_CTES
 from game_data_etl_pipeline_spark.registry import register
 from game_data_etl_pipeline_spark.streaming.engine import events_stream, run_to_memory
@@ -1742,6 +1743,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         TOMB_MOD,
         TOMB_RESIDUE,
         _count_parquet_files,
+        compact_ann_postings,
         read_ann_index,
     )
     from game_data_etl_pipeline_spark.llmdata.similarity import (
@@ -1757,19 +1759,13 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
 
     # compact: drop tombstones, merge the per-commit appends into ONE
-    # segment per cell (repartition by cell -> one file per non-empty
-    # cell under partitionBy) in a sibling tree — the streamed store
-    # itself is never mutated, the ensure_compact_tree discipline
+    # segment per cell in a sibling tree — the shared
+    # compact_ann_postings algebra (the same code ensure_compact_tree
+    # and the e2e lineage run), pointed at the streamed store; the
+    # store itself is never mutated, the ensure_compact_tree discipline
     compacted_dir = os.path.join(os.path.dirname(store), "compacted")
     shutil.rmtree(compacted_dir, ignore_errors=True)
-    (
-        spark.read.parquet(store)
-        .filter(~tomb)
-        .select("vec_id", "codes", "cent_id")
-        .repartition("cent_id")
-        .write.partitionBy("cent_id")
-        .parquet(compacted_dir)
-    )
+    compact_ann_postings(spark, store, compacted_dir)
     files_before = _count_parquet_files(store)
     files_after = _count_parquet_files(compacted_dir)
 
@@ -1811,27 +1807,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     # op_corpus_decontaminate's ledger VERBATIM plus the pruning audit:
     # screening the training docs AS THEY ARRIVE, batch by batch, must
     # reproduce the offline whole-corpus screen value for value
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        grams AS (
-            SELECT doc_id,
-                   UNNEST(list_transform(range(len(t) - 4),
-                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
-            FROM sh WHERE len(t) >= 5
-        ),
-        dg AS (SELECT DISTINCT doc_id, g FROM grams),
-        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
-        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
-        SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
-               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
-               TRUE AS bloom_pruned
-        FROM train t JOIN bench b ON t.g = b.g
-        GROUP BY t.doc_id
-    """,
+    oracle=decontam_ledger_oracle("bloom_pruned"),
 )
 def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECONTAMINATION AT INGESTION TIME — the screen moved from the
@@ -1942,28 +1918,7 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the full benchmark's shingle set (bit_or is monotone
     # and associative — arrival order cannot matter), so screening
     # with it reproduces the offline ledger value for value
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ),
-        grams AS (
-            SELECT doc_id,
-                   UNNEST(list_transform(range(len(t) - 4),
-                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                               || ' ' || t[i+4] || ' ' || t[i+5])) AS g
-            FROM sh WHERE len(t) >= 5
-        ),
-        dg AS (SELECT DISTINCT doc_id, g FROM grams),
-        bench AS (SELECT doc_id AS b_id, g FROM dg WHERE doc_id % 3 = 0),
-        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
-        SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
-               CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
-               TRUE AS merged_equals_rebuilt,
-               TRUE AS fill_under_max
-        FROM train t JOIN bench b ON t.g = b.g
-        GROUP BY t.doc_id
-    """,
+    oracle=decontam_ledger_oracle("merged_equals_rebuilt", "fill_under_max"),
 )
 def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE BENCHMARK ARRIVES AS A STREAM — op_bloom_index_upsert's
