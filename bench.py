@@ -98,6 +98,12 @@ V2_EXTRA = (
     "op_stream_lex_compact_serve",     # r11: streamed lex store delete+compact serve
     "q_retrieval_pipeline_batch_ann8",  # r11: fully-served batch at N=8
     "op_stream_bloom_upsert",          # r11: benchmark-delta filter merge as a stream
+    # r12 additions: the composed-lifecycle serve gates (one lineage
+    # walked build -> upsert -> id-list purge -> compact -> serve) and
+    # the multi-benchmark filter registry screen
+    "op_sim_lifecycle_e2e",            # r12: ANN lineage end-state serve + fresh-encode referee
+    "op_lex_lifecycle_e2e",            # r12: lexical lineage end-state BM25 serve
+    "op_bloom_registry_screen",        # r12: benchmark-keyed registry union screen
 )
 
 # The previous round's recorded frozen-suite total and host probes.
@@ -229,6 +235,17 @@ def main() -> None:
 
         build_bloom_index(spark, sf_dir)
         ensure_bloom_upsert_tree(spark, sf_dir)
+    # r12: the lifecycle-e2e and registry entries serve from persisted
+    # end-state trees — same precedent: the benched number measures
+    # serving (and its in-query referees), not the one-time lineage
+    if "op_sim_lifecycle_e2e" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.ann_index import ensure_ann_e2e_tree
+        from game_data_etl_pipeline_spark.llmdata.dedup import ensure_bloom_registry
+        from game_data_etl_pipeline_spark.llmdata.lex_index import ensure_lex_e2e_tree
+
+        ensure_ann_e2e_tree(spark, sf_dir)
+        ensure_lex_e2e_tree(spark, sf_dir)
+        ensure_bloom_registry(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -323,7 +340,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r11-v2-68q-median",
+                    "suite": "r12-v2-71q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

@@ -510,8 +510,15 @@ def tombstone_ids_df(spark: SparkSession, id_col: str) -> DataFrame:
     """The TOMB_IDS purge list as a one-column DataFrame (``id_col``:
     doc_id / vec_id) — the shape a real deletion request has. Bounded
     by construction (a purge list, not a corpus), so compactors
-    broadcast it into an anti-join: survivors never shuffle."""
-    return spark.createDataFrame([(i,) for i in TOMB_IDS], f"{id_col} long")
+    broadcast it into an anti-join: survivors never shuffle. Built as
+    a JVM-side literal explode, not createDataFrame — a Python local
+    table lands as Scan ExistingRDD and would trip the serve plans'
+    no-ExistingRDD training-frame contracts."""
+    return spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in TOMB_IDS])
+        ).alias(id_col)
+    )
 
 
 def compact_ann_postings(

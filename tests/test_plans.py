@@ -1131,3 +1131,53 @@ def test_bloom_upsert_plan_contract(spark):
     before = dd._BLOOM_BUILD_COUNT
     SPECS["op_bloom_index_upsert"].fn(spark, SF)
     assert dd._BLOOM_BUILD_COUNT == before, "re-serving rebuilt the full filter"
+
+
+def test_lifecycle_e2e_plan_contracts(spark):
+    """The composed-lifecycle serve gates must serve from their
+    lineage END-STATE trees with the per-transition ops' scale
+    contracts intact: the lexical side touches ZERO corpus at query
+    time (postings/df/stats from the e2e tree, bucket-pruned); the
+    ANN side serves with the frozen persisted structure (no
+    ExistingRDD training frame) and reads the e2e_v tree — its
+    fresh-encode referee deliberately reads raw embeddings (the
+    yardstick must not touch the lineage's bytes), so embeddings
+    scans ARE expected there."""
+    import re
+
+    lex_plan = I.explain_str(SPECS["op_lex_lifecycle_e2e"].fn(spark, SF), "formatted")
+    assert not re.findall(r"Scan parquet[^\n]*documents", lex_plan), (
+        "corpus scan in the lex e2e serve plan"
+    )
+    assert "e2e_v" in lex_plan, "lex serve does not read the e2e lineage tree"
+    assert re.search(r"PartitionFilters: \[[^\]]*term_bucket", lex_plan), (
+        "no bucket pruning in the e2e serve"
+    )
+
+    ann_plan = I.explain_str(SPECS["op_sim_lifecycle_e2e"].fn(spark, SF), "simple")
+    assert "e2e_v" in ann_plan, "ANN serve does not read the e2e lineage tree"
+    assert "ExistingRDD" not in ann_plan, "training frame leaked into the e2e serve"
+
+
+def test_bloom_registry_plan_contract(spark):
+    """op_bloom_registry_screen must scan the corpus text exactly ONCE
+    (the training side; every benchmark byte comes from the persisted
+    registry artifacts), read the registry_v tree, and never
+    SortMergeJoin (the probe is a broadcast containment, the rescreen
+    a broadcast join of the bounded candidate set, the referees
+    <=65k-row words folds). Screening twice must not rebuild."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    df = SPECS["op_bloom_registry_screen"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "registry_v" in plan, "screen does not read the registry tree"
+    n_doc_scans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert n_doc_scans == 1, (
+        f"expected exactly one training-corpus scan, found {n_doc_scans}"
+    )
+    assert "SortMergeJoin" not in plan
+    before = dd._BLOOM_BUILD_COUNT
+    SPECS["op_bloom_registry_screen"].fn(spark, SF)
+    assert dd._BLOOM_BUILD_COUNT == before, "re-screening rebuilt the full filter"
