@@ -237,14 +237,20 @@ def main() -> None:
         ensure_bloom_upsert_tree(spark, sf_dir)
     # r12: the lifecycle-e2e and registry entries serve from persisted
     # end-state trees — same precedent: the benched number measures
-    # serving (and its in-query referees), not the one-time lineage
+    # serving (and its in-query referees), not the one-time lineage.
+    # Each prewarm gates on ITS OWN entry so dropping one name never
+    # silently un-warms another's input tree.
     if "op_sim_lifecycle_e2e" in V2_EXTRA:
         from game_data_etl_pipeline_spark.llmdata.ann_index import ensure_ann_e2e_tree
-        from game_data_etl_pipeline_spark.llmdata.dedup import ensure_bloom_registry
-        from game_data_etl_pipeline_spark.llmdata.lex_index import ensure_lex_e2e_tree
 
         ensure_ann_e2e_tree(spark, sf_dir)
+    if "op_lex_lifecycle_e2e" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.lex_index import ensure_lex_e2e_tree
+
         ensure_lex_e2e_tree(spark, sf_dir)
+    if "op_bloom_registry_screen" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.dedup import ensure_bloom_registry
+
         ensure_bloom_registry(spark, sf_dir)
 
     all_specs = registry.all_specs()

@@ -64,7 +64,6 @@ from game_data_etl_pipeline_spark.llmdata.similarity import (
     IVFPQ_PROBES,
     PQ_KSUB,
     PQ_M,
-    adc_bitmatch_audit,
     ivf_assign,
     ivf_trained_centroids,
     ivfpq_adc_scored,
@@ -167,6 +166,51 @@ def read_ann_index(
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
     )
     return coarse, books, postings
+
+
+def serve_with_adc_referee(
+    emb: DataFrame,
+    emb_surv: DataFrame,
+    comp_postings: DataFrame,
+    yardstick_postings: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    out_col: str = "adc_bitmatch_vs_main",
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE survivor-serve + ADC-bit-equality-referee body every
+    frozen-structure replay gate shares (op_sim_ivfpq_serve_compacted,
+    op_stream_ann_serve / _compacted, op_sim_lifecycle_e2e —
+    previously four near-identical scaffolds; the round-12 review's
+    drift finding, the compact_ann_postings argument one level up):
+    run the verbatim probe -> ADC -> shortlist -> exact-rerank chain
+    over ``emb_surv``'s candidate world from ``comp_postings``, and
+    referee every probed-cell ADC score from that store against the
+    same chain over ``yardstick_postings`` — count-equal both
+    directions, every (query_id, vec_id) joined, every score
+    IEEE-bit-equal. Returns (served, one-row audit frame named
+    ``out_col``); callers append their extra audit literals and
+    crossJoin. ``emb`` supplies the query slot (vec_id < 4);
+    candidate-side filters compose by pre-filtering the two postings
+    frames."""
+    from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
+
+    served = ivfpq_serve_stages(
+        emb_surv, comp_postings.filter(F.col("vec_id") >= 4), coarse, books
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    adc_served = ivfpq_adc_scored(
+        queries, comp_postings.filter(F.col("vec_id") >= 4), coarse, books,
+        probes=IVFPQ_PROBES,
+    )
+    adc_yard = ivfpq_adc_scored(
+        queries, yardstick_postings, coarse, books, probes=IVFPQ_PROBES
+    )
+    audit = bitmatch_audit(
+        adc_served, adc_yard, ["query_id", "vec_id"], "adc_sqdist", out_col
+    )
+    return served, audit
 
 
 @register(
@@ -761,26 +805,17 @@ def op_sim_ivfpq_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
     )
     # the survivor world: candidates / rerank / exact-audit corpus all
-    # exclude tombstoned ids; the query slot (vec_id < 4) stays intact
-    emb_surv = emb.filter((F.col("vec_id") < 4) | ~tomb)
-    served = ivfpq_serve_stages(
-        emb_surv, comp_postings.filter(F.col("vec_id") >= 4), coarse, books
+    # exclude tombstoned ids; the query slot (vec_id < 4) stays intact.
+    # Referee yardstick: the main build artifact restricted to
+    # survivors — the shared serve_with_adc_referee body.
+    served, audit = serve_with_adc_referee(
+        emb,
+        emb.filter((F.col("vec_id") < 4) | ~tomb),
+        comp_postings,
+        main_postings.filter((F.col("vec_id") >= 4) & ~tomb),
+        coarse,
+        books,
     )
-
-    # bit-equality referee: probed-cell ADC scores from the compacted
-    # tree vs from the main build artifact over the same survivor set
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    main_surv = main_postings.filter((F.col("vec_id") >= 4) & ~tomb)
-    adc_comp = ivfpq_adc_scored(
-        queries, comp_postings.filter(F.col("vec_id") >= 4), coarse, books,
-        probes=IVFPQ_PROBES,
-    )
-    adc_main = ivfpq_adc_scored(
-        queries, main_surv, coarse, books, probes=IVFPQ_PROBES
-    )
-    audit = adc_bitmatch_audit(adc_comp, adc_main)
     return served.crossJoin(F.broadcast(audit))
 
 
@@ -888,8 +923,6 @@ def op_sim_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     request, not a corpus), the nightly merge rewrites survivors
     per-cell shuffle-free, and the morning's queries are provably
     the queries a fresh index would serve."""
-    from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
-
     demo = ensure_upsert_tree(spark, sf_dir)
     e2e = ensure_ann_e2e_tree(spark, sf_dir)
     main_path = build_ann_index(spark, sf_dir)
@@ -902,17 +935,12 @@ def op_sim_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
     )
     # the net-survivor world: candidates/rerank/exact-audit exclude the
-    # purged ids; the query slot (vec_id < 4) stays external
+    # purged ids; the query slot (vec_id < 4) stays external. Referee
+    # yardstick: a FRESH ENCODE of the survivors from raw embeddings
+    # through the frozen trained structure — the
+    # end-state-equals-rebuild yardstick, computed without touching
+    # the lineage's bytes — via the shared serve_with_adc_referee body.
     not_purged = ~F.col("vec_id").isin(*TOMB_IDS)
-    emb_surv = emb.filter((F.col("vec_id") < 4) | not_purged)
-    served = ivfpq_serve_stages(
-        emb_surv, e2e_postings.filter(F.col("vec_id") >= 4), coarse, books
-    )
-
-    # referee 1: e2e ADC scores vs a FRESH ENCODE of the survivors from
-    # raw embeddings through the frozen trained structure — the
-    # end-state-equals-rebuild yardstick, computed without touching the
-    # lineage's bytes
     surv_emb = emb.filter((F.col("vec_id") >= 4) & not_purged)
     fresh_post = pq_encode(surv_emb, books).join(
         ivf_assign(surv_emb, cents=coarse, form="argmax").select(
@@ -920,19 +948,14 @@ def op_sim_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id",
     )
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    adc_e2e = ivfpq_adc_scored(
-        queries, e2e_postings.filter(F.col("vec_id") >= 4), coarse, books,
-        probes=IVFPQ_PROBES,
-    )
-    adc_fresh = ivfpq_adc_scored(
-        queries, fresh_post, coarse, books, probes=IVFPQ_PROBES
-    )
-    eqa = bitmatch_audit(
-        adc_e2e, adc_fresh, ["query_id", "vec_id"], "adc_sqdist",
-        "adc_bitmatch_vs_fresh_encode",
+    served, eqa = serve_with_adc_referee(
+        emb,
+        emb.filter((F.col("vec_id") < 4) | not_purged),
+        e2e_postings,
+        fresh_post,
+        coarse,
+        books,
+        out_col="adc_bitmatch_vs_fresh_encode",
     )
 
     # referee 2: the purge actually happened, measured on the persisted

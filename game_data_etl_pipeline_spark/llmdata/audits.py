@@ -7,7 +7,7 @@ equality on doubles, integer equality on bitmaps — no tolerance).
 Implemented as count frames + ONE broadcast inner join (never a full
 outer join, which cannot broadcast and would SortMergeJoin even
 bounded frames). One body serves the ADC-score referees
-(similarity.adc_bitmatch_audit) and the Bloom words-table referees
+(ann_index.serve_with_adc_referee) and the Bloom words-table referees
 (dedup.words_bitmatch_audit), so a fix to the fold logic — the
 NULL-sum coalesce, the two-directional count — reaches every gate
 (round-11 review finding: the referee existed twice)."""

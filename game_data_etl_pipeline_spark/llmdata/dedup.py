@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from pathlib import Path
 
@@ -1485,6 +1486,17 @@ def assert_bloom_fill(
     return fill
 
 
+def bloom_fill_audit(words: DataFrame, out: str = "fill_under_max") -> DataFrame:
+    """One-row boolean frame ``out``: the words table's popcount fill
+    sits under BLOOM_FILL_MAX — the IN-QUERY form of the saturation
+    gauge (assert_bloom_fill is the loud build-time form), shared by
+    every screen that ships the fill verdict as an audit column so
+    a threshold/geometry change cannot drift between them."""
+    return words.agg(F.sum(F.bit_count("bits")).alias("n_set")).select(
+        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(out)
+    )
+
+
 def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
     """Map-side Bloom containment over (doc_id, g) shingles: probe the
     broadcast words table, keep only hit rows (a non-hit row can never
@@ -1700,7 +1712,7 @@ def words_bitmatch_audit(
 ) -> DataFrame:
     """One-row boolean frame ``out``: two (widx, bits) words tables
     are IDENTICAL — the shared ``audits.bitmatch_audit`` referee on
-    the bitmap domain (adc_bitmatch_audit's twin). Used by
+    the bitmap domain (serve_with_adc_referee's twin). Used by
     op_bloom_index_upsert and op_stream_bloom_upsert so the two merge
     referees cannot drift."""
     from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
@@ -2086,11 +2098,7 @@ def op_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_monotone")
         )
     )
-    fill = merged.agg(F.sum(F.bit_count("bits")).alias("n_set")).select(
-        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
-            "fill_under_max"
-        )
-    )
+    fill = bloom_fill_audit(merged)
     audit = eqa.crossJoin(F.broadcast(mono)).crossJoin(F.broadcast(fill))
     return ledger.crossJoin(F.broadcast(audit))
 
@@ -2103,72 +2111,95 @@ def op_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_FAMILIES = (("suite_a", 0), ("suite_b", 3))
 
 
-def ensure_bloom_registry(spark: SparkSession, sf_dir: str) -> str:
-    """Build (idempotently) the (benchmark_id)-keyed contamination
-    FILTER REGISTRY — round-11 verdict task 6: the single persisted
-    filter models ONE benchmark snapshot, but real pipelines screen
-    against many eval suites with different refresh cadences, so each
-    family gets its own filter artifact (``families/<id>/words`` +
-    ``families/<id>/pairs``) and the screen probes their bit_or UNION
-    (``union_words/`` — bitmaps are monotone, so one merged filter is
-    EXACT, never approximate). The union is maintained the way a real
-    registry maintains it: suite_a's filter is persisted first and
-    seeds the union; suite_b then registers by folding its delta into
-    the union READ BACK from disk — suite_a's family artifact is
-    never touched by the later registration (the isolation referee in
-    op_bloom_registry_screen measures exactly that). Staged build +
-    atomic publish + superseded-key GC + the saturation guard on the
-    union (the geometry must hold the SUM of the families)."""
+def ensure_bloom_registry(
+    spark: SparkSession, sf_dir: str, families=BLOOM_FAMILIES
+) -> str:
+    """Build (idempotently, INCREMENTALLY) the (benchmark_id)-keyed
+    contamination FILTER REGISTRY — round-11 verdict task 6: the
+    single persisted filter models ONE benchmark snapshot, but real
+    pipelines screen against many eval suites with different refresh
+    cadences, so each family gets its own filter artifact
+    (``families/<id>/words`` + ``families/<id>/pairs``) and the
+    screen probes their bit_or UNION (``union_words/`` — bitmaps are
+    monotone, so one merged filter is EXACT, never approximate).
+
+    Registration is PER FAMILY against the PUBLISHED tree — the shape
+    a live registry actually has: a family not yet in the marker
+    stages a new tree that copies every already-registered family's
+    artifacts forward BYTE-FOR-BYTE, writes the new family's pairs +
+    words (one O(suite) shingle pass), folds the new words into the
+    union READ BACK from the published tree (one O(geometry) bit_or —
+    no earlier family is ever re-read, let alone re-written), and
+    atomically republishes. Earlier families' bytes surviving a later
+    registration untouched is therefore a construction invariant, and
+    tests/test_llmdata.py digests a family's artifacts between two
+    registrations to pin it. Saturation guards the union at every
+    registration (the geometry must hold the SUM of the families)."""
     final = os.path.join(
         _bloom_root(),
         f"registry_v{BLOOM_INDEX_VERSION}",
         fingerprint_key(sf_dir, "documents.parquet"),
     )
-    if os.path.isfile(os.path.join(final, "registry_done.json")) and _geometry_current(
-        final
-    ):
-        return final
+    for fam, residue in families:
+        _register_bloom_family(spark, sf_dir, final, fam, residue)
+    check_bloom_meta(final)  # the shared post-publish geometry invariant
+    return final
+
+
+def _register_bloom_family(
+    spark: SparkSession, sf_dir: str, final: str, fam: str, residue: int
+) -> None:
+    """One registry registration (see ensure_bloom_registry): no-op if
+    ``fam`` is already in the published marker at the current
+    geometry; otherwise stage copy-forward + new family + union fold
+    + atomic republish."""
+    marker_path = os.path.join(final, "registry_done.json")
+    registered: dict[str, str] = {}
+    if os.path.isfile(marker_path) and _geometry_current(final):
+        with open(marker_path) as f:
+            registered = json.load(f).get("families", {})
+        if fam in registered:
+            return
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fam_pairs = {}
-    for fam, residue in BLOOM_FAMILIES:
-        pairs = (
-            _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == residue))
-            .select(F.col("doc_id").alias("b_id"), "g")
-            .distinct()
-            .localCheckpoint()
+    pairs = (
+        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == residue))
+        .select(F.col("doc_id").alias("b_id"), "g")
+        .distinct()
+        .localCheckpoint()
+    )
+    # degenerate-slice guard: an empty family would make the
+    # isolation/union referees pass vacuously
+    if not pairs.head(1):
+        raise ValueError(
+            f"ensure_bloom_registry: degenerate fixture — family "
+            f"{fam} (doc_id % 6 == {residue}) holds no shingles"
         )
-        # degenerate-slice guard: an empty family would make the
-        # isolation/union referees pass vacuously
-        if not pairs.head(1):
-            raise ValueError(
-                f"ensure_bloom_registry: degenerate fixture — family "
-                f"{fam} (doc_id % 6 == {residue}) holds no shingles"
-            )
-        fam_pairs[fam] = pairs
     with staging_tree(final) as staging:
-        # registration 1: suite_a's filter seeds the union
-        for fam, _residue in BLOOM_FAMILIES:
-            fdir = os.path.join(staging, "families", fam)
-            fam_pairs[fam].coalesce(2).write.parquet(os.path.join(fdir, "pairs"))
-            bloom_words(fam_pairs[fam].select("g").distinct()).coalesce(1).write.parquet(
-                os.path.join(fdir, "words")
+        if registered:
+            # copy every already-registered family forward byte-for-byte
+            shutil.copytree(
+                os.path.join(final, "families"),
+                os.path.join(staging, "families"),
             )
-        union = spark.read.parquet(
-            os.path.join(staging, "families", BLOOM_FAMILIES[0][0], "words")
+        fdir = os.path.join(staging, "families", fam)
+        pairs.coalesce(2).write.parquet(os.path.join(fdir, "pairs"))
+        bloom_words(pairs.select("g").distinct()).coalesce(1).write.parquet(
+            os.path.join(fdir, "words")
         )
-        # later registrations fold into the union READ BACK from disk —
-        # O(geometry) per new suite, no earlier family re-read
-        for fam, _residue in BLOOM_FAMILIES[1:]:
-            delta = spark.read.parquet(
-                os.path.join(staging, "families", fam, "words")
-            )
+        delta = spark.read.parquet(os.path.join(fdir, "words"))
+        if registered:
+            # incremental union: published union + this family's delta —
+            # O(geometry), no earlier family re-read
             union = (
-                union.unionByName(delta)
+                spark.read.parquet(os.path.join(final, "union_words"))
+                .unionByName(delta)
                 .groupBy("widx")
                 .agg(F.bit_or("bits").alias("bits"))
-                .localCheckpoint()
             )
-        assert_bloom_fill(union, what=f"bloom_registry[{final}]")
+        else:
+            union = delta
+        union = union.localCheckpoint()
+        assert_bloom_fill(union, what=f"bloom_registry[{final}]/{fam}")
         union.coalesce(1).write.parquet(os.path.join(staging, "union_words"))
         with open(os.path.join(staging, "registry_done.json"), "w") as f:
             json.dump(
@@ -2176,17 +2207,14 @@ def ensure_bloom_registry(spark: SparkSession, sf_dir: str) -> str:
                     "version": BLOOM_INDEX_VERSION,
                     "bits": BLOOM_BITS,
                     "seeds": list(BLOOM_SEEDS),
-                    "families": {
-                        fam: f"doc_id % 6 == {residue}"
-                        for fam, residue in BLOOM_FAMILIES
-                    },
+                    "families": {**registered, fam: f"doc_id % 6 == {residue}"},
                 },
                 f,
             )
-        publish_staging(staging, final, marker="registry_done.json")
+        publish_staging(
+            staging, final, marker="registry_done.json", force=bool(registered)
+        )
     prune_stale_keys(final, sf_dir)
-    check_bloom_meta(final)  # the shared post-publish geometry invariant
-    return final
 
 
 @register(
@@ -2295,10 +2323,6 @@ def op_bloom_registry_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     iso = words_bitmatch_audit(a_words, a_fresh, "upsert_isolated")
-    fill = union.agg(F.sum(F.bit_count("bits")).alias("n_set")).select(
-        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
-            "fill_under_max"
-        )
-    )
+    fill = bloom_fill_audit(union)
     audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(fill))
     return ledger.crossJoin(F.broadcast(audit))

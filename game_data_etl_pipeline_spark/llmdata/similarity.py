@@ -1341,26 +1341,6 @@ def ivfpq_adc_scored(
     ).select("query_id", "vec_id", "qe", adc.alias("adc_sqdist"))
 
 
-def adc_bitmatch_audit(adc_a: DataFrame, adc_b: DataFrame) -> DataFrame:
-    """One-row boolean frame ``adc_bitmatch_vs_main``: two
-    (query_id, vec_id, adc_sqdist) score sets are IDENTICAL —
-    count-equal in both directions, every pair joined, every score
-    IEEE-bit-equal (== on doubles, no tolerance). The shared referee
-    for every frozen-structure replay claim: a store derived from the
-    main build artifact (compacted tree, streamed segments) must
-    reproduce its ADC scores exactly, because the router and codebooks
-    are frozen and encode is deterministic. Delegates to the shared
-    ``audits.bitmatch_audit`` (one referee body for the ADC and the
-    Bloom-words domains): both sides empty folds to TRUE (vacuous
-    equality); a NULL sum on an empty join coalesces to 0 so the fold
-    never returns NULL."""
-    from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
-
-    return bitmatch_audit(
-        adc_a, adc_b, ["query_id", "vec_id"], "adc_sqdist", "adc_bitmatch_vs_main"
-    )
-
-
 def ivfpq_serve_stages(
     emb: DataFrame, cands: DataFrame, coarse: DataFrame, pq: DataFrame
 ) -> DataFrame:

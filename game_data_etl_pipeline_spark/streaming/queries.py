@@ -1641,12 +1641,9 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan over sealed + growing segments identically (same probe set,
     same LUTs), and this gate is what proves freshness costs zero
     accuracy."""
-    from game_data_etl_pipeline_spark.llmdata.ann_index import read_ann_index
-    from game_data_etl_pipeline_spark.llmdata.similarity import (
-        IVFPQ_PROBES,
-        adc_bitmatch_audit,
-        ivfpq_adc_scored,
-        ivfpq_serve_stages,
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        read_ann_index,
+        serve_with_adc_referee,
     )
 
     store = stream_ann_store(spark, sf_dir, "annserve", "op_stream_ann_serve")
@@ -1655,24 +1652,17 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = spark.read.parquet(store).select(
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
     )
-    served = ivfpq_serve_stages(
-        emb, streamed.filter(F.col("vec_id") >= 4), coarse, books
+    # no deletes on the freshness path: the survivor world is the whole
+    # corpus; referee yardstick = the offline build artifact — the
+    # shared serve_with_adc_referee body
+    served, audit = serve_with_adc_referee(
+        emb,
+        emb,
+        streamed,
+        main_postings.filter(F.col("vec_id") >= 4),
+        coarse,
+        books,
     )
-
-    # bit-equality referee: probed-cell ADC scores from the streamed
-    # segments vs from the offline build artifact over the same set
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    adc_stream = ivfpq_adc_scored(
-        queries, streamed.filter(F.col("vec_id") >= 4), coarse, books,
-        probes=IVFPQ_PROBES,
-    )
-    adc_main = ivfpq_adc_scored(
-        queries, main_postings.filter(F.col("vec_id") >= 4), coarse, books,
-        probes=IVFPQ_PROBES,
-    )
-    audit = adc_bitmatch_audit(adc_stream, adc_main)
     return served.crossJoin(F.broadcast(audit))
 
 
@@ -1727,7 +1717,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     from the ORIGINAL offline build artifact restricted to survivors
     (frozen router + codebooks + deterministic encode make post-delete
     scores exactly replayable across stores — the shared
-    ``adc_bitmatch_audit``); ``segments_merged`` pins the compaction
+    ``serve_with_adc_referee`` body); ``segments_merged`` pins the compaction
     did real filesystem work (strictly fewer parquet files than the
     3-appends-per-cell streamed store). The driver hash-verifies the
     per-query survivor neighborhoods against op_sim_ivfpq_serve's
@@ -1745,12 +1735,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         _count_parquet_files,
         compact_ann_postings,
         read_ann_index,
-    )
-    from game_data_etl_pipeline_spark.llmdata.similarity import (
-        IVFPQ_PROBES,
-        adc_bitmatch_audit,
-        ivfpq_adc_scored,
-        ivfpq_serve_stages,
+        serve_with_adc_referee,
     )
 
     store = stream_ann_store(
@@ -1775,27 +1760,18 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
     )
     # the survivor world: candidate/rerank/audit corpus excludes
-    # tombstoned ids; queries (vec_id < 4) stay external vectors
-    emb_surv = emb.filter((F.col("vec_id") < 4) | ~tomb)
-    served = ivfpq_serve_stages(
-        emb_surv, comp.filter(F.col("vec_id") >= 4), coarse, books
-    )
-
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    adc_comp = ivfpq_adc_scored(
-        queries, comp.filter(F.col("vec_id") >= 4), coarse, books,
-        probes=IVFPQ_PROBES,
-    )
-    adc_main = ivfpq_adc_scored(
-        queries,
+    # tombstoned ids; queries (vec_id < 4) stay external vectors.
+    # Referee yardstick: the offline build artifact restricted to
+    # survivors — the shared serve_with_adc_referee body.
+    served, audit = serve_with_adc_referee(
+        emb,
+        emb.filter((F.col("vec_id") < 4) | ~tomb),
+        comp,
         main_postings.filter((F.col("vec_id") >= 4) & ~tomb),
         coarse,
         books,
-        probes=IVFPQ_PROBES,
     )
-    audit = adc_bitmatch_audit(adc_comp, adc_main).withColumn(
+    audit = audit.withColumn(
         "segments_merged", F.lit(0 < files_after < files_before)
     )
     return served.crossJoin(F.broadcast(audit))
@@ -1953,10 +1929,9 @@ def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-folds in one vocabulary-free bounded job, and no previously
     ingested benchmark doc is ever re-read."""
     from game_data_etl_pipeline_spark.llmdata.dedup import (
-        BLOOM_BITS,
-        BLOOM_FILL_MAX,
         _shingles,
         bloom_candidates,
+        bloom_fill_audit,
         bloom_words,
         words_bitmatch_audit,
     )
@@ -2021,10 +1996,6 @@ def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared words_bitmatch_audit, same code as the batch upsert's
     rebuilt = bloom_words(_shingles(docs.filter(is_bench)).select("g").distinct())
     eqa = words_bitmatch_audit(words, rebuilt, "merged_equals_rebuilt")
-    fill = words.agg(F.sum(F.bit_count("bits")).alias("n_set")).select(
-        ((F.col("n_set") / F.lit(BLOOM_BITS)) <= BLOOM_FILL_MAX).alias(
-            "fill_under_max"
-        )
-    )
+    fill = bloom_fill_audit(words)
     audit = eqa.crossJoin(F.broadcast(fill))
     return ledger.crossJoin(F.broadcast(audit))

@@ -1122,24 +1122,47 @@ def test_cold_start_index_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
 
 
 def test_bloom_registry_attribution_and_isolation(spark, sf_dir, tmp_path, monkeypatch):
-    """The benchmark-keyed filter registry must (a) attribute exactly
-    the exact screen's flagged docs — the union of per-family ledger
+    """The benchmark-keyed filter registry must (a) hold family
+    artifacts immutable across registrations — suite_a's persisted
+    bytes are captured AFTER its own registration published and
+    BEFORE suite_b registers, and must be IDENTICAL afterwards (a
+    registry where registering one suite rewrites another's filter
+    corrupts that suite's audit trail) — and (b) attribute exactly
+    the exact screen's flagged docs: the union of per-family ledger
     rows covers the same doc set op_corpus_decontaminate flags, no
     more, no less (the union filter is exact by monotonicity and the
-    per-family rescreen kills false positives) — and (b) hold family
-    artifacts immutable across registrations: suite_a's persisted
-    words file bytes are IDENTICAL before and after suite_b's fold
-    into the union (a registry where registering one suite rewrites
-    another's filter corrupts that suite's audit trail)."""
+    per-family rescreen kills false positives)."""
     import hashlib as _hashlib
     import os as _os
 
     from game_data_etl_pipeline_spark.llmdata import dedup as dd
 
-    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
-    path = dd.ensure_bloom_registry(spark, sf_dir)
+    def _tree_digest(d):
+        h = _hashlib.sha256()
+        for root, _dirs, files in sorted(_os.walk(d)):
+            for fn in sorted(files):
+                with open(_os.path.join(root, fn), "rb") as f:
+                    h.update(fn.encode() + f.read())
+        return h.hexdigest()
 
-    # (a) attribution covers exactly the exact screen's flagged docs
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
+    # (a) register suite_a ALONE, snapshot its published bytes, then
+    # let suite_b register into the live tree — the between-the-two-
+    # registrations baseline the round-12 review demanded
+    path = dd.ensure_bloom_registry(
+        spark, sf_dir, families=dd.BLOOM_FAMILIES[:1]
+    )
+    a_dir = _os.path.join(path, "families", "suite_a")
+    before = _tree_digest(a_dir)
+    assert dd.ensure_bloom_registry(spark, sf_dir) == path
+    assert _tree_digest(a_dir) == before, (
+        "suite_b's registration mutated suite_a's artifact"
+    )
+    # idempotent re-ensure: no family rewrites either
+    assert dd.ensure_bloom_registry(spark, sf_dir) == path
+    assert _tree_digest(a_dir) == before
+
+    # (b) attribution covers exactly the exact screen's flagged docs
     reg_rows = SPECS["op_bloom_registry_screen"].fn(spark, sf_dir).collect()
     exact_rows = SPECS["op_corpus_decontaminate"].fn(spark, sf_dir).collect()
     assert {r.doc_id for r in reg_rows} == {r.doc_id for r in exact_rows}
@@ -1149,22 +1172,6 @@ def test_bloom_registry_attribution_and_isolation(spark, sf_dir, tmp_path, monke
     exact_hits = {r.doc_id: r.n_hit_shingles for r in exact_rows}
     for r in reg_rows:
         assert 1 <= r.n_hit_shingles <= exact_hits[r.doc_id]
-
-    # (b) family immutability: the registry build wrote suite_a's words
-    # before suite_b registered; a second ensure (idempotent) and a
-    # fresh union re-fold must leave the file bytes untouched
-    def _tree_digest(d):
-        h = _hashlib.sha256()
-        for root, _dirs, files in sorted(_os.walk(d)):
-            for fn in sorted(files):
-                with open(_os.path.join(root, fn), "rb") as f:
-                    h.update(fn.encode() + f.read())
-        return h.hexdigest()
-
-    a_dir = _os.path.join(path, "families", "suite_a")
-    before = _tree_digest(a_dir)
-    assert dd.ensure_bloom_registry(spark, sf_dir) == path
-    assert _tree_digest(a_dir) == before, "suite_a artifact mutated"
 
 
 def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):
