@@ -317,7 +317,12 @@ def main() -> None:
         "total_min_normalized_py": round(total_min / py_ratio, 4),
         "total_ratio": round(ratio_jvm, 4),
         "total_ratio_py": round(ratio_py, 4),
-        "probe_disagreement": abs(jvm_ratio / py_ratio - 1.0) > 0.10,
+        # the band signal compares the CHAINS, not this session's raw
+        # probes: the PREV frames already encode the r11 probe split
+        # (13.623 jvm vs 16.664 py), so the two end-to-end ratios can
+        # disagree even when this session's probes agree — and the
+        # ratios are exactly the numbers a reader would quote
+        "probe_disagreement": abs(ratio_jvm / ratio_py - 1.0) > 0.10,
     }
 
     print(

@@ -189,23 +189,25 @@ def serve_with_adc_referee(
     directions, every (query_id, vec_id) joined, every score
     IEEE-bit-equal. Returns (served, one-row audit frame named
     ``out_col``); callers append their extra audit literals and
-    crossJoin. ``emb`` supplies the query slot (vec_id < 4);
-    candidate-side filters compose by pre-filtering the two postings
-    frames."""
+    crossJoin. ``emb`` supplies the query slot (vec_id < 4), and the
+    query-slot exclusion is applied to BOTH postings frames HERE —
+    symmetrically, so a caller passing either frame filtered or
+    unfiltered gets the same referee (the round-12 review's
+    asymmetric-contract finding); tombstone/survivor filters compose
+    by pre-filtering the frames."""
     from game_data_etl_pipeline_spark.llmdata.audits import bitmatch_audit
 
-    served = ivfpq_serve_stages(
-        emb_surv, comp_postings.filter(F.col("vec_id") >= 4), coarse, books
-    )
+    comp_cands = comp_postings.filter(F.col("vec_id") >= 4)
+    yard_cands = yardstick_postings.filter(F.col("vec_id") >= 4)
+    served = ivfpq_serve_stages(emb_surv, comp_cands, coarse, books)
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     adc_served = ivfpq_adc_scored(
-        queries, comp_postings.filter(F.col("vec_id") >= 4), coarse, books,
-        probes=IVFPQ_PROBES,
+        queries, comp_cands, coarse, books, probes=IVFPQ_PROBES
     )
     adc_yard = ivfpq_adc_scored(
-        queries, yardstick_postings, coarse, books, probes=IVFPQ_PROBES
+        queries, yard_cands, coarse, books, probes=IVFPQ_PROBES
     )
     audit = bitmatch_audit(
         adc_served, adc_yard, ["query_id", "vec_id"], "adc_sqdist", out_col
@@ -550,6 +552,47 @@ TOMB_IDS = (7, 23, 118, 233, 301, 404, 441, 468, 490, 497)
 TOMB_IDS_SQL = f"({', '.join(map(str, TOMB_IDS))})"
 
 
+def check_tomb_meta(path: str, marker: str) -> None:
+    """Serving-time purge-list handshake for the e2e lineage trees: a
+    tree compacted with a DIFFERENT id list than the session constant
+    would serve under referees and oracles derived from the NEW list
+    — the stale-artifact class check_bloom_meta closes for Bloom
+    geometry. Raises loudly on mismatch or a missing marker."""
+    mpath = os.path.join(path, marker)
+    with open(mpath) as f:
+        meta = json.load(f)
+    if list(meta.get("tomb_ids", [])) != list(TOMB_IDS):
+        raise ValueError(
+            f"e2e lineage tree {path} was compacted with tomb_ids="
+            f"{meta.get('tomb_ids')} but this session's TOMB_IDS is "
+            f"{list(TOMB_IDS)} — the end state no longer matches the "
+            f"code; rebuild the lineage"
+        )
+
+
+def tomb_ids_current(path: str, marker: str) -> bool:
+    """Cache-validity test for the e2e lineage builders: True iff the
+    persisted tree's recorded purge list matches the session TOMB_IDS.
+    A stale list is a CACHE MISS — the builder displaces the old tree
+    through the trash-grace window and rebuilds, so editing TOMB_IDS
+    self-heals instead of serving a lineage compacted with the old
+    list (the _geometry_current discipline applied to the purge
+    fixture)."""
+    import time as _time
+
+    try:
+        check_tomb_meta(path, marker)
+        return True
+    except (OSError, json.JSONDecodeError, ValueError):
+        trash = f"{path}.trash.tomb{os.getpid()}_{int(_time.time() * 1000)}"
+        try:
+            os.rename(path, trash)
+            os.utime(trash, None)  # grace clock starts at displacement
+        except OSError:
+            pass  # a concurrent builder already displaced it
+        return False
+
+
 def tombstone_ids_df(spark: SparkSession, id_col: str) -> DataFrame:
     """The TOMB_IDS purge list as a one-column DataFrame (``id_col``:
     doc_id / vec_id) — the shape a real deletion request has. Bounded
@@ -812,7 +855,7 @@ def op_sim_ivfpq_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter((F.col("vec_id") < 4) | ~tomb),
         comp_postings,
-        main_postings.filter((F.col("vec_id") >= 4) & ~tomb),
+        main_postings.filter(~tomb),
         coarse,
         books,
     )
@@ -833,7 +876,9 @@ def ensure_ann_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
         f"e2e_v{INDEX_VERSION}",
         fingerprint_key(sf_dir, "embeddings.parquet"),
     )
-    if os.path.isfile(os.path.join(e2e, "e2e_done.json")):
+    if os.path.isfile(os.path.join(e2e, "e2e_done.json")) and tomb_ids_current(
+        e2e, "e2e_done.json"
+    ):
         return e2e
     with staging_tree(e2e) as staging:
         compact_ann_postings(
@@ -846,6 +891,7 @@ def ensure_ann_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
             json.dump({"version": INDEX_VERSION, "tomb_ids": list(TOMB_IDS)}, f)
         publish_staging(staging, e2e, marker="e2e_done.json")
     prune_stale_keys(e2e, sf_dir)
+    check_tomb_meta(e2e, "e2e_done.json")  # post-publish invariant
     return e2e
 
 

@@ -2285,11 +2285,13 @@ def op_bloom_registry_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_bloom_registry(spark, sf_dir)
     check_bloom_meta(path)
     union = spark.read.parquet(os.path.join(path, "union_words"))
+    pairs_by_fam = {
+        fam: spark.read.parquet(os.path.join(path, "families", fam, "pairs"))
+        for fam, _residue in BLOOM_FAMILIES
+    }
     fam_pairs = None
     for fam, _residue in BLOOM_FAMILIES:
-        p = spark.read.parquet(
-            os.path.join(path, "families", fam, "pairs")
-        ).withColumn("benchmark_id", F.lit(fam))
+        p = pairs_by_fam[fam].withColumn("benchmark_id", F.lit(fam))
         fam_pairs = p if fam_pairs is None else fam_pairs.unionByName(p)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -2311,16 +2313,13 @@ def op_bloom_registry_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq_union = words_bitmatch_audit(union, rebuilt, "union_equals_full")
     # referee 2: the earlier family's artifact survived the later
     # registration untouched — persisted words == fresh fold of its
-    # own persisted pairs
+    # own persisted pairs (the frame already loaded above; no second
+    # read of the family artifact)
     a_words = spark.read.parquet(
         os.path.join(path, "families", BLOOM_FAMILIES[0][0], "words")
     )
     a_fresh = bloom_words(
-        spark.read.parquet(
-            os.path.join(path, "families", BLOOM_FAMILIES[0][0], "pairs")
-        )
-        .select("g")
-        .distinct()
+        pairs_by_fam[BLOOM_FAMILIES[0][0]].select("g").distinct()
     )
     iso = words_bitmatch_audit(a_words, a_fresh, "upsert_isolated")
     fill = bloom_fill_audit(union)

@@ -484,6 +484,8 @@ def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
     published + superseded keys pruned; the upsert tree stays live."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
         TOMB_IDS,
+        check_tomb_meta,
+        tomb_ids_current,
         tombstone_ids_df,
     )
 
@@ -493,7 +495,9 @@ def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
         f"e2e_v{LEX_INDEX_VERSION}",
         fingerprint_key(sf_dir, "documents.parquet"),
     )
-    if os.path.isfile(os.path.join(e2e, "e2e_done.json")):
+    if os.path.isfile(os.path.join(e2e, "e2e_done.json")) and tomb_ids_current(
+        e2e, "e2e_done.json"
+    ):
         return e2e
     with staging_tree(e2e) as staging:
         compact_lex_postings(
@@ -513,6 +517,7 @@ def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
             )
         publish_staging(staging, e2e, marker="e2e_done.json")
     prune_stale_keys(e2e, sf_dir)
+    check_tomb_meta(e2e, "e2e_done.json")  # post-publish invariant
     return e2e
 
 

@@ -1659,7 +1659,7 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb,
         streamed,
-        main_postings.filter(F.col("vec_id") >= 4),
+        main_postings,
         coarse,
         books,
     )
@@ -1767,7 +1767,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         emb,
         emb.filter((F.col("vec_id") < 4) | ~tomb),
         comp,
-        main_postings.filter((F.col("vec_id") >= 4) & ~tomb),
+        main_postings.filter(~tomb),
         coarse,
         books,
     )

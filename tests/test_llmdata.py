@@ -1196,22 +1196,14 @@ def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):
     )
     from game_data_etl_pipeline_spark.llmdata.lex_index import ensure_lex_e2e_tree
     from game_data_etl_pipeline_spark.llmdata.similarity import ivf_assign, pq_encode
-    from game_data_etl_pipeline_spark.llmdata.text import _terms
+    from tests.conftest import expected_lex_index
 
     # ---- lexical: e2e artifacts == from-scratch integers over survivors
     lex_e2e = ensure_lex_e2e_tree(spark, sf_dir)
     surv_docs = load_table(spark, sf_dir, "documents").filter(
         ~F.col("doc_id").isin(*TOMB_IDS)
     )
-    want_post = {
-        (r.term, r.doc_id, r.dl, r.tf)
-        for r in surv_docs.select(
-            "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
-        )
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .collect()
-    }
+    want_post, want_df, want_n_docs, want_tot_dl = expected_lex_index(surv_docs)
     got_post = {
         (r.term, r.doc_id, r.dl, r.tf)
         for r in spark.read.parquet(_os.path.join(lex_e2e, "postings")).collect()
@@ -1222,15 +1214,10 @@ def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):
         (r.term, r.df)
         for r in spark.read.parquet(_os.path.join(lex_e2e, "df")).collect()
     }
-    want_df = {
-        (t, sum(1 for (term, _, _, _) in want_post if term == t))
-        for t in {term for (term, _, _, _) in want_post}
-    }
     assert got_df == want_df
     srow = spark.read.parquet(_os.path.join(lex_e2e, "stats")).collect()[0]
-    want_docs = {(d, dl) for (_, d, dl, _) in want_post}
-    assert srow.n_docs == len(want_docs)
-    assert (srow.tot_dl or 0) == sum(dl for _, dl in want_docs)
+    assert srow.n_docs == want_n_docs
+    assert (srow.tot_dl or 0) == want_tot_dl
 
     # ---- ANN: e2e postings == fresh encode of survivors through the
     # frozen trained structure (raw embeddings, not copied codes)
@@ -1254,6 +1241,46 @@ def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):
     }
     assert got_ann == want_ann
     assert all(v not in TOMB_IDS for (v, _, _) in got_ann)
+
+
+def test_tomb_meta_handshake(tmp_path):
+    """The e2e lineage trees' purge-list handshake (the round-12
+    review's stale-artifact finding): a tree compacted with a
+    DIFFERENT id list than the session TOMB_IDS must fail
+    check_tomb_meta loudly, and the builders' tomb_ids_current must
+    treat it as a cache MISS — displacing the stale tree through the
+    trash-grace window so editing TOMB_IDS self-heals (the
+    check_bloom_meta / _geometry_current discipline applied to the
+    purge fixture)."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_IDS,
+        check_tomb_meta,
+        tomb_ids_current,
+    )
+
+    good = tmp_path / "e2e_good"
+    _os.makedirs(good)
+    with open(good / "e2e_done.json", "w") as f:
+        _json.dump({"version": 1, "tomb_ids": list(TOMB_IDS)}, f)
+    check_tomb_meta(str(good), "e2e_done.json")  # must not raise
+    assert tomb_ids_current(str(good), "e2e_done.json")
+    assert _os.path.isdir(good)  # a current tree is never displaced
+
+    stale = tmp_path / "e2e_stale"
+    _os.makedirs(stale)
+    with open(stale / "e2e_done.json", "w") as f:
+        _json.dump({"version": 1, "tomb_ids": [1, 2, 3]}, f)
+    with pytest.raises(ValueError, match="tomb_ids"):
+        check_tomb_meta(str(stale), "e2e_done.json")
+    assert not tomb_ids_current(str(stale), "e2e_done.json")
+    assert not _os.path.isdir(stale), "stale tree must be displaced"
+    displaced = [d for d in _os.listdir(tmp_path) if ".trash.tomb" in d]
+    assert len(displaced) == 1
 
 
 def test_bloom_saturation_guard_fails_loudly(spark, sf_dir):

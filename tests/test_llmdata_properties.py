@@ -160,20 +160,14 @@ def test_lex_compact_algebra_matches_rebuild_property(spark, tmp_path_factory, c
     dest = _os.path.join(work, "compacted")
     compact_lex_postings(spark, src, dest)
 
+    from tests.conftest import expected_lex_index
+
     surviving = docs.filter(F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE)
+    want_post, want_df, want_n_docs, want_tot_dl = expected_lex_index(surviving)
     # postings: exactly the surviving docs' (term, doc_id, dl, tf)
     got_post = {
         (r.term, r.doc_id, r.dl, r.tf)
         for r in spark.read.parquet(_os.path.join(dest, "postings")).collect()
-    }
-    want_post = {
-        (r.term, r.doc_id, r.dl, r.tf)
-        for r in surviving.select(
-            "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
-        )
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .collect()
     }
     assert got_post == want_post
     # df: per-term surviving-doc counts; stats: survivor n_docs/tot_dl
@@ -181,12 +175,7 @@ def test_lex_compact_algebra_matches_rebuild_property(spark, tmp_path_factory, c
         (r.term, r.df)
         for r in spark.read.parquet(_os.path.join(dest, "df")).collect()
     }
-    want_df = {
-        (t, sum(1 for (term, _, _, _) in want_post if term == t))
-        for t in {term for (term, _, _, _) in want_post}
-    }
     assert got_df == want_df
     srow = spark.read.parquet(_os.path.join(dest, "stats")).collect()[0]
-    want_docs = {(d, dl) for (_, d, dl, _) in want_post}
-    assert srow.n_docs == len(want_docs)
-    assert (srow.tot_dl or 0) == sum(dl for _, dl in want_docs)
+    assert srow.n_docs == want_n_docs
+    assert (srow.tot_dl or 0) == want_tot_dl
