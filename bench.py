@@ -104,6 +104,7 @@ V2_EXTRA = (
     "op_sim_lifecycle_e2e",            # r12: ANN lineage end-state serve + fresh-encode referee
     "op_lex_lifecycle_e2e",            # r12: lexical lineage end-state BM25 serve
     "op_bloom_registry_screen",        # r12: benchmark-keyed registry union screen
+    "op_bloom_registry_refresh",       # r12: one-family refresh + union re-fold
 )
 
 # The previous round's recorded frozen-suite total and host probes.
@@ -252,6 +253,12 @@ def main() -> None:
         from game_data_etl_pipeline_spark.llmdata.dedup import ensure_bloom_registry
 
         ensure_bloom_registry(spark, sf_dir)
+    if "op_bloom_registry_refresh" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.dedup import (
+            ensure_bloom_refresh_demo,
+        )
+
+        ensure_bloom_refresh_demo(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -351,7 +358,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r12-v2-71q-median",
+                    "suite": "r12-v2-72q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

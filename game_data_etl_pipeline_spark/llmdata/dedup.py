@@ -2146,8 +2146,35 @@ def ensure_bloom_registry(
     return final
 
 
+def _family_pairs(
+    spark: SparkSession, sf_dir: str, fam: str, mod: int, residue: int
+) -> DataFrame:
+    """One family's distinct (b_id, g) benchmark pair set — the
+    doc_id % mod == residue fixture slice standing in for that eval
+    suite's snapshot — with the degenerate-slice guard (an empty
+    family would make the isolation/union referees pass vacuously)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(mod)) == residue))
+        .select(F.col("doc_id").alias("b_id"), "g")
+        .distinct()
+        .localCheckpoint()
+    )
+    if not pairs.head(1):
+        raise ValueError(
+            f"bloom registry: degenerate fixture — family {fam} "
+            f"(doc_id % {mod} == {residue}) holds no shingles"
+        )
+    return pairs
+
+
 def _register_bloom_family(
-    spark: SparkSession, sf_dir: str, final: str, fam: str, residue: int
+    spark: SparkSession,
+    sf_dir: str,
+    final: str,
+    fam: str,
+    residue: int,
+    mod: int = 6,
 ) -> None:
     """One registry registration (see ensure_bloom_registry): no-op if
     ``fam`` is already in the published marker at the current
@@ -2160,20 +2187,7 @@ def _register_bloom_family(
             registered = json.load(f).get("families", {})
         if fam in registered:
             return
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = (
-        _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == residue))
-        .select(F.col("doc_id").alias("b_id"), "g")
-        .distinct()
-        .localCheckpoint()
-    )
-    # degenerate-slice guard: an empty family would make the
-    # isolation/union referees pass vacuously
-    if not pairs.head(1):
-        raise ValueError(
-            f"ensure_bloom_registry: degenerate fixture — family "
-            f"{fam} (doc_id % 6 == {residue}) holds no shingles"
-        )
+    pairs = _family_pairs(spark, sf_dir, fam, mod, residue)
     with staging_tree(final) as staging:
         if registered:
             # copy every already-registered family forward byte-for-byte
@@ -2207,7 +2221,7 @@ def _register_bloom_family(
                     "version": BLOOM_INDEX_VERSION,
                     "bits": BLOOM_BITS,
                     "seeds": list(BLOOM_SEEDS),
-                    "families": {**registered, fam: f"doc_id % 6 == {residue}"},
+                    "families": {**registered, fam: f"doc_id % {mod} == {residue}"},
                 },
                 f,
             )
@@ -2324,4 +2338,206 @@ def op_bloom_registry_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso = words_bitmatch_audit(a_words, a_fresh, "upsert_isolated")
     fill = bloom_fill_audit(union)
     audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(fill))
+    return ledger.crossJoin(F.broadcast(audit))
+
+
+def refresh_bloom_family(
+    spark: SparkSession,
+    sf_dir: str,
+    final: str,
+    fam: str,
+    residue: int,
+    mod: int = 6,
+) -> None:
+    """REFRESH one family of a published registry to a new snapshot —
+    the mechanism registration cannot provide: a bit_or fold can only
+    ADD, but an eval suite's refresh can also REMOVE content, and a
+    monotone bitmap cannot subtract. The only exact path is the one
+    real registries take: rebuild THAT family's filter from its new
+    snapshot and RE-FOLD the union from all per-family words tables —
+    O(families x geometry), never a benchmark re-read outside the
+    refreshed suite. The pre-refresh union is preserved in the tree
+    as ``union_prev_words`` so the serving gate can prove the refresh
+    changed the filter. Every other family's artifacts are copied
+    forward byte-for-byte (the registration discipline); staged +
+    atomically republished."""
+    marker_path = os.path.join(final, "registry_done.json")
+    with open(marker_path) as f:
+        meta = json.load(f)
+    registered = meta.get("families", {})
+    if fam not in registered:
+        raise ValueError(f"refresh_bloom_family: {fam} is not registered")
+    target_pred = f"doc_id % {mod} == {residue}"
+    if registered.get(fam) == target_pred:
+        return  # already at this snapshot
+    pairs = _family_pairs(spark, sf_dir, fam, mod, residue)
+    with staging_tree(final) as staging:
+        shutil.copytree(
+            os.path.join(final, "families"), os.path.join(staging, "families")
+        )
+        # the refreshed family rebuilds from its new snapshot
+        fdir = os.path.join(staging, "families", fam)
+        shutil.rmtree(fdir)
+        pairs.coalesce(2).write.parquet(os.path.join(fdir, "pairs"))
+        bloom_words(pairs.select("g").distinct()).coalesce(1).write.parquet(
+            os.path.join(fdir, "words")
+        )
+        # union RE-FOLD over all family words (a refresh can shrink a
+        # family, so the incremental bit_or of the old union is wrong
+        # by construction here)
+        union = None
+        for other in registered:
+            w = spark.read.parquet(os.path.join(staging, "families", other, "words"))
+            union = w if union is None else union.unionByName(w)
+        union = (
+            union.groupBy("widx")
+            .agg(F.bit_or("bits").alias("bits"))
+            .localCheckpoint()
+        )
+        assert_bloom_fill(union, what=f"bloom_registry_refresh[{final}]/{fam}")
+        union.coalesce(1).write.parquet(os.path.join(staging, "union_words"))
+        # preserve the superseded union for the refresh-did-work referee
+        shutil.copytree(
+            os.path.join(final, "union_words"),
+            os.path.join(staging, "union_prev_words"),
+        )
+        with open(os.path.join(staging, "registry_done.json"), "w") as f:
+            json.dump({**meta, "families": {**registered, fam: target_pred}}, f)
+        publish_staging(staging, final, marker="registry_done.json", force=True)
+    prune_stale_keys(final, sf_dir)
+
+
+def ensure_bloom_refresh_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the registry-REFRESH demo lineage, in its
+    own tree so the main registry stays untouched: suite_a registers
+    at its standard slice (doc_id % 6 == 0), suite_b registers at a
+    STALE half snapshot (doc_id % 12 == 3 — half the %6==3 docs),
+    then suite_b REFRESHES to the full %6==3 slice. End state: the
+    same family content as ensure_bloom_registry, reached through a
+    refresh instead of a registration, plus the preserved pre-refresh
+    union for the did-work referee."""
+    final = os.path.join(
+        _bloom_root(),
+        f"refresh_v{BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    marker = os.path.join(final, "registry_done.json")
+    if os.path.isfile(marker) and _geometry_current(final):
+        with open(marker) as f:
+            fams = json.load(f).get("families", {})
+        if fams.get("suite_b") == "doc_id % 6 == 3" and os.path.isdir(
+            os.path.join(final, "union_prev_words")
+        ):
+            return final
+    # the refresh must CHANGE the filter: the half slice and its
+    # complement (doc_id % 12 == 9) must both be non-empty
+    _family_pairs(spark, sf_dir, "suite_b_delta", 12, 9)
+    _register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
+    _register_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=12)
+    refresh_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=6)
+    check_bloom_meta(final)
+    return final
+
+
+@register(
+    "op_bloom_registry_refresh",
+    tags=("llm", "dedup", "curation", "index"),
+    # the end state is content-identical to the registry screen's
+    # (suite_a = %6==0, suite_b = %6==3), so the per-family ledger
+    # oracle is the same; the refresh-specific referees ride as TRUE
+    # literals (bitmap facts SQL cannot replay)
+    oracle=DECONTAM_DG_CTES
+    + """
+        fam AS (
+            SELECT doc_id AS b_id, g,
+                   CASE WHEN doc_id % 6 = 0 THEN 'suite_a'
+                        ELSE 'suite_b' END AS benchmark_id
+            FROM dg WHERE doc_id % 3 = 0
+        ),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               f.benchmark_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT f.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS refreshed_union_equals_full,
+               TRUE AS unrefreshed_family_untouched,
+               TRUE AS refresh_changed_filter
+        FROM train t JOIN fam f ON t.g = f.g
+        GROUP BY t.doc_id, f.benchmark_id
+    """,
+)
+def op_bloom_registry_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK-SUITE REFRESH in the filter registry — the lifecycle
+    step registration cannot express: eval suites do not only GROW,
+    they get revised, and a monotone bitmap cannot subtract a removed
+    shingle. The registry's answer is per-family isolation: the
+    refreshed suite's filter REBUILDS from its new snapshot (one
+    O(suite) pass over that suite alone) and the union RE-FOLDS from
+    the per-family words tables (O(families x geometry) — bounded by
+    the registry's width, not any corpus), while every other family's
+    artifact is copied forward byte-for-byte. Demo lineage (own tree;
+    the main registry is untouched): suite_b registers at a stale
+    HALF snapshot (doc_id % 12 == 3), then refreshes to the full
+    %6==3 slice.
+
+    Gate: the post-refresh screen reproduces the exact per-family
+    contamination ledger (the end state is content-identical to the
+    standard registry, so DuckDB replays every (doc_id, benchmark_id)
+    row), plus three referees: ``refreshed_union_equals_full`` — the
+    re-folded union is word-for-word identical to the single
+    full-benchmark filter; ``unrefreshed_family_untouched`` —
+    suite_a's persisted words survive the refresh bit-identical to a
+    fresh fold of its pairs; ``refresh_changed_filter`` — the
+    preserved pre-refresh union differs from the post-refresh union
+    (strictly fewer set bits before: the stale half-snapshot misses
+    shingles the refresh admits), so the gate cannot pass vacuously
+    on a refresh that was silently a no-op.
+
+    At 100 TB this is the registry's weekly reality: suite revisions
+    land as one-family rebuilds + a fixed-size re-fold, screens keep
+    probing ONE 0.5 MB union, and a suite that removed a task stops
+    flagging training docs for it the moment the refresh publishes —
+    no whole-registry rebuild, no cross-suite blast radius."""
+    path = ensure_bloom_refresh_demo(spark, sf_dir)
+    check_bloom_meta(path)
+    union = spark.read.parquet(os.path.join(path, "union_words"))
+    union_prev = spark.read.parquet(os.path.join(path, "union_prev_words"))
+    pairs_by_fam = {
+        fam: spark.read.parquet(os.path.join(path, "families", fam, "pairs"))
+        for fam, _residue in BLOOM_FAMILIES
+    }
+    fam_pairs = None
+    for fam, _residue in BLOOM_FAMILIES:
+        p = pairs_by_fam[fam].withColumn("benchmark_id", F.lit(fam))
+        fam_pairs = p if fam_pairs is None else fam_pairs.unionByName(p)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # the screen, from the post-refresh union (shared probe chain)
+    train = _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)).distinct()
+    candidates = bloom_candidates(train, union)
+    ledger = (
+        candidates.join(F.broadcast(fam_pairs), "g")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )
+
+    full = build_bloom_index(spark, sf_dir)
+    rebuilt = spark.read.parquet(os.path.join(full, "words"))
+    eq_union = words_bitmatch_audit(union, rebuilt, "refreshed_union_equals_full")
+    a_words = spark.read.parquet(
+        os.path.join(path, "families", BLOOM_FAMILIES[0][0], "words")
+    )
+    a_fresh = bloom_words(
+        pairs_by_fam[BLOOM_FAMILIES[0][0]].select("g").distinct()
+    )
+    iso = words_bitmatch_audit(a_words, a_fresh, "unrefreshed_family_untouched")
+    changed = (
+        union_prev.agg(F.sum(F.bit_count("bits")).alias("n_prev"))
+        .crossJoin(union.agg(F.sum(F.bit_count("bits")).alias("n_now")))
+        .select((F.col("n_prev") < F.col("n_now")).alias("refresh_changed_filter"))
+    )
+    audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(changed))
     return ledger.crossJoin(F.broadcast(audit))

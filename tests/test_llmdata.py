@@ -1113,6 +1113,7 @@ def test_cold_start_index_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
             "op_sim_lifecycle_e2e",
             "op_lex_lifecycle_e2e",
             "op_bloom_registry_screen",
+            "op_bloom_registry_refresh",
         ):
             sdf = SPECS[name].fn(spark, sf_dir)
             problems = compare(sdf, con.execute(SPECS[name].oracle).df(), name)
@@ -1172,6 +1173,73 @@ def test_bloom_registry_attribution_and_isolation(spark, sf_dir, tmp_path, monke
     exact_hits = {r.doc_id: r.n_hit_shingles for r in exact_rows}
     for r in reg_rows:
         assert 1 <= r.n_hit_shingles <= exact_hits[r.doc_id]
+
+
+def test_bloom_registry_refresh_semantics(spark, sf_dir, tmp_path, monkeypatch):
+    """A family refresh must (a) leave every OTHER family's bytes
+    untouched — suite_a's digest is captured between the stale
+    registration and the refresh — (b) strictly grow the union here
+    (the stale half-snapshot is a strict subset of the full slice, so
+    every pre-refresh word must be a bit-subset of its post-refresh
+    word and the popcount strictly rises), and (c) land the union
+    word-for-word on the full-benchmark filter (re-fold exactness)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+    from game_data_etl_pipeline_spark.llmdata.artifacts import fingerprint_key
+
+    def _tree_digest(d):
+        h = _hashlib.sha256()
+        for root, _dirs, files in sorted(_os.walk(d)):
+            for fn in sorted(files):
+                with open(_os.path.join(root, fn), "rb") as f:
+                    h.update(fn.encode() + f.read())
+        return h.hexdigest()
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
+    final = _os.path.join(
+        dd._bloom_root(),
+        f"refresh_v{dd.BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    dd._register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
+    dd._register_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=12)
+    a_dir = _os.path.join(final, "families", "suite_a")
+    before = _tree_digest(a_dir)
+    stale_union = {
+        r.widx: r.bits
+        for r in spark.read.parquet(_os.path.join(final, "union_words")).collect()
+    }
+    dd.refresh_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=6)
+    assert _tree_digest(a_dir) == before, "refresh mutated the other family"
+    now_union = {
+        r.widx: r.bits
+        for r in spark.read.parquet(_os.path.join(final, "union_words")).collect()
+    }
+    # (b) strict monotone growth for this half->full demo
+    for widx, bits in stale_union.items():
+        assert bits & now_union.get(widx, 0) == bits, "refresh lost a set bit"
+    n_prev = sum(bin(b & (2**64 - 1)).count("1") for b in stale_union.values())
+    n_now = sum(bin(b & (2**64 - 1)).count("1") for b in now_union.values())
+    assert n_prev < n_now, "refresh did not change the filter"
+    # (c) re-fold exactness: union == the single full-benchmark filter
+    rebuilt = dd.bloom_words(
+        dd._shingles(
+            load_table(spark, sf_dir, "documents").filter(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0
+            )
+        )
+        .select("g")
+        .distinct()
+    )
+    row = dd.words_bitmatch_audit(
+        spark.read.parquet(_os.path.join(final, "union_words")), rebuilt, "eq"
+    ).collect()[0]
+    assert row.eq, "re-folded union diverged from the full-benchmark filter"
 
 
 def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):

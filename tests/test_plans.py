@@ -1181,3 +1181,27 @@ def test_bloom_registry_plan_contract(spark):
     before = dd._BLOOM_BUILD_COUNT
     SPECS["op_bloom_registry_screen"].fn(spark, SF)
     assert dd._BLOOM_BUILD_COUNT == before, "re-screening rebuilt the full filter"
+
+
+def test_bloom_registry_refresh_plan_contract(spark):
+    """op_bloom_registry_refresh serves from the refresh-demo tree's
+    post-refresh union with the registry screen's contract: exactly
+    one training-corpus text scan (every benchmark byte from the
+    persisted refresh_v tree), no SortMergeJoin, and re-running must
+    rebuild nothing (the demo lineage and the full filter are both
+    persisted)."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    df = SPECS["op_bloom_registry_refresh"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "refresh_v" in plan, "screen does not read the refresh-demo tree"
+    n_doc_scans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert n_doc_scans == 1, (
+        f"expected exactly one training-corpus scan, found {n_doc_scans}"
+    )
+    assert "SortMergeJoin" not in plan
+    before = dd._BLOOM_BUILD_COUNT
+    SPECS["op_bloom_registry_refresh"].fn(spark, SF)
+    assert dd._BLOOM_BUILD_COUNT == before, "re-screening rebuilt the full filter"
