@@ -2231,6 +2231,64 @@ def _register_bloom_family(
     prune_stale_keys(final, sf_dir)
 
 
+def _registry_screen_frames(
+    spark: SparkSession, sf_dir: str, path: str, union_out: str, iso_out: str
+):
+    """The ONE registry-screen body op_bloom_registry_screen and
+    op_bloom_registry_refresh share (round-12 review: the two serve
+    paths were ~30 pasted lines apart): validate geometry, read the
+    union + per-family pairs (families come from the TREE'S OWN
+    marker — the authoritative manifest — so a registry with more or
+    fewer suites than the session default still screens correctly),
+    run ONE training scan through the shared probe chain, rescreen
+    per family into the attributed ledger, and emit the two shared
+    referees — union == the single full-benchmark filter
+    (``union_out``) and first-registered-family words == a fresh fold
+    of its own persisted pairs (``iso_out``). Returns
+    (union, ledger, eq_union, iso); callers append their own audit
+    literals."""
+    check_bloom_meta(path)
+    with open(os.path.join(path, "registry_done.json")) as f:
+        families = list(json.load(f)["families"])
+    union = spark.read.parquet(os.path.join(path, "union_words"))
+    pairs_by_fam = {
+        fam: spark.read.parquet(os.path.join(path, "families", fam, "pairs"))
+        for fam in families
+    }
+    fam_pairs = None
+    for fam in families:
+        p = pairs_by_fam[fam].withColumn("benchmark_id", F.lit(fam))
+        fam_pairs = p if fam_pairs is None else fam_pairs.unionByName(p)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # ONE training scan -> shared probe chain -> per-family rescreen
+    train = _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)).distinct()
+    candidates = bloom_candidates(train, union)
+    ledger = (
+        candidates.join(F.broadcast(fam_pairs), "g")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.countDistinct("b_id").alias("n_bench_docs"),
+        )
+    )
+
+    # referee 1: union == the single full-benchmark filter, word for word
+    full = build_bloom_index(spark, sf_dir)
+    rebuilt = spark.read.parquet(os.path.join(full, "words"))
+    eq_union = words_bitmatch_audit(union, rebuilt, union_out)
+    # referee 2: the first-registered family's artifact survived every
+    # later registration/refresh untouched — persisted words == fresh
+    # fold of its own persisted pairs (frame already loaded; no second
+    # read of the family artifact)
+    a_words = spark.read.parquet(
+        os.path.join(path, "families", families[0], "words")
+    )
+    a_fresh = bloom_words(pairs_by_fam[families[0]].select("g").distinct())
+    iso = words_bitmatch_audit(a_words, a_fresh, iso_out)
+    return union, ledger, eq_union, iso
+
+
 @register(
     "op_bloom_registry_screen",
     tags=("llm", "dedup", "curation", "index"),
@@ -2297,45 +2355,9 @@ def op_bloom_registry_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched; the screen's cost is unchanged — one 0.5 MB broadcast
     regardless of how many suites the registry holds."""
     path = ensure_bloom_registry(spark, sf_dir)
-    check_bloom_meta(path)
-    union = spark.read.parquet(os.path.join(path, "union_words"))
-    pairs_by_fam = {
-        fam: spark.read.parquet(os.path.join(path, "families", fam, "pairs"))
-        for fam, _residue in BLOOM_FAMILIES
-    }
-    fam_pairs = None
-    for fam, _residue in BLOOM_FAMILIES:
-        p = pairs_by_fam[fam].withColumn("benchmark_id", F.lit(fam))
-        fam_pairs = p if fam_pairs is None else fam_pairs.unionByName(p)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    # ONE training scan -> shared probe chain -> per-family rescreen
-    train = _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)).distinct()
-    candidates = bloom_candidates(train, union)
-    ledger = (
-        candidates.join(F.broadcast(fam_pairs), "g")
-        .groupBy("doc_id", "benchmark_id")
-        .agg(
-            F.countDistinct("g").alias("n_hit_shingles"),
-            F.countDistinct("b_id").alias("n_bench_docs"),
-        )
+    union, ledger, eq_union, iso = _registry_screen_frames(
+        spark, sf_dir, path, "union_equals_full", "upsert_isolated"
     )
-
-    # referee 1: union == the single full-benchmark filter, word for word
-    full = build_bloom_index(spark, sf_dir)
-    rebuilt = spark.read.parquet(os.path.join(full, "words"))
-    eq_union = words_bitmatch_audit(union, rebuilt, "union_equals_full")
-    # referee 2: the earlier family's artifact survived the later
-    # registration untouched — persisted words == fresh fold of its
-    # own persisted pairs (the frame already loaded above; no second
-    # read of the family artifact)
-    a_words = spark.read.parquet(
-        os.path.join(path, "families", BLOOM_FAMILIES[0][0], "words")
-    )
-    a_fresh = bloom_words(
-        pairs_by_fam[BLOOM_FAMILIES[0][0]].select("g").distinct()
-    )
-    iso = words_bitmatch_audit(a_words, a_fresh, "upsert_isolated")
     fill = bloom_fill_audit(union)
     audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(fill))
     return ledger.crossJoin(F.broadcast(audit))
@@ -2361,6 +2383,10 @@ def refresh_bloom_family(
     changed the filter. Every other family's artifacts are copied
     forward byte-for-byte (the registration discipline); staged +
     atomically republished."""
+    # geometry handshake FIRST (the registration path's discipline):
+    # refreshing a stale-geometry tree would bit_or old-geometry family
+    # words with a new-geometry rebuild into one incoherent union
+    check_bloom_meta(final)
     marker_path = os.path.join(final, "registry_done.json")
     with open(marker_path) as f:
         meta = json.load(f)
@@ -2374,6 +2400,23 @@ def refresh_bloom_family(
     with staging_tree(final) as staging:
         shutil.copytree(
             os.path.join(final, "families"), os.path.join(staging, "families")
+        )
+        # preserve the superseded union for the refresh-did-work
+        # referee, RE-DERIVED from the staged pre-refresh family words
+        # (one snapshot): copying final/union_words later would race a
+        # concurrent refresher — the loser could copy the winner's
+        # POST-refresh union as its "pre-refresh" union and publish a
+        # sticky tree whose did-work referee fails forever (round-12
+        # third review pass)
+        prev = None
+        for other in registered:
+            w = spark.read.parquet(os.path.join(staging, "families", other, "words"))
+            prev = w if prev is None else prev.unionByName(w)
+        (
+            prev.groupBy("widx")
+            .agg(F.bit_or("bits").alias("bits"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "union_prev_words"))
         )
         # the refreshed family rebuilds from its new snapshot
         fdir = os.path.join(staging, "families", fam)
@@ -2396,11 +2439,6 @@ def refresh_bloom_family(
         )
         assert_bloom_fill(union, what=f"bloom_registry_refresh[{final}]/{fam}")
         union.coalesce(1).write.parquet(os.path.join(staging, "union_words"))
-        # preserve the superseded union for the refresh-did-work referee
-        shutil.copytree(
-            os.path.join(final, "union_words"),
-            os.path.join(staging, "union_prev_words"),
-        )
         with open(os.path.join(staging, "registry_done.json"), "w") as f:
             json.dump({**meta, "families": {**registered, fam: target_pred}}, f)
         publish_staging(staging, final, marker="registry_done.json", force=True)
@@ -2421,21 +2459,45 @@ def ensure_bloom_refresh_demo(spark: SparkSession, sf_dir: str) -> str:
         f"refresh_v{BLOOM_INDEX_VERSION}",
         fingerprint_key(sf_dir, "documents.parquet"),
     )
+    import time as _time
+
     marker = os.path.join(final, "registry_done.json")
     if os.path.isfile(marker) and _geometry_current(final):
         with open(marker) as f:
             fams = json.load(f).get("families", {})
-        if fams.get("suite_b") == "doc_id % 6 == 3" and os.path.isdir(
-            os.path.join(final, "union_prev_words")
-        ):
-            return final
-    # the refresh must CHANGE the filter: the half slice and its
-    # complement (doc_id % 12 == 9) must both be non-empty
-    _family_pairs(spark, sf_dir, "suite_b_delta", 12, 9)
+        if fams.get("suite_b") == "doc_id % 6 == 3":
+            if os.path.isdir(os.path.join(final, "union_prev_words")):
+                return final
+            # marker at target but the preserved union is gone (torn
+            # external cleanup): every lineage step below would no-op
+            # and hand back the same broken tree — displace and rebuild
+            # (the _geometry_current cache-miss discipline)
+            trash = f"{final}.trash.deadend{os.getpid()}_{int(_time.time() * 1000)}"
+            try:
+                os.rename(final, trash)
+                os.utime(trash, None)
+            except OSError:
+                pass  # a concurrent builder already displaced it
     _register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
     _register_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=12)
     refresh_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=6)
     check_bloom_meta(final)
+    # the refresh must CHANGE the filter or the did-work referee (and
+    # its TRUE oracle literal) fails on valid data: the guard checks
+    # the INVARIANT itself — the %12==9 delta must have set at least
+    # one new union bit — not merely that the delta slice is non-empty
+    n_prev = bloom_fill_ratio(
+        spark.read.parquet(os.path.join(final, "union_prev_words"))
+    )
+    n_now = bloom_fill_ratio(
+        spark.read.parquet(os.path.join(final, "union_words"))
+    )
+    if not n_prev < n_now:
+        raise ValueError(
+            "ensure_bloom_refresh_demo: degenerate fixture — the "
+            "doc_id % 12 == 9 delta slice set no new union bit, so the "
+            "refresh-did-work referee would fail on valid data"
+        )
     return final
 
 
@@ -2499,41 +2561,11 @@ def op_bloom_registry_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagging training docs for it the moment the refresh publishes —
     no whole-registry rebuild, no cross-suite blast radius."""
     path = ensure_bloom_refresh_demo(spark, sf_dir)
-    check_bloom_meta(path)
-    union = spark.read.parquet(os.path.join(path, "union_words"))
+    union, ledger, eq_union, iso = _registry_screen_frames(
+        spark, sf_dir, path,
+        "refreshed_union_equals_full", "unrefreshed_family_untouched",
+    )
     union_prev = spark.read.parquet(os.path.join(path, "union_prev_words"))
-    pairs_by_fam = {
-        fam: spark.read.parquet(os.path.join(path, "families", fam, "pairs"))
-        for fam, _residue in BLOOM_FAMILIES
-    }
-    fam_pairs = None
-    for fam, _residue in BLOOM_FAMILIES:
-        p = pairs_by_fam[fam].withColumn("benchmark_id", F.lit(fam))
-        fam_pairs = p if fam_pairs is None else fam_pairs.unionByName(p)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    # the screen, from the post-refresh union (shared probe chain)
-    train = _shingles(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)).distinct()
-    candidates = bloom_candidates(train, union)
-    ledger = (
-        candidates.join(F.broadcast(fam_pairs), "g")
-        .groupBy("doc_id", "benchmark_id")
-        .agg(
-            F.countDistinct("g").alias("n_hit_shingles"),
-            F.countDistinct("b_id").alias("n_bench_docs"),
-        )
-    )
-
-    full = build_bloom_index(spark, sf_dir)
-    rebuilt = spark.read.parquet(os.path.join(full, "words"))
-    eq_union = words_bitmatch_audit(union, rebuilt, "refreshed_union_equals_full")
-    a_words = spark.read.parquet(
-        os.path.join(path, "families", BLOOM_FAMILIES[0][0], "words")
-    )
-    a_fresh = bloom_words(
-        pairs_by_fam[BLOOM_FAMILIES[0][0]].select("g").distinct()
-    )
-    iso = words_bitmatch_audit(a_words, a_fresh, "unrefreshed_family_untouched")
     changed = (
         union_prev.agg(F.sum(F.bit_count("bits")).alias("n_prev"))
         .crossJoin(union.agg(F.sum(F.bit_count("bits")).alias("n_now")))
