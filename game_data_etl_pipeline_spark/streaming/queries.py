@@ -21,6 +21,7 @@ an unbounded stream.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -28,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from game_data_etl_pipeline_spark.catalog import load_table
+from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_IDS_SQL
 from game_data_etl_pipeline_spark.llmdata.dedup import decontam_ledger_oracle
 from game_data_etl_pipeline_spark.llmdata.text import BM25_CTES
 from game_data_etl_pipeline_spark.registry import register
@@ -1522,13 +1524,16 @@ def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_stream_lex_compact_serve",
     tags=("streaming", "llm", "text", "index"),
     # op_lex_index_delete_compact's oracle VERBATIM — op_text_bm25
-    # recomputed over the surviving corpus (doc_id % 17 != 3): after
-    # deletes, df / n_docs / tot_dl all shift, so every surviving
-    # score changes, and the compacted STREAMED store must reproduce
-    # the re-derived scorer bit-for-bit
+    # recomputed over the surviving corpus (doc_id NOT IN TOMB_IDS —
+    # the id-list purge-request shape, interpolated from the same
+    # constant the Spark side broadcasts, so the two sides cannot
+    # drift): after deletes, df / n_docs / tot_dl all shift, so every
+    # surviving score changes, and the compacted STREAMED store must
+    # reproduce the re-derived scorer bit-for-bit
     oracle=BM25_CTES.replace(
         "FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id % 17 != 3) documents",
+        "FROM (SELECT * FROM documents"
+        f" WHERE doc_id NOT IN {TOMB_IDS_SQL}) documents",
     )
     + """
         SELECT doc_id, bm25, n_terms_hit FROM bm
@@ -1540,18 +1545,26 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the text side (round-11 symmetry: the offline lexical tree has
     delete+compact at survivor bit-equality, the streamed store only
     accumulated per-commit segments): documents arrive in 3
-    micro-batches through the shared ``stream_lex_store`` device, the
-    deterministic pmod(doc_id, 17) == 3 slice is tombstoned, and the
-    merge drops tombstoned postings, rewrites ONE segment per term
-    bucket (strictly fewer parquet files — asserted loudly in the
-    driver, the residue-assert precedent), and RE-DERIVES df and the
-    corpus stats from the surviving postings — exact integer math, no
+    micro-batches through the shared ``stream_lex_store`` device, an
+    explicit id-LIST purge request (TOMB_IDS — the GDPR-takedown
+    shape, round-12 verdict task 2; the pmod residue fixture retired)
+    is broadcast into the tombstone anti-join, and the merge drops
+    tombstoned postings, rewrites ONE segment per term bucket
+    (strictly fewer parquet files — asserted loudly in the driver,
+    the residue-assert precedent), and RE-DERIVES df and the corpus
+    stats from the surviving postings — exact integer math, no
     document re-read, exactly the op_lex_index_delete_compact
     algebra pointed at the streamed store instead of the offline
-    upsert tree.
+    upsert tree. The compaction records the applied purge list in a
+    tomb-meta marker and the serve path replays the
+    ``check_tomb_meta`` staleness handshake the e2e lineage trees
+    carry, so a store compacted under a DIFFERENT purge list than the
+    session constant fails loudly instead of serving under the wrong
+    oracle.
 
-    Gate: op_text_bm25's oracle recomputed over ``doc_id % 17 != 3``
-    VERBATIM — serving from the compacted streamed store IS the
+    Gate: op_text_bm25's oracle recomputed over ``doc_id NOT IN
+    TOMB_IDS`` VERBATIM (the SQL list interpolated from the same
+    constant) — serving from the compacted streamed store IS the
     full-rebuild scorer for the surviving corpus, IDF shifts and all,
     held to bit-equality by the driver's value hash. At 100 TB this is
     Lucene NRT plus forceMerge as one Structured Streaming pipeline:
@@ -1560,7 +1573,12 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedules) and carries the stats re-derivation in the same pass,
     and next morning's queries read one segment per bucket with
     exactly the scores a from-scratch rebuild would give."""
-    from game_data_etl_pipeline_spark.llmdata.ann_index import _count_parquet_files
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_IDS,
+        _count_parquet_files,
+        check_tomb_meta,
+        tombstone_ids_df,
+    )
     from game_data_etl_pipeline_spark.llmdata.lex_index import (
         bm25_from_index,
         compact_lex_postings,
@@ -1572,8 +1590,16 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = os.path.join(work, "compacted")
     shutil.rmtree(comp, ignore_errors=True)
     # the shared delete+compact algebra (the same code the offline
-    # op_lex_index_delete_compact runs), pointed at the streamed store
-    compact_lex_postings(spark, os.path.join(work, "postings"), comp)
+    # op_lex_index_delete_compact runs), pointed at the streamed
+    # store, purging the broadcast TOMB_IDS list
+    compact_lex_postings(
+        spark,
+        os.path.join(work, "postings"),
+        comp,
+        tombstones=tombstone_ids_df(spark, "doc_id"),
+    )
+    with open(os.path.join(comp, "stream_compact_done.json"), "w") as f:
+        json.dump({"tomb_ids": list(TOMB_IDS)}, f)
     files_before = _count_parquet_files(os.path.join(work, "postings"))
     files_after = _count_parquet_files(os.path.join(comp, "postings"))
     if not 0 < files_after < files_before:
@@ -1581,6 +1607,9 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"op_stream_lex_compact_serve: compaction did not merge "
             f"segments ({files_before} -> {files_after} parquet files)"
         )
+    # purge-list handshake: the serve path validates the marker the
+    # compaction just recorded — the e2e trees' staleness discipline
+    check_tomb_meta(comp, "stream_compact_done.json")
     return bm25_from_index(spark, comp)
 
 
@@ -1669,19 +1698,21 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_stream_ann_serve_compacted",
     tags=("streaming", "similarity", "index"),
-    # op_sim_ivfpq_serve_compacted's oracle VERBATIM (the survivor
-    # world: embeddings WHERE vec_id % 17 != 3) plus the
-    # segments-merged audit literal — the streamed store, tombstoned
-    # and compacted, must serve the same per-query survivor
-    # neighborhoods as the offline compacted tree
-    oracle="""
+    # op_sim_ivfpq_serve's oracle re-derived over the id-LIST survivor
+    # world (embeddings WHERE vec_id NOT IN TOMB_IDS — interpolated
+    # from the same constant the Spark side broadcasts) plus the
+    # segments-merged audit literal — the streamed store, purged and
+    # compacted, must serve the same per-query survivor neighborhoods
+    # as a full rebuild over the survivors
+    oracle=f"""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
             FROM embeddings WHERE vec_id < 4
         ),
         c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-            FROM embeddings WHERE vec_id >= 4 AND vec_id % 17 != 3
+            FROM embeddings
+            WHERE vec_id >= 4 AND vec_id NOT IN {TOMB_IDS_SQL}
         )
         SELECT query_id,
                CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
@@ -1703,8 +1734,10 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     claim quietly stops at the first GDPR purge). Embeddings arrive in
     3 micro-batches through the shared ``stream_ann_store`` device
     (each commit appends a cent_id-partitioned segment encoded against
-    the frozen trained structure); the deterministic
-    pmod(vec_id, 17) == 3 slice is then tombstoned and the per-cell
+    the frozen trained structure); an explicit id-LIST purge request
+    (TOMB_IDS — the GDPR-takedown shape, round-12 verdict task 2; the
+    pmod residue fixture retired) is then broadcast into the
+    tombstone anti-join and the per-cell
     append segments merge into ONE segment per cell — survivors
     stream through a shuffle-free per-cell rewrite, bytes moved, never
     re-encoded — and the verbatim probe -> ADC -> shortlist -> rerank
@@ -1721,7 +1754,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     did real filesystem work (strictly fewer parquet files than the
     3-appends-per-cell streamed store). The driver hash-verifies the
     per-query survivor neighborhoods against op_sim_ivfpq_serve's
-    oracle re-derived over ``vec_id % 17 != 3``.
+    oracle re-derived over ``vec_id NOT IN TOMB_IDS``.
 
     At 100 TB this is the nightly segment-merge on the ingest tier:
     per-commit segments land O(batch) all day, the merge reads each
@@ -1730,37 +1763,49 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     scores — freshness, deletes, and compaction proven mutually
     score-neutral."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
-        TOMB_MOD,
-        TOMB_RESIDUE,
+        TOMB_IDS,
         _count_parquet_files,
+        check_tomb_meta,
         compact_ann_postings,
         read_ann_index,
         serve_with_adc_referee,
+        tombstone_ids_df,
     )
 
     store = stream_ann_store(
         spark, sf_dir, "annservecomp", "op_stream_ann_serve_compacted"
     )
-    tomb = F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RESIDUE
+    tomb = F.col("vec_id").isin(*TOMB_IDS)
 
-    # compact: drop tombstones, merge the per-commit appends into ONE
-    # segment per cell in a sibling tree — the shared
-    # compact_ann_postings algebra (the same code ensure_compact_tree
-    # and the e2e lineage run), pointed at the streamed store; the
-    # store itself is never mutated, the ensure_compact_tree discipline
+    # compact: drop the broadcast TOMB_IDS purge list, merge the
+    # per-commit appends into ONE segment per cell in a sibling tree —
+    # the shared compact_ann_postings algebra (the same code
+    # ensure_compact_tree and the e2e lineage run), pointed at the
+    # streamed store; the store itself is never mutated, the
+    # ensure_compact_tree discipline. The applied purge list is
+    # recorded in a tomb-meta marker and the serve path replays the
+    # check_tomb_meta handshake (the e2e trees' staleness discipline).
     compacted_dir = os.path.join(os.path.dirname(store), "compacted")
     shutil.rmtree(compacted_dir, ignore_errors=True)
-    compact_ann_postings(spark, store, compacted_dir)
+    compact_ann_postings(
+        spark, store, compacted_dir, tombstones=tombstone_ids_df(spark, "vec_id")
+    )
+    # underscore-prefixed so Spark's parquet directory listing skips
+    # the marker (it lives INSIDE the postings layout)
+    with open(os.path.join(compacted_dir, "_stream_compact_done.json"), "w") as f:
+        json.dump({"tomb_ids": list(TOMB_IDS)}, f)
     files_before = _count_parquet_files(store)
     files_after = _count_parquet_files(compacted_dir)
+    check_tomb_meta(compacted_dir, "_stream_compact_done.json")
 
     coarse, books, main_postings = read_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     comp = spark.read.parquet(compacted_dir).select(
         "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
     )
-    # the survivor world: candidate/rerank/audit corpus excludes
-    # tombstoned ids; queries (vec_id < 4) stay external vectors.
+    # the survivor world: candidate/rerank/audit corpus excludes the
+    # purged ids; queries (vec_id < 4) stay external vectors (TOMB_IDS
+    # are all >= 4 by construction, asserted at the constant).
     # Referee yardstick: the offline build artifact restricted to
     # survivors — the shared serve_with_adc_referee body.
     served, audit = serve_with_adc_referee(

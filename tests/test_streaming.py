@@ -150,3 +150,60 @@ def test_stream_decontaminate_matches_offline_screen(spark, sf_dir):
     key = lambda r: (r.doc_id, r.n_hit_shingles, r.n_bench_docs)
     assert {key(r) for r in streamed} == {key(r) for r in offline}
     assert streamed and all(r.bloom_pruned for r in streamed)
+
+
+def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
+    """The STREAMED compacted trees carry the e2e lineages' purge-list
+    handshake (round-12 verdict task 2): the compaction records the
+    applied TOMB_IDS in a tomb-meta marker, the serve path validates
+    it, the purged ids are really gone from the compacted postings,
+    and a marker recording a DIFFERENT list than the session constant
+    fails check_tomb_meta loudly instead of serving under the wrong
+    oracle."""
+    import json as _json
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_IDS,
+        check_tomb_meta,
+    )
+    from game_data_etl_pipeline_spark.streaming.queries import _session_workdir
+
+    SPECS["op_stream_lex_compact_serve"].fn(spark, sf_dir).count()
+    comp = os.path.join(
+        _session_workdir(spark, "lexcompact", sf_dir), "compacted"
+    )
+    marker = os.path.join(comp, "stream_compact_done.json")
+    with open(marker) as f:
+        assert _json.load(f)["tomb_ids"] == list(TOMB_IDS)
+    surv = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(comp, "postings"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert surv and not surv & set(TOMB_IDS)
+
+    # a stale marker (a tree compacted under an older purge list) must
+    # fail the serve-path handshake loudly
+    with open(marker, "w") as f:
+        _json.dump({"tomb_ids": [1, 2, 3]}, f)
+    with pytest.raises(ValueError, match="tomb_ids"):
+        check_tomb_meta(comp, "stream_compact_done.json")
+
+    SPECS["op_stream_ann_serve_compacted"].fn(spark, sf_dir).count()
+    ann_comp = os.path.join(
+        _session_workdir(spark, "annservecomp", sf_dir), "compacted"
+    )
+    with open(os.path.join(ann_comp, "_stream_compact_done.json")) as f:
+        assert _json.load(f)["tomb_ids"] == list(TOMB_IDS)
+    ann_surv = {
+        r.vec_id
+        for r in spark.read.parquet(ann_comp)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert ann_surv and not ann_surv & set(TOMB_IDS)
