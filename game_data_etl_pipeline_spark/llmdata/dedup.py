@@ -2127,9 +2127,12 @@ def ensure_bloom_registry(
     a live registry actually has: a family not yet in the marker
     stages a new tree that copies every already-registered family's
     artifacts forward BYTE-FOR-BYTE, writes the new family's pairs +
-    words (one O(suite) shingle pass), folds the new words into the
-    union READ BACK from the published tree (one O(geometry) bit_or —
-    no earlier family is ever re-read, let alone re-written), and
+    words (one O(suite) shingle pass), folds the union from the
+    STAGED family copies plus the new words (one O(families x
+    geometry) bit_or over ~0.5 MB filters — no BENCHMARK outside the
+    new suite is ever re-read, and the staged copies are one
+    consistent snapshot, so the fold cannot pair old family bytes
+    with a concurrent publisher's newer union), and
     atomically republishes. Earlier families' bytes surviving a later
     registration untouched is therefore a construction invariant, and
     tests/test_llmdata.py digests a family's artifacts between two
@@ -2178,14 +2181,23 @@ def _register_bloom_family(
 ) -> None:
     """One registry registration (see ensure_bloom_registry): no-op if
     ``fam`` is already in the published marker at the current
-    geometry; otherwise stage copy-forward + new family + union fold
-    + atomic republish."""
+    geometry AND the recorded slice predicate matches the requested
+    one; a predicate mismatch (the snapshot definition changed under
+    the cache — the round-12 advice's stale-artifact class) delegates
+    to the refresh path, which rebuilds THIS family and re-folds the
+    union, mirroring the ``_geometry_current`` displace-and-rebuild
+    discipline instead of surfacing later as a confusing
+    union_equals_full failure. Otherwise stage copy-forward + new
+    family + union fold + atomic republish."""
     marker_path = os.path.join(final, "registry_done.json")
     registered: dict[str, str] = {}
     if os.path.isfile(marker_path) and _geometry_current(final):
         with open(marker_path) as f:
             registered = json.load(f).get("families", {})
         if fam in registered:
+            if registered[fam] == f"doc_id % {mod} == {residue}":
+                return
+            refresh_bloom_family(spark, sf_dir, final, fam, residue, mod=mod)
             return
     pairs = _family_pairs(spark, sf_dir, fam, mod, residue)
     with staging_tree(final) as staging:
@@ -2202,14 +2214,24 @@ def _register_bloom_family(
         )
         delta = spark.read.parquet(os.path.join(fdir, "words"))
         if registered:
-            # incremental union: published union + this family's delta —
-            # O(geometry), no earlier family re-read
-            union = (
-                spark.read.parquet(os.path.join(final, "union_words"))
-                .unionByName(delta)
-                .groupBy("widx")
-                .agg(F.bit_or("bits").alias("bits"))
-            )
+            # incremental union: fold the STAGED family copies plus
+            # this family's delta — O(families x geometry), still no
+            # benchmark re-read outside the new suite. Reading the
+            # live tree's union_words here instead would be a SECOND
+            # read of `final` at a later time than the copytree above:
+            # a concurrent force-publish between the two reads could
+            # pair old family bytes with a new union (the torn-read
+            # race the round-12 third review pass fixed in
+            # refresh_bloom_family; round-12 advice flagged this path
+            # still had it). The staged copies ARE the one snapshot.
+            union = delta
+            for other in registered:
+                union = union.unionByName(
+                    spark.read.parquet(
+                        os.path.join(staging, "families", other, "words")
+                    )
+                )
+            union = union.groupBy("widx").agg(F.bit_or("bits").alias("bits"))
         else:
             union = delta
         union = union.localCheckpoint()
@@ -2349,8 +2371,9 @@ def op_bloom_registry_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the geometry must hold the SUM of registered families).
 
     At 100 TB this is benchmark-registry operations: a new eval
-    suite registers as one O(suite) family build plus one O(geometry)
-    union re-fold; a suite refresh rebuilds ITS family and re-folds,
+    suite registers as one O(suite) family build plus one
+    O(families x geometry) union fold over ~0.5 MB filters; a suite
+    refresh rebuilds ITS family and re-folds,
     leaving every other family's artifact and ledger attribution
     untouched; the screen's cost is unchanged — one 0.5 MB broadcast
     regardless of how many suites the registry holds."""
@@ -2461,12 +2484,36 @@ def ensure_bloom_refresh_demo(spark: SparkSession, sf_dir: str) -> str:
     )
     import time as _time
 
+    def _assert_refresh_did_work() -> None:
+        # the refresh must CHANGE the filter or the did-work referee
+        # (and its TRUE oracle literal) fails on valid data: the guard
+        # checks the INVARIANT itself — the %12==9 delta must have set
+        # at least one new union bit — not merely that the delta slice
+        # is non-empty. Runs on the BUILD path and on the early-return
+        # path alike (round-12 advice: checking only after publish let
+        # a published-but-degenerate tree early-return forever,
+        # deferring the failure to the op's refresh_changed_filter
+        # gate instead of the loud builder error).
+        n_prev = bloom_fill_ratio(
+            spark.read.parquet(os.path.join(final, "union_prev_words"))
+        )
+        n_now = bloom_fill_ratio(
+            spark.read.parquet(os.path.join(final, "union_words"))
+        )
+        if not n_prev < n_now:
+            raise ValueError(
+                "ensure_bloom_refresh_demo: degenerate fixture — the "
+                "doc_id % 12 == 9 delta slice set no new union bit, so "
+                "the refresh-did-work referee would fail on valid data"
+            )
+
     marker = os.path.join(final, "registry_done.json")
     if os.path.isfile(marker) and _geometry_current(final):
         with open(marker) as f:
             fams = json.load(f).get("families", {})
         if fams.get("suite_b") == "doc_id % 6 == 3":
             if os.path.isdir(os.path.join(final, "union_prev_words")):
+                _assert_refresh_did_work()
                 return final
             # marker at target but the preserved union is gone (torn
             # external cleanup): every lineage step below would no-op
@@ -2482,22 +2529,7 @@ def ensure_bloom_refresh_demo(spark: SparkSession, sf_dir: str) -> str:
     _register_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=12)
     refresh_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=6)
     check_bloom_meta(final)
-    # the refresh must CHANGE the filter or the did-work referee (and
-    # its TRUE oracle literal) fails on valid data: the guard checks
-    # the INVARIANT itself — the %12==9 delta must have set at least
-    # one new union bit — not merely that the delta slice is non-empty
-    n_prev = bloom_fill_ratio(
-        spark.read.parquet(os.path.join(final, "union_prev_words"))
-    )
-    n_now = bloom_fill_ratio(
-        spark.read.parquet(os.path.join(final, "union_words"))
-    )
-    if not n_prev < n_now:
-        raise ValueError(
-            "ensure_bloom_refresh_demo: degenerate fixture — the "
-            "doc_id % 12 == 9 delta slice set no new union bit, so the "
-            "refresh-did-work referee would fail on valid data"
-        )
+    _assert_refresh_did_work()
     return final
 
 

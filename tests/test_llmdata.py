@@ -1242,6 +1242,62 @@ def test_bloom_registry_refresh_semantics(spark, sf_dir, tmp_path, monkeypatch):
     assert row.eq, "re-folded union diverged from the full-benchmark filter"
 
 
+def test_register_predicate_mismatch_self_heals(spark, sf_dir, tmp_path, monkeypatch):
+    """Registration's cache test must compare the recorded slice
+    predicate, not just the family name (round-12 advice): editing a
+    family's snapshot definition and re-ensuring must rebuild THAT
+    family via the refresh path — marker re-records the new predicate,
+    the family words re-fold from the new snapshot — instead of
+    silently serving the stale artifact and failing later in the
+    union_equals_full referee."""
+    import json as _json
+    import os as _os
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+    from game_data_etl_pipeline_spark.llmdata.artifacts import fingerprint_key
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
+    final = _os.path.join(
+        dd._bloom_root(),
+        f"registry_v{dd.BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    dd._register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
+    marker = _os.path.join(final, "registry_done.json")
+    with open(marker) as f:
+        assert _json.load(f)["families"]["suite_a"] == "doc_id % 6 == 0"
+
+    # same (fam, predicate): pure cache hit, no republish
+    mtime = _os.path.getmtime(marker)
+    dd._register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
+    assert _os.path.getmtime(marker) == mtime
+
+    # same fam, DIFFERENT predicate: cache miss -> refresh rebuilds the
+    # family from the new snapshot and re-records the predicate
+    dd._register_bloom_family(spark, sf_dir, final, "suite_a", 3, mod=12)
+    with open(marker) as f:
+        assert _json.load(f)["families"]["suite_a"] == "doc_id % 12 == 3"
+    from pyspark.sql import functions as F
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+
+    fresh = dd.bloom_words(
+        dd._shingles(
+            load_table(spark, sf_dir, "documents").filter(
+                F.pmod(F.col("doc_id"), F.lit(12)) == 3
+            )
+        )
+        .select("g")
+        .distinct()
+    )
+    row = dd.words_bitmatch_audit(
+        spark.read.parquet(_os.path.join(final, "families", "suite_a", "words")),
+        fresh,
+        "eq",
+    ).collect()[0]
+    assert row.eq, "predicate-mismatch rebuild did not land on the new snapshot"
+
+
 def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):
     """Round-11 verdict task 2+3: the composed lifecycle lineage
     (build -> delta upsert -> id-LIST tombstone -> compact) must land
