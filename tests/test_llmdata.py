@@ -1114,6 +1114,7 @@ def test_cold_start_index_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
             "op_lex_lifecycle_e2e",
             "op_bloom_registry_screen",
             "op_bloom_registry_refresh",
+            "op_bloom_registry_retire",
         ):
             sdf = SPECS[name].fn(spark, sf_dir)
             problems = compare(sdf, con.execute(SPECS[name].oracle).df(), name)
@@ -1296,6 +1297,99 @@ def test_register_predicate_mismatch_self_heals(spark, sf_dir, tmp_path, monkeyp
         "eq",
     ).collect()[0]
     assert row.eq, "predicate-mismatch rebuild did not land on the new snapshot"
+
+
+def test_bloom_registry_retire_semantics(spark, sf_dir, tmp_path, monkeypatch):
+    """Retirement must (a) leave every SURVIVING family's bytes
+    untouched — suite_a's digest is captured between registration and
+    the retirement — (b) drop every attribution to the retired family
+    from the screen's ledger while keeping the survivor's rows
+    identical, (c) strictly shrink the union (suite_b's bits cleared;
+    the post-retire union bit-subsets the preserved pre-retire union
+    word for word), (d) refuse to retire the LAST family (an all-zero
+    union flags nothing and looks healthy), and (e) be idempotent —
+    re-retiring an absent family is a no-op, no republish."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+    from game_data_etl_pipeline_spark.llmdata.artifacts import fingerprint_key
+
+    def _tree_digest(d):
+        h = _hashlib.sha256()
+        for root, _dirs, files in sorted(_os.walk(d)):
+            for fn in sorted(files):
+                with open(_os.path.join(root, fn), "rb") as f:
+                    h.update(fn.encode() + f.read())
+        return h.hexdigest()
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
+    final = _os.path.join(
+        dd._bloom_root(),
+        f"retire_v{dd.BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    for fam, residue in dd.BLOOM_FAMILIES:
+        dd._register_bloom_family(spark, sf_dir, final, fam, residue)
+    a_dir = _os.path.join(final, "families", "suite_a")
+    before = _tree_digest(a_dir)
+    # the two-family screen's ledger, as the pre-retire baseline
+    pre_rows = dd._registry_screen_frames(
+        spark, sf_dir, final, "eq", "iso"
+    )[1].collect()
+    prev_union = {
+        r.widx: r.bits
+        for r in spark.read.parquet(_os.path.join(final, "union_words")).collect()
+    }
+
+    dd.retire_bloom_family(spark, sf_dir, final, "suite_b")
+    assert _tree_digest(a_dir) == before, "retire mutated the surviving family"
+    with open(_os.path.join(final, "registry_done.json")) as f:
+        assert list(_json.load(f)["families"]) == ["suite_a"]
+    assert not _os.path.isdir(_os.path.join(final, "families", "suite_b"))
+
+    # (b) ledger: suite_b attributions gone, suite_a rows identical
+    post_rows = SPECS["op_bloom_registry_retire"].fn(spark, sf_dir).collect()
+    key = lambda r: (r.doc_id, r.benchmark_id, r.n_hit_shingles, r.n_bench_docs)
+    assert {key(r) for r in post_rows} == {
+        key(r) for r in pre_rows if r.benchmark_id == "suite_a"
+    }
+    assert all(
+        r.union_equals_survivors
+        and r.survivor_family_untouched
+        and r.retire_shrunk_filter
+        for r in post_rows
+    )
+
+    # (c) bit-subset + strict shrink, word for word
+    now_union = {
+        r.widx: r.bits
+        for r in spark.read.parquet(_os.path.join(final, "union_words")).collect()
+    }
+    saved_prev = {
+        r.widx: r.bits
+        for r in spark.read.parquet(
+            _os.path.join(final, "union_prev_words")
+        ).collect()
+    }
+    assert saved_prev == prev_union, "preserved pre-retire union drifted"
+    for widx, bits in now_union.items():
+        assert bits & prev_union.get(widx, 0) == bits, "retire SET a bit"
+    n_prev = sum(bin(b & (2**64 - 1)).count("1") for b in prev_union.values())
+    n_now = sum(bin(b & (2**64 - 1)).count("1") for b in now_union.values())
+    assert n_now < n_prev, "retire did not shrink the filter"
+
+    # (e) idempotent no-op on an absent family
+    mtime = _os.path.getmtime(_os.path.join(final, "registry_done.json"))
+    dd.retire_bloom_family(spark, sf_dir, final, "suite_b")
+    assert _os.path.getmtime(_os.path.join(final, "registry_done.json")) == mtime
+
+    # (d) the last family is not retirable
+    with pytest.raises(ValueError, match="EMPTY registry"):
+        dd.retire_bloom_family(spark, sf_dir, final, "suite_a")
 
 
 def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):

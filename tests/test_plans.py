@@ -1205,3 +1205,32 @@ def test_bloom_registry_refresh_plan_contract(spark):
     before = dd._BLOOM_BUILD_COUNT
     SPECS["op_bloom_registry_refresh"].fn(spark, SF)
     assert dd._BLOOM_BUILD_COUNT == before, "re-screening rebuilt the full filter"
+
+
+def test_bloom_registry_retire_plan_contract(spark):
+    """op_bloom_registry_retire serves from the retire-demo tree's
+    survivor union with the registry screen's contract: exactly one
+    training-corpus text scan (the survivor's benchmark bytes come
+    from the persisted retire_v tree; the union yardstick folds fresh
+    from the tree's own PAIR sets, never a document), no
+    SortMergeJoin, and — stronger than screen/refresh — it must never
+    build the full single-benchmark filter at all (the survivors no
+    longer cover the full benchmark, so that yardstick would be wrong
+    by construction)."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    before = dd._BLOOM_BUILD_COUNT
+    df = SPECS["op_bloom_registry_retire"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "retire_v" in plan, "screen does not read the retire-demo tree"
+    n_doc_scans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert n_doc_scans == 1, (
+        f"expected exactly one training-corpus scan, found {n_doc_scans}"
+    )
+    assert "SortMergeJoin" not in plan
+    SPECS["op_bloom_registry_retire"].fn(spark, SF)
+    assert dd._BLOOM_BUILD_COUNT == before, (
+        "the retire screen built the full-benchmark filter"
+    )
