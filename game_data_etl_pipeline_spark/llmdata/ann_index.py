@@ -608,6 +608,101 @@ def tombstone_ids_df(spark: SparkSession, id_col: str) -> DataFrame:
     )
 
 
+# The purge AUDIT LEDGER (round-12 verdict task 5): compactions
+# delete user data; a real GDPR/takedown workflow needs persisted
+# EVIDENCE of what was purged — which ids (or predicate), and the
+# count arithmetic — written in the SAME transaction as the compact,
+# so a compacted tree without its evidence cannot exist. The name is
+# underscore-prefixed because for the ANN family it lives INSIDE the
+# postings directory and Spark's parquet listing must skip it.
+PURGE_LEDGER = "_purge_ledger.json"
+
+
+def purge_ids_digest(ids) -> str:
+    """Canonical digest of an id-list purge request — the writer
+    (compactor ledger) and the checkers (lifecycle gates) derive it
+    through this one function so they cannot drift."""
+    import hashlib
+
+    return hashlib.sha256(
+        ",".join(str(i) for i in sorted(int(i) for i in ids)).encode()
+    ).hexdigest()
+
+
+def write_purge_ledger(
+    dest: str,
+    *,
+    n_before: int,
+    n_after: int,
+    purge_ids=None,
+    predicate: str | None = None,
+) -> None:
+    """Persist the compaction's purge evidence next to its output —
+    called by the shared compactors BEFORE the caller's atomic
+    publish, so the ledger rides the same staging transaction as the
+    survivors (a crash between the rewrite and the ledger publishes
+    NOTHING — pinned by the torn-write pytest). Deterministic and
+    timestamp-free: a republished identical compaction produces an
+    identical ledger, so tree digests stay stable."""
+    if purge_ids is not None:
+        ids = sorted(int(i) for i in purge_ids)
+        purge = {"kind": "id_list", "ids": ids, "digest": purge_ids_digest(ids)}
+    else:
+        import hashlib
+
+        purge = {
+            "kind": "predicate",
+            "predicate": predicate,
+            "digest": hashlib.sha256(str(predicate).encode()).hexdigest(),
+        }
+    with open(os.path.join(dest, PURGE_LEDGER), "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "purge": purge,
+                "n_before": int(n_before),
+                "n_after": int(n_after),
+                "n_purged": int(n_before) - int(n_after),
+            },
+            f,
+        )
+
+
+def purge_ledger_current(tree: str, ledger_dir: str) -> bool:
+    """Cache-validity test for the compacted-tree builders: True iff
+    ``ledger_dir`` holds the purge ledger. A ledger-less compacted
+    tree (it predates the purge-ledger artifact, or torn external
+    cleanup removed the evidence) is a CACHE MISS — ``tree`` is
+    displaced through the trash-grace window and rebuilt, the
+    tomb_ids_current discipline applied to the deletion evidence."""
+    import time as _time
+
+    if os.path.isfile(os.path.join(ledger_dir, PURGE_LEDGER)):
+        return True
+    trash = f"{tree}.trash.ledger{os.getpid()}_{int(_time.time() * 1000)}"
+    try:
+        os.rename(tree, trash)
+        os.utime(trash, None)  # grace clock starts at displacement
+    except OSError:
+        pass  # a concurrent builder already displaced it
+    return False
+
+
+def read_purge_ledger(dest: str) -> dict:
+    """Load a compacted tree's purge evidence; a MISSING ledger is a
+    loud error, not a default — a compaction that deleted rows without
+    recording what it deleted is exactly the failure mode the artifact
+    exists to rule out."""
+    path = os.path.join(dest, PURGE_LEDGER)
+    if not os.path.isfile(path):
+        raise ValueError(
+            f"compacted tree {dest} has no purge ledger ({PURGE_LEDGER}) — "
+            f"the compaction's deletion evidence is missing; rebuild the tree"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
 def compact_ann_postings(
     spark: SparkSession,
     src_postings: str,
@@ -641,6 +736,25 @@ def compact_ann_postings(
         .partitionBy("cent_id")
         .parquet(dest_postings)
     )
+    # purge evidence, in the same output tree (and therefore the same
+    # staging transaction when the caller stages): n_after is counted
+    # from the PERSISTED survivors — the ledger attests to what was
+    # actually written, not to a plan
+    write_purge_ledger(
+        dest_postings,
+        n_before=src.count(),
+        n_after=spark.read.parquet(dest_postings).count(),
+        purge_ids=(
+            None
+            if tombstones is None
+            else [r[0] for r in tombstones.select("vec_id").distinct().collect()]
+        ),
+        predicate=(
+            f"pmod(vec_id, {TOMB_MOD}) == {TOMB_RESIDUE}"
+            if tombstones is None
+            else None
+        ),
+    )
 
 
 def _count_parquet_files(postings_dir: str) -> int:
@@ -665,7 +779,9 @@ def ensure_compact_tree(spark: SparkSession, sf_dir: str) -> str:
         f"compact_v{INDEX_VERSION}",
         fingerprint_key(sf_dir, "embeddings.parquet"),
     )
-    if os.path.isfile(os.path.join(comp, "compact_done.json")):
+    if os.path.isfile(
+        os.path.join(comp, "compact_done.json")
+    ) and purge_ledger_current(comp, os.path.join(comp, "postings")):
         return comp
     with staging_tree(comp) as staging:
         compact_ann_postings(
@@ -876,8 +992,10 @@ def ensure_ann_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
         f"e2e_v{INDEX_VERSION}",
         fingerprint_key(sf_dir, "embeddings.parquet"),
     )
-    if os.path.isfile(os.path.join(e2e, "e2e_done.json")) and tomb_ids_current(
-        e2e, "e2e_done.json"
+    if (
+        os.path.isfile(os.path.join(e2e, "e2e_done.json"))
+        and tomb_ids_current(e2e, "e2e_done.json")
+        and purge_ledger_current(e2e, os.path.join(e2e, "postings"))
     ):
         return e2e
     with staging_tree(e2e) as staging:
@@ -920,6 +1038,7 @@ def ensure_ann_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
                TRUE AS recall_floor_met,
                TRUE AS adc_bitmatch_vs_fresh_encode,
                TRUE AS tombstones_enforced,
+               TRUE AS purge_ledger_consistent,
                TRUE AS segments_merged
         FROM q, c
         GROUP BY query_id
@@ -960,6 +1079,12 @@ def op_sim_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       postings AND the survivor count is exactly the upsert tree's
       count minus the purge hits (both sides measured on the
       persisted trees).
+    - ``purge_ledger_consistent``: the compaction's persisted purge
+      LEDGER (written by the shared compactor inside the same staging
+      transaction — the GDPR evidence artifact) records the session
+      TOMB_IDS digest and count arithmetic that reproduces the
+      tree-measured before/after exactly; a missing ledger fails
+      loudly in ``read_purge_ledger``.
     - ``segments_merged``: the e2e tree holds strictly fewer parquet
       files than the 2-segments-per-cell upsert tree.
 
@@ -1017,11 +1142,28 @@ def op_sim_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tomb_left"
         ),
     )
+    # referee 4 rides the same stats frame: the compaction's persisted
+    # PURGE LEDGER (the GDPR evidence artifact, round-12 verdict task
+    # 5) must attest to exactly this purge — the recorded id-list
+    # digest is the session TOMB_IDS digest, and the recorded counts
+    # reproduce the before/after arithmetic measured on the trees
+    led = read_purge_ledger(os.path.join(e2e, "postings"))
+    led_ok = (
+        led["purge"].get("kind") == "id_list"
+        and led["purge"].get("digest") == purge_ids_digest(TOMB_IDS)
+        and led["n_purged"] == led["n_before"] - led["n_after"]
+    )
     enforced = b_stats.crossJoin(F.broadcast(a_stats)).select(
         (
             (F.coalesce(F.col("n_tomb_left"), F.lit(0)) == 0)
             & (F.col("n_after") == F.col("n_before") - F.col("n_purge_hits"))
-        ).alias("tombstones_enforced")
+        ).alias("tombstones_enforced"),
+        (
+            F.lit(bool(led_ok))
+            & (F.col("n_before") == F.lit(int(led["n_before"])))
+            & (F.col("n_after") == F.lit(int(led["n_after"])))
+            & (F.col("n_purge_hits") == F.lit(int(led["n_purged"])))
+        ).alias("purge_ledger_consistent"),
     )
 
     files_before = _count_parquet_files(os.path.join(demo, "postings"))

@@ -393,7 +393,10 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (partition pruning scopes per-bucket schedules), and the df
     recompute is the same pass — no extra corpus touch, document text
     never read."""
-    from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_MOD,
+        purge_ledger_current,
+    )
 
     demo = ensure_lex_upsert_tree(spark, sf_dir)
     comp = os.path.join(
@@ -401,7 +404,10 @@ def op_lex_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"compact_v{LEX_INDEX_VERSION}",
         fingerprint_key(sf_dir, "documents.parquet"),
     )
-    if not os.path.isfile(os.path.join(comp, "compact_done.json")):
+    if not (
+        os.path.isfile(os.path.join(comp, "compact_done.json"))
+        and purge_ledger_current(comp, comp)
+    ):
         with staging_tree(comp) as staging:
             compact_lex_postings(spark, os.path.join(demo, "postings"), staging)
             with open(os.path.join(staging, "compact_done.json"), "w") as f:
@@ -471,6 +477,27 @@ def compact_lex_postings(
         .write.mode("overwrite")
         .parquet(os.path.join(dest, "stats"))
     )
+    # purge evidence (the shared write_purge_ledger artifact), in the
+    # same dest tree and therefore the caller's staging transaction;
+    # counts are POSTING rows, measured before from the source and
+    # after from the PERSISTED survivors
+    from game_data_etl_pipeline_spark.llmdata.ann_index import write_purge_ledger
+
+    write_purge_ledger(
+        dest,
+        n_before=src.count(),
+        n_after=surv_disk.count(),
+        purge_ids=(
+            None
+            if tombstones is None
+            else [r[0] for r in tombstones.select("doc_id").distinct().collect()]
+        ),
+        predicate=(
+            f"pmod(doc_id, {TOMB_MOD}) == {TOMB_RESIDUE}"
+            if tombstones is None
+            else None
+        ),
+    )
 
 
 def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
@@ -485,6 +512,7 @@ def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
         TOMB_IDS,
         check_tomb_meta,
+        purge_ledger_current,
         tomb_ids_current,
         tombstone_ids_df,
     )
@@ -495,8 +523,10 @@ def ensure_lex_e2e_tree(spark: SparkSession, sf_dir: str) -> str:
         f"e2e_v{LEX_INDEX_VERSION}",
         fingerprint_key(sf_dir, "documents.parquet"),
     )
-    if os.path.isfile(os.path.join(e2e, "e2e_done.json")) and tomb_ids_current(
-        e2e, "e2e_done.json"
+    if (
+        os.path.isfile(os.path.join(e2e, "e2e_done.json"))
+        and tomb_ids_current(e2e, "e2e_done.json")
+        and purge_ledger_current(e2e, e2e)
     ):
         return e2e
     with staging_tree(e2e) as staging:
@@ -533,7 +563,9 @@ def _e2e_survivor_oracle() -> str:
         f"FROM (SELECT * FROM documents WHERE doc_id NOT IN {TOMB_IDS_SQL})"
         " documents",
     ) + """
-        SELECT doc_id, bm25, n_terms_hit FROM bm
+        SELECT doc_id, bm25, n_terms_hit,
+               TRUE AS purge_ledger_consistent
+        FROM bm
     """
 
 
@@ -563,13 +595,26 @@ def op_lex_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (tests/test_llmdata.py). Segment hygiene is enforced
     loudly: the compacted tree must hold strictly fewer parquet files
     than the 2-segments-per-bucket upsert tree.
+    ``purge_ledger_consistent`` rides along (round-12 verdict task
+    5): the compaction's persisted purge LEDGER — written by the
+    shared compactor inside the same staging transaction, the GDPR
+    evidence artifact — must record the session TOMB_IDS digest and
+    count arithmetic that reproduces the posting counts measured on
+    the persisted upsert/e2e trees; a missing ledger fails loudly in
+    ``read_purge_ledger``.
 
     At 100 TB this is the inverted index's whole life as one provable
     pipeline: the build amortizes, deltas land O(delta), the purge
     list broadcasts into a map-side anti-join, the merge re-derives
     df/stats in the same per-bucket pass that rewrites the segments,
     and the morning's scores are the scores a fresh index would give."""
-    from game_data_etl_pipeline_spark.llmdata.ann_index import _count_parquet_files
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        TOMB_IDS,
+        _count_parquet_files,
+        purge_ids_digest,
+        read_purge_ledger,
+        tombstone_ids_df,
+    )
 
     demo = ensure_lex_upsert_tree(spark, sf_dir)
     e2e = ensure_lex_e2e_tree(spark, sf_dir)
@@ -580,4 +625,29 @@ def op_lex_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"op_lex_lifecycle_e2e: compaction did not merge segments "
             f"({files_before} -> {files_after} parquet files)"
         )
-    return bm25_from_index(spark, e2e)
+    # the purge-evidence referee: ledger counts reproduce the posting
+    # counts measured on the persisted trees, and the recorded digest
+    # is the session purge list's
+    led = read_purge_ledger(e2e)
+    led_ok = (
+        led["purge"].get("kind") == "id_list"
+        and led["purge"].get("digest") == purge_ids_digest(TOMB_IDS)
+        and led["n_purged"] == led["n_before"] - led["n_after"]
+    )
+    before_post = spark.read.parquet(os.path.join(demo, "postings"))
+    after_post = spark.read.parquet(os.path.join(e2e, "postings"))
+    b_stats = before_post.join(
+        F.broadcast(tombstone_ids_df(spark, "doc_id")), "doc_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_purge_hits")).crossJoin(
+        before_post.agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    a_stats = after_post.agg(F.count(F.lit(1)).alias("n_after"))
+    audit = b_stats.crossJoin(F.broadcast(a_stats)).select(
+        (
+            F.lit(bool(led_ok))
+            & (F.col("n_before") == F.lit(int(led["n_before"])))
+            & (F.col("n_after") == F.lit(int(led["n_after"])))
+            & (F.col("n_purge_hits") == F.lit(int(led["n_purged"])))
+        ).alias("purge_ledger_consistent")
+    )
+    return bm25_from_index(spark, e2e).crossJoin(F.broadcast(audit))

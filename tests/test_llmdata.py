@@ -1392,6 +1392,77 @@ def test_bloom_registry_retire_semantics(spark, sf_dir, tmp_path, monkeypatch):
         dd.retire_bloom_family(spark, sf_dir, final, "suite_a")
 
 
+def test_purge_ledger_evidence_and_torn_write(spark, sf_dir, tmp_path, monkeypatch):
+    """The purge AUDIT LEDGER (round-12 verdict task 5): every
+    compaction must leave persisted evidence of what it deleted,
+    written in the SAME staging transaction as the survivors. Pins:
+    (a) torn write — a compaction whose ledger write fails publishes
+    NOTHING (no marker, no partial tree; the staging discipline);
+    (b) the ledger's contents — the id-list digest is the session
+    TOMB_IDS digest and n_purged reproduces the before-after count
+    arithmetic measured on the persisted trees; (c) a published tree
+    whose ledger is later removed is a cache MISS (displaced and
+    rebuilt) at build time and a LOUD read_purge_ledger error at
+    serve time."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata import ann_index as ai
+    from game_data_etl_pipeline_spark.llmdata.artifacts import fingerprint_key
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ann"))
+    monkeypatch.setenv("SPARK_GRAFT_LEX_INDEX_DIR", str(tmp_path / "lex"))
+
+    e2e = _os.path.join(
+        ai._index_root(),
+        f"e2e_v{ai.INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    # (a) torn write: the ledger write raises after the survivor
+    # rewrite — the staging context must discard everything
+    with pytest.MonkeyPatch.context() as mp:
+        def _boom(*a, **k):
+            raise RuntimeError("torn ledger write")
+
+        mp.setattr(ai, "write_purge_ledger", _boom)
+        with pytest.raises(RuntimeError, match="torn ledger write"):
+            ai.ensure_ann_e2e_tree(spark, sf_dir)
+    assert not _os.path.isdir(e2e), "torn compaction published a tree"
+
+    # (b) the real build writes the evidence
+    assert ai.ensure_ann_e2e_tree(spark, sf_dir) == e2e
+    led = ai.read_purge_ledger(_os.path.join(e2e, "postings"))
+    assert led["purge"]["kind"] == "id_list"
+    assert led["purge"]["ids"] == sorted(ai.TOMB_IDS)
+    assert led["purge"]["digest"] == ai.purge_ids_digest(ai.TOMB_IDS)
+    demo = ai.ensure_upsert_tree(spark, sf_dir)
+    n_before = spark.read.parquet(_os.path.join(demo, "postings")).count()
+    n_after = spark.read.parquet(_os.path.join(e2e, "postings")).count()
+    assert led["n_before"] == n_before
+    assert led["n_after"] == n_after
+    assert led["n_purged"] == n_before - n_after > 0
+
+    # (c) evidence removed later: loud at read, cache miss at build
+    _os.remove(_os.path.join(e2e, "postings", ai.PURGE_LEDGER))
+    with pytest.raises(ValueError, match="purge ledger"):
+        ai.read_purge_ledger(_os.path.join(e2e, "postings"))
+    assert not ai.purge_ledger_current(e2e, _os.path.join(e2e, "postings"))
+    assert not _os.path.isdir(e2e), "ledger-less tree must be displaced"
+    rebuilt = ai.ensure_ann_e2e_tree(spark, sf_dir)
+    led2 = ai.read_purge_ledger(_os.path.join(rebuilt, "postings"))
+    assert led2 == led, "rebuild must reproduce the identical ledger"
+
+    # the lexical compactor writes the same artifact at its tree root
+    from game_data_etl_pipeline_spark.llmdata import lex_index as li
+
+    lex_e2e = li.ensure_lex_e2e_tree(spark, sf_dir)
+    lled = ai.read_purge_ledger(lex_e2e)
+    assert lled["purge"]["digest"] == ai.purge_ids_digest(ai.TOMB_IDS)
+    assert lled["n_purged"] == lled["n_before"] - lled["n_after"] > 0
+
+
 def test_lifecycle_e2e_end_state_equals_rebuild(spark, sf_dir):
     """Round-11 verdict task 2+3: the composed lifecycle lineage
     (build -> delta upsert -> id-LIST tombstone -> compact) must land

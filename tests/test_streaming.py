@@ -185,6 +185,16 @@ def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
         .collect()
     }
     assert surv and not surv & set(TOMB_IDS)
+    # the streamed compaction leaves the same purge evidence the
+    # offline trees carry (the shared compactor writes it)
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        purge_ids_digest,
+        read_purge_ledger,
+    )
+
+    lled = read_purge_ledger(comp)
+    assert lled["purge"]["digest"] == purge_ids_digest(TOMB_IDS)
+    assert lled["n_purged"] == lled["n_before"] - lled["n_after"] > 0
 
     # a stale marker (a tree compacted under an older purge list) must
     # fail the serve-path handshake loudly
@@ -207,3 +217,6 @@ def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
         .collect()
     }
     assert ann_surv and not ann_surv & set(TOMB_IDS)
+    aled = read_purge_ledger(ann_comp)
+    assert aled["purge"]["digest"] == purge_ids_digest(TOMB_IDS)
+    assert aled["n_purged"] == aled["n_before"] - aled["n_after"] > 0
