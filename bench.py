@@ -105,8 +105,10 @@ V2_EXTRA = (
     "op_lex_lifecycle_e2e",            # r12: lexical lineage end-state BM25 serve
     "op_bloom_registry_screen",        # r12: benchmark-keyed registry union screen
     "op_bloom_registry_refresh",       # r12: one-family refresh + union re-fold
-    # r13 addition: the registry's third lifecycle verb
+    # r13 additions: the registry's third lifecycle verb and the
+    # composed all-verbs lineage (register -> refresh -> retire)
     "op_bloom_registry_retire",        # r13: drop one family + survivor union re-fold
+    "op_bloom_registry_lifecycle_e2e",  # r13: registry lineage end-state screen
 )
 
 # The previous round's recorded frozen-suite total and host probes.
@@ -267,6 +269,12 @@ def main() -> None:
         )
 
         ensure_bloom_retire_demo(spark, sf_dir)
+    if "op_bloom_registry_lifecycle_e2e" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.dedup import (
+            ensure_bloom_lifecycle_demo,
+        )
+
+        ensure_bloom_lifecycle_demo(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -369,7 +377,7 @@ def main() -> None:
                 # "queries" above stays the frozen set so 23q deltas
                 # remain attributable.
                 "v2": {
-                    "suite": "r13-v2-73q-median",
+                    "suite": "r13-v2-74q-median",
                     "total": v2_total,
                     "total_min": v2_total_min,
                     "queries": v2_timings,

@@ -2842,3 +2842,168 @@ def op_bloom_registry_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(shrunk))
     return ledger.crossJoin(F.broadcast(audit))
+
+
+def ensure_bloom_lifecycle_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the COMPOSED registry-lifecycle demo
+    lineage, in its own tree so the main registry stays untouched:
+    all three lifecycle verbs run in sequence on ONE tree —
+    suite_a REGISTERS at its standard slice (doc_id % 6 == 0),
+    suite_b REGISTERS at a stale half snapshot (% 12 == 3), suite_b
+    REFRESHES to the full % 6 == 3 slice, a third suite_c REGISTERS
+    from OUTSIDE the benchmark (% 12 == 1, so its bits are provably
+    not covered by the survivors), and suite_c RETIRES. End state: a
+    two-family registry content-identical to what a from-scratch
+    ``ensure_bloom_registry`` publishes, plus the preserved
+    pre-retire union (survivors + suite_c) for the shrunk-filter
+    referee.
+
+    Resume discipline: intermediate states published BEFORE the
+    refresh (empty, suite_a alone, suite_a + stale suite_b) are safe
+    prefixes — every lineage step no-ops over them — but a state AT
+    or PAST the refresh cannot be resumed step-by-step: re-running
+    the stale suite_b registration against a tree whose suite_b
+    already refreshed to % 6 == 3 would delegate to the refresh path
+    and DOWNGRADE the family back to the half snapshot. So a
+    published tree that is neither the exact end state (marker
+    families, preserved union present, retire did-work DIRECTION —
+    a refresh's preserved union sits below the live one, a retire's
+    above, which is what tells the true end state from the
+    crash-after-refresh state whose marker families look identical)
+    nor a safe prefix is displaced through the trash-grace window
+    and the lineage rebuilds from scratch (the refresh demo's
+    deadend discipline, scoped to exactly the unresumable states)."""
+    final = os.path.join(
+        _bloom_root(),
+        f"lifecycle_v{BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    end = {"suite_a": "doc_id % 6 == 0", "suite_b": "doc_id % 6 == 3"}
+
+    def _retire_did_work() -> bool:
+        # the retire must SHRINK the filter (suite_c's % 12 == 1 docs
+        # sit outside the surviving families' % 3 == 0 benchmark, so
+        # a correct lineage always does) — also the direction test
+        # that tells the true end state from the crash-after-refresh
+        # state, whose preserved union sits strictly BELOW the live
+        # one (a refresh grows the filter; a retire shrinks it)
+        n_prev = bloom_fill_ratio(
+            spark.read.parquet(os.path.join(final, "union_prev_words"))
+        )
+        n_now = bloom_fill_ratio(
+            spark.read.parquet(os.path.join(final, "union_words"))
+        )
+        return n_now < n_prev
+
+    safe_prefix = {"suite_a": "doc_id % 6 == 0", "suite_b": "doc_id % 12 == 3"}
+    marker = os.path.join(final, "registry_done.json")
+    if os.path.isfile(marker) and _geometry_current(final):
+        with open(marker) as f:
+            fams = json.load(f).get("families", {})
+        if (
+            fams == end
+            and os.path.isdir(os.path.join(final, "union_prev_words"))
+            and _retire_did_work()
+        ):
+            return final
+        if not all(safe_prefix.get(f) == pred for f, pred in fams.items()):
+            trash = f"{final}.trash.deadend{os.getpid()}_{int(time.time() * 1000)}"
+            try:
+                os.rename(final, trash)
+                os.utime(trash, None)  # grace clock starts at displacement
+            except OSError:
+                pass  # a concurrent builder already displaced it
+    _register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
+    _register_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=12)
+    refresh_bloom_family(spark, sf_dir, final, "suite_b", 3, mod=6)
+    _register_bloom_family(spark, sf_dir, final, "suite_c", 1, mod=12)
+    retire_bloom_family(spark, sf_dir, final, "suite_c")
+    check_bloom_meta(final)
+    if not _retire_did_work():
+        raise ValueError(
+            "ensure_bloom_lifecycle_demo: degenerate fixture — retiring "
+            "suite_c (doc_id % 12 == 1) cleared no union bit, so the "
+            "retire-shrunk-filter referee would fail on valid data"
+        )
+    return final
+
+
+@register(
+    "op_bloom_registry_lifecycle_e2e",
+    tags=("llm", "dedup", "curation", "index"),
+    # the end state is content-identical to the standard two-family
+    # registry (the lineage's detours — suite_b's stale half snapshot,
+    # suite_c's registration — are all superseded or retired), so the
+    # per-family ledger oracle is the screen's; the lifecycle referees
+    # ride as TRUE literals (bitmap facts SQL cannot replay)
+    oracle=DECONTAM_DG_CTES
+    + """
+        fam AS (
+            SELECT doc_id AS b_id, g,
+                   CASE WHEN doc_id % 6 = 0 THEN 'suite_a'
+                        ELSE 'suite_b' END AS benchmark_id
+            FROM dg WHERE doc_id % 3 = 0
+        ),
+        train AS (SELECT doc_id, g FROM dg WHERE doc_id % 3 != 0)
+        SELECT t.doc_id,
+               f.benchmark_id,
+               CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_hit_shingles,
+               CAST(COUNT(DISTINCT f.b_id) AS BIGINT) AS n_bench_docs,
+               TRUE AS lifecycle_union_equals_full,
+               TRUE AS first_family_untouched,
+               TRUE AS retire_shrunk_filter
+        FROM train t JOIN fam f ON t.g = f.g
+        GROUP BY t.doc_id, f.benchmark_id
+    """,
+)
+def op_bloom_registry_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTRY LIFECYCLE, COMPOSED END-TO-END — the round-12
+    index-lifecycle discipline (op_sim_lifecycle_e2e /
+    op_lex_lifecycle_e2e) applied to the contamination-filter
+    registry: register, refresh, and retire are each verified
+    piecewise by their own gates, but a real registry experiences
+    them as ONE history on ONE artifact, and composition is where
+    state leaks hide (a refresh that half-reads a concurrent
+    registration, a retire that strands a superseded preserved
+    union). The demo lineage walks all three verbs on one tree:
+    register suite_a → register suite_b at a STALE half snapshot →
+    refresh suite_b to the full slice → register an out-of-benchmark
+    suite_c → retire suite_c.
+
+    Gate: the end-state screen's per-family ledger is replayed in
+    full by DuckDB (the lineage's detours are all superseded or
+    retired, so the end state is content-identical to the standard
+    two-family registry — history must not leave a residue). Three
+    referees: ``lifecycle_union_equals_full`` — after four verbs the
+    union is word-for-word what a from-scratch single full-benchmark
+    filter publishes (the composed analogue of the rebuild yardstick
+    the index lifecycles hold); ``first_family_untouched`` —
+    suite_a's artifact survived every later verb byte-equivalent to
+    a fresh fold of its own persisted pairs; ``retire_shrunk_filter``
+    — the preserved pre-retire union (survivors + suite_c) holds
+    strictly more set bits than the end-state union, so the lineage
+    cannot pass vacuously without suite_c ever having been folded
+    in. tests/test_llmdata.py additionally pins the end-state tree
+    row-for-row equal to a from-scratch ``ensure_bloom_registry``
+    build and the partial-lineage displacement (a crash-after-refresh
+    tree is rebuilt, never resumed into a downgrade).
+
+    At 100 TB this is a quarter of registry operations compressed to
+    one gate: suites arrive, get revised, and get decommissioned on
+    the SAME union the screens keep probing — each verb one
+    O(suite | families x geometry) step, the screen's cost pinned at
+    one ~0.5 MB broadcast throughout. Reference scope: the reference
+    ETL (/root/reference/etl/pipeline.py) has no contamination
+    tooling; this extends the LLM-data surface the brief requires."""
+    path = ensure_bloom_lifecycle_demo(spark, sf_dir)
+    union, ledger, eq_union, iso = _registry_screen_frames(
+        spark, sf_dir, path, "lifecycle_union_equals_full", "first_family_untouched"
+    )
+    union_prev = spark.read.parquet(os.path.join(path, "union_prev_words"))
+    shrunk = (
+        union_prev.agg(F.sum(F.bit_count("bits")).alias("n_prev"))
+        .crossJoin(union.agg(F.sum(F.bit_count("bits")).alias("n_now")))
+        .select((F.col("n_now") < F.col("n_prev")).alias("retire_shrunk_filter"))
+    )
+    audit = eq_union.crossJoin(F.broadcast(iso)).crossJoin(F.broadcast(shrunk))
+    return ledger.crossJoin(F.broadcast(audit))

@@ -1713,3 +1713,121 @@ def test_bloom_build_self_heals_stale_geometry(spark, sf_dir, tmp_path, monkeypa
     version_dir = _os.path.dirname(rebuilt)
     displaced = [d for d in _os.listdir(version_dir) if ".trash.geom" in d]
     assert len(displaced) == 1, "stale-geometry tree must be displaced, not deleted"
+
+
+def test_bloom_registry_lifecycle_e2e_semantics(spark, sf_dir, tmp_path, monkeypatch):
+    """The composed register -> refresh -> register -> retire lineage
+    (op_bloom_registry_lifecycle_e2e) must leave NO residue of its
+    history: (a) the end-state tree is row-for-row what a from-scratch
+    two-family ``ensure_bloom_registry`` publishes — union words
+    bit-identical, per-family pair sets identical, marker families
+    identical; (b) suite_a's bytes survive all four verbs untouched
+    (digest captured after its registration); (c) the preserved
+    pre-retire union strictly exceeds the end union (suite_c was
+    really folded in and really cleared); (d) a PARTIAL lineage tree —
+    the crash-after-refresh state, whose step-by-step resume would
+    DOWNGRADE suite_b back to the stale half snapshot — is displaced
+    and rebuilt, never resumed; (e) the completed lineage early-returns
+    without republish."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+    from game_data_etl_pipeline_spark.llmdata.artifacts import fingerprint_key
+
+    def _tree_digest(d):
+        h = _hashlib.sha256()
+        for root, _dirs, files in sorted(_os.walk(d)):
+            for fn in sorted(files):
+                with open(_os.path.join(root, fn), "rb") as f:
+                    h.update(fn.encode() + f.read())
+        return h.hexdigest()
+
+    def _words(path):
+        return {r.widx: r.bits for r in spark.read.parquet(path).collect()}
+
+    def _pairs(path):
+        return {(r.b_id, r.g) for r in spark.read.parquet(path).collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom"))
+    final = _os.path.join(
+        dd._bloom_root(),
+        f"lifecycle_v{dd.BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+
+    # (b) prelude: register suite_a alone so its digest brackets the
+    # WHOLE rest of the lineage (ensure_* resumes idempotently from
+    # this one-family state — registration is its own no-op)
+    dd._register_bloom_family(spark, sf_dir, final, "suite_a", 0, mod=6)
+    a_digest = _tree_digest(_os.path.join(final, "families", "suite_a"))
+
+    assert dd.ensure_bloom_lifecycle_demo(spark, sf_dir) == final
+    assert (
+        _tree_digest(_os.path.join(final, "families", "suite_a")) == a_digest
+    ), "a later lifecycle verb mutated suite_a's artifact"
+
+    # (a) end state == from-scratch two-family registry, row for row
+    scratch = dd.ensure_bloom_registry(spark, sf_dir)
+    assert _words(_os.path.join(final, "union_words")) == _words(
+        _os.path.join(scratch, "union_words")
+    ), "composed end-state union differs from a from-scratch build"
+    with open(_os.path.join(final, "registry_done.json")) as f:
+        end_fams = _json.load(f)["families"]
+    with open(_os.path.join(scratch, "registry_done.json")) as f:
+        assert end_fams == _json.load(f)["families"]
+    for fam in end_fams:
+        assert _pairs(_os.path.join(final, "families", fam, "pairs")) == _pairs(
+            _os.path.join(scratch, "families", fam, "pairs")
+        ), f"{fam} pair set differs from a from-scratch registration"
+    assert not _os.path.isdir(_os.path.join(final, "families", "suite_c"))
+
+    # (c) strict shrink: suite_c contributed bits the end state cleared
+    n_prev = dd.bloom_fill_ratio(
+        spark.read.parquet(_os.path.join(final, "union_prev_words"))
+    )
+    n_now = dd.bloom_fill_ratio(
+        spark.read.parquet(_os.path.join(final, "union_words"))
+    )
+    assert n_now < n_prev, "the retired suite_c cleared no union bit"
+
+    # (e) completed lineage early-returns without republish
+    mtime = _os.path.getmtime(_os.path.join(final, "registry_done.json"))
+    assert dd.ensure_bloom_lifecycle_demo(spark, sf_dir) == final
+    assert _os.path.getmtime(_os.path.join(final, "registry_done.json")) == mtime
+
+    # (d) the crash-after-refresh partial state displaces and rebuilds:
+    # fabricate it in a FRESH root (marker families match the end state
+    # but the preserved union sits BELOW the live one — the direction
+    # test is what tells the states apart)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR_BLOOM", str(tmp_path / "bloom2"))
+    final2 = _os.path.join(
+        dd._bloom_root(),
+        f"lifecycle_v{dd.BLOOM_INDEX_VERSION}",
+        fingerprint_key(sf_dir, "documents.parquet"),
+    )
+    dd._register_bloom_family(spark, sf_dir, final2, "suite_a", 0, mod=6)
+    dd._register_bloom_family(spark, sf_dir, final2, "suite_b", 3, mod=12)
+    dd.refresh_bloom_family(spark, sf_dir, final2, "suite_b", 3, mod=6)
+    partial_union = _words(_os.path.join(final2, "union_prev_words"))
+    assert dd.ensure_bloom_lifecycle_demo(spark, sf_dir) == final2
+    rebuilt_prev = _words(_os.path.join(final2, "union_prev_words"))
+    assert rebuilt_prev != partial_union, "partial lineage was resumed, not rebuilt"
+    with open(_os.path.join(final2, "registry_done.json")) as f:
+        assert _json.load(f)["families"]["suite_b"] == "doc_id % 6 == 3", (
+            "rebuild downgraded suite_b to the stale snapshot"
+        )
+    n_prev2 = dd.bloom_fill_ratio(
+        spark.read.parquet(_os.path.join(final2, "union_prev_words"))
+    )
+    n_now2 = dd.bloom_fill_ratio(
+        spark.read.parquet(_os.path.join(final2, "union_words"))
+    )
+    assert n_now2 < n_prev2
+    displaced = [
+        d
+        for d in _os.listdir(_os.path.dirname(final2))
+        if ".trash.deadend" in d
+    ]
+    assert len(displaced) == 1, "partial tree must be displaced, not deleted"

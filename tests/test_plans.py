@@ -1234,3 +1234,29 @@ def test_bloom_registry_retire_plan_contract(spark):
     assert dd._BLOOM_BUILD_COUNT == before, (
         "the retire screen built the full-benchmark filter"
     )
+
+
+def test_bloom_registry_lifecycle_plan_contract(spark):
+    """op_bloom_registry_lifecycle_e2e serves from the lifecycle-demo
+    tree's end-state union with the registry screen's contract:
+    exactly one training-corpus text scan (every benchmark byte comes
+    from the persisted lifecycle_v tree), no SortMergeJoin (broadcast
+    probe + bounded rescreen + <=65k-row words folds), and re-running
+    must rebuild nothing — the lineage is persisted, so the benched
+    number measures the SCREEN, not the register/refresh/retire
+    history."""
+    import re
+
+    from game_data_etl_pipeline_spark.llmdata import dedup as dd
+
+    df = SPECS["op_bloom_registry_lifecycle_e2e"].fn(spark, SF)
+    plan = I.explain_str(df, "simple")
+    assert "lifecycle_v" in plan, "screen does not read the lifecycle-demo tree"
+    n_doc_scans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert n_doc_scans == 1, (
+        f"expected exactly one training-corpus scan, found {n_doc_scans}"
+    )
+    assert "SortMergeJoin" not in plan
+    before = dd._BLOOM_BUILD_COUNT
+    SPECS["op_bloom_registry_lifecycle_e2e"].fn(spark, SF)
+    assert dd._BLOOM_BUILD_COUNT == before, "re-screening rebuilt the full filter"
