@@ -703,6 +703,56 @@ def read_purge_ledger(dest: str) -> dict:
         return json.load(f)
 
 
+def purge_ledger_referee(
+    spark: SparkSession, ledger_dir: str, before: DataFrame, after: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """One-row BOOLEAN audit frame (`purge_ledger_consistent`) holding
+    a compaction's persisted purge LEDGER to the purge actually
+    MEASURED on the persisted trees — the op_lex_lifecycle_e2e /
+    op_sim_lifecycle_e2e referee discipline factored out so the
+    STREAMED compact-serve gates carry the identical check (round-13
+    verdict task 2: the streamed rows wrote the ledger via the shared
+    compactors but never read it back). True iff ALL of:
+
+    - the ledger records an id-LIST purge whose digest is the session
+      TOMB_IDS digest (one ``purge_ids_digest`` derivation on both
+      the writer and this checker, so they cannot drift), with
+      internally consistent arithmetic (n_purged == n_before −
+      n_after);
+    - the recorded n_before / n_after equal the row counts of the
+      PERSISTED source and compacted trees (``before`` / ``after`` —
+      posting rows, read back from disk, not a plan);
+    - the purge-list hits counted in the source (broadcast left-semi
+      on ``id_col`` — map-side, the list is bounded by construction)
+      equal the ledger's n_purged, i.e. the evidence attests to
+      exactly the rows that disappeared.
+
+    A MISSING ledger raises loudly in ``read_purge_ledger``; a
+    tampered one serves False into the driver's value hash against
+    the oracle's TRUE literal."""
+    led = read_purge_ledger(ledger_dir)
+    led_ok = (
+        led["purge"].get("kind") == "id_list"
+        and led["purge"].get("digest") == purge_ids_digest(TOMB_IDS)
+        and led["n_purged"] == led["n_before"] - led["n_after"]
+    )
+    b_stats = before.join(
+        F.broadcast(tombstone_ids_df(spark, id_col)), id_col, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_purge_hits")).crossJoin(
+        before.agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    a_stats = after.agg(F.count(F.lit(1)).alias("n_after"))
+    return b_stats.crossJoin(F.broadcast(a_stats)).select(
+        (
+            F.lit(bool(led_ok))
+            & (F.col("n_before") == F.lit(int(led["n_before"])))
+            & (F.col("n_after") == F.lit(int(led["n_after"])))
+            & (F.col("n_purge_hits") == F.lit(int(led["n_purged"])))
+        ).alias("purge_ledger_consistent")
+    )
+
+
 def compact_ann_postings(
     spark: SparkSession,
     src_postings: str,

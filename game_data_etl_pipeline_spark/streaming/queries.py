@@ -1536,7 +1536,9 @@ def op_stream_lex_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHERE doc_id NOT IN {TOMB_IDS_SQL}) documents",
     )
     + """
-        SELECT doc_id, bm25, n_terms_hit FROM bm
+        SELECT doc_id, bm25, n_terms_hit,
+               TRUE AS purge_ledger_consistent
+        FROM bm
     """,
 )
 def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,7 +1562,13 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``check_tomb_meta`` staleness handshake the e2e lineage trees
     carry, so a store compacted under a DIFFERENT purge list than the
     session constant fails loudly instead of serving under the wrong
-    oracle.
+    oracle. ``purge_ledger_consistent`` rides along (round-13 verdict
+    task 2 — the streamed rows wrote the ledger but never read it
+    back): the persisted purge LEDGER is read back at serve through
+    the shared ``purge_ledger_referee`` and held to the session
+    TOMB_IDS digest plus the before/after/purged posting counts
+    measured on the persisted streamed store and its compacted
+    sibling — the offline lifecycle rows' evidence discipline.
 
     Gate: op_text_bm25's oracle recomputed over ``doc_id NOT IN
     TOMB_IDS`` VERBATIM (the SQL list interpolated from the same
@@ -1577,6 +1585,7 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOMB_IDS,
         _count_parquet_files,
         check_tomb_meta,
+        purge_ledger_referee,
         tombstone_ids_df,
     )
     from game_data_etl_pipeline_spark.llmdata.lex_index import (
@@ -1610,7 +1619,18 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # purge-list handshake: the serve path validates the marker the
     # compaction just recorded — the e2e trees' staleness discipline
     check_tomb_meta(comp, "stream_compact_done.json")
-    return bm25_from_index(spark, comp)
+    # purge-evidence referee (round-13 verdict task 2): the ledger the
+    # shared compactor persisted is READ BACK at serve and held to the
+    # purge measured on the persisted trees — the offline lifecycle
+    # rows' purge_ledger_consistent discipline on the streamed path
+    audit = purge_ledger_referee(
+        spark,
+        comp,
+        spark.read.parquet(os.path.join(work, "postings")),
+        spark.read.parquet(os.path.join(comp, "postings")),
+        "doc_id",
+    )
+    return bm25_from_index(spark, comp).crossJoin(F.broadcast(audit))
 
 
 @register(
@@ -1720,7 +1740,8 @@ def op_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRUE AS pruned_scan,
                TRUE AS recall_floor_met,
                TRUE AS adc_bitmatch_vs_main,
-               TRUE AS segments_merged
+               TRUE AS segments_merged,
+               TRUE AS purge_ledger_consistent
         FROM q, c
         GROUP BY query_id
     """,
@@ -1752,7 +1773,13 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     scores exactly replayable across stores — the shared
     ``serve_with_adc_referee`` body); ``segments_merged`` pins the compaction
     did real filesystem work (strictly fewer parquet files than the
-    3-appends-per-cell streamed store). The driver hash-verifies the
+    3-appends-per-cell streamed store). A third,
+    ``purge_ledger_consistent`` (round-13 verdict task 2), reads the
+    compaction's persisted purge LEDGER back at serve through the
+    shared ``purge_ledger_referee`` and holds it to the session
+    TOMB_IDS digest plus the before/after/purged posting counts
+    measured on the persisted stores — the offline lifecycle rows'
+    evidence discipline on the streamed path. The driver hash-verifies the
     per-query survivor neighborhoods against op_sim_ivfpq_serve's
     oracle re-derived over ``vec_id NOT IN TOMB_IDS``.
 
@@ -1767,6 +1794,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         _count_parquet_files,
         check_tomb_meta,
         compact_ann_postings,
+        purge_ledger_referee,
         read_ann_index,
         serve_with_adc_referee,
         tombstone_ids_df,
@@ -1819,7 +1847,18 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     audit = audit.withColumn(
         "segments_merged", F.lit(0 < files_after < files_before)
     )
-    return served.crossJoin(F.broadcast(audit))
+    # purge-evidence referee (round-13 verdict task 2): read the
+    # ledger back at serve and hold it to the purge measured on the
+    # persisted streamed store vs its compacted sibling — counts are
+    # posting rows read from disk, the offline lifecycle discipline
+    paudit = purge_ledger_referee(
+        spark,
+        compacted_dir,
+        spark.read.parquet(store).select("vec_id"),
+        comp.select("vec_id"),
+        "vec_id",
+    )
+    return served.crossJoin(F.broadcast(audit.crossJoin(paudit)))
 
 
 @register(

@@ -220,3 +220,59 @@ def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
     aled = read_purge_ledger(ann_comp)
     assert aled["purge"]["digest"] == purge_ids_digest(TOMB_IDS)
     assert aled["n_purged"] == aled["n_before"] - aled["n_after"] > 0
+
+
+def test_streamed_purge_ledger_referee_tamper(spark, sf_dir):
+    """Round-13 verdict task 2: the streamed compact-serve gates READ
+    the purge ledger back at serve (`purge_ledger_consistent`), so
+    tampered deletion evidence cannot serve as TRUE — tampered counts
+    or a foreign digest flip the referee to False (the driver's value
+    hash then mismatches the oracle's TRUE literal), and a MISSING
+    ledger fails loudly in read_purge_ledger."""
+    import json as _json
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        PURGE_LEDGER,
+        purge_ledger_referee,
+        read_purge_ledger,
+    )
+    from game_data_etl_pipeline_spark.streaming.queries import _session_workdir
+
+    out = SPECS["op_stream_lex_compact_serve"].fn(spark, sf_dir)
+    assert {r[0] for r in out.select("purge_ledger_consistent").distinct().collect()} == {True}
+
+    work = _session_workdir(spark, "lexcompact", sf_dir)
+    comp = os.path.join(work, "compacted")
+    before = spark.read.parquet(os.path.join(work, "postings"))
+    after = spark.read.parquet(os.path.join(comp, "postings"))
+
+    def _referee_value() -> bool:
+        return purge_ledger_referee(spark, comp, before, after, "doc_id").collect()[
+            0
+        ].purge_ledger_consistent
+
+    assert _referee_value() is True
+    clean = read_purge_ledger(comp)
+
+    # tampered arithmetic: evidence no longer matches the trees
+    bad = dict(clean, n_purged=clean["n_purged"] + 1)
+    with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
+        _json.dump(bad, f)
+    assert _referee_value() is False
+
+    # foreign digest: ledger from a DIFFERENT purge list
+    bad = dict(clean, purge=dict(clean["purge"], digest="0" * 64))
+    with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
+        _json.dump(bad, f)
+    assert _referee_value() is False
+
+    # missing ledger: loud error, not a default
+    os.remove(os.path.join(comp, PURGE_LEDGER))
+    with pytest.raises(ValueError, match="purge ledger"):
+        _referee_value()
+
+    # restore the clean evidence for any later test in the session
+    with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
+        _json.dump(clean, f)
