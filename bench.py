@@ -117,22 +117,19 @@ V2_EXTRA = (
 # judge (the round-6 adjudication: a uniform ~1.7x "slowdown" that was
 # entirely hardware). Update each round after the driver records
 # BENCH_r{N}.json.
-# r12 note: the driver-recorded BENCH_r12.json tail was again truncated
+# r13 note: the driver-recorded BENCH_r13.json tail was again truncated
 # before its calibration block, so (the r8+ convention) these values
-# come from the r12 judge's probe-matched run on the final r12 tree
-# (VERDICT.md round 12): raw frozen total_min 18.557 s with probes py
-# 0.6368 / jvm 0.2778. The probes DISAGREED again (py 1.09x vs jvm
-# 1.22x of the r8 reference frame), so the r12 total is seeded into
-# the fixed r8 frame under EACH probe separately (jvm 18.557/1.2222 =
-# 15.184; py 18.557/1.0923 = 16.989) and total_ratio is reported per
-# chain: if the same probe tracked the host in both sessions, its
-# chain is exact. The r12 judge's chains split by 9.3% — just under
-# the old 0.10 flag — so the flag threshold drops to 0.05 (r12 verdict
-# note b): when the chains split by >5% read the BAND, not a point.
+# come from the r13 judge's probe-matched run on the final r13 tree
+# (VERDICT.md round 13, task 4): raw frozen total_min 18.941 s with
+# probes py 0.6415 / jvm 0.2746. Seeded into the fixed r8 frame under
+# EACH probe separately (jvm 18.941/1.2081 = 15.678; py 18.941/1.1003
+# = 17.214) and total_ratio reported per chain. The r13 judge's chains
+# AGREED (split 2.0%, probe_disagreement False at the 0.05 threshold
+# introduced in r12) — the per-chain convention is kept unchanged.
 PREV = {
-    "round": 12,
-    "frozen_total_min_jvm_frame": 15.184,
-    "frozen_total_min_py_frame": 16.989,
+    "round": 13,
+    "frozen_total_min_jvm_frame": 15.678,
+    "frozen_total_min_py_frame": 17.214,
     "py_spin_sec": 0.583,
     "jvm_spin_sec": 0.2273,
 }
