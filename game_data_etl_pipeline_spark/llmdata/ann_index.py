@@ -553,18 +553,37 @@ TOMB_IDS_SQL = f"({', '.join(map(str, TOMB_IDS))})"
 
 
 def check_tomb_meta(path: str, marker: str) -> None:
-    """Serving-time purge-list handshake for the e2e lineage trees: a
+    """Serving-time purge-list handshake for the compacted trees: a
     tree compacted with a DIFFERENT id list than the session constant
     would serve under referees and oracles derived from the NEW list
     — the stale-artifact class check_bloom_meta closes for Bloom
-    geometry. Raises loudly on mismatch or a missing marker."""
+    geometry. Raises loudly on mismatch or a missing marker.
+
+    Two marker shapes (round-13 verdict task 3 consolidated the
+    streamed gates' duplicate ``stream_compact_done.json`` into the
+    purge LEDGER, so the handshake and the deletion evidence are ONE
+    artifact): the e2e lineage markers record the raw list under
+    ``tomb_ids``; the ledger records ``purge.kind == id_list`` plus a
+    digest, compared through the same ``purge_ids_digest`` derivation
+    the writer used, so the two sides cannot drift. A predicate-kind
+    ledger (the residue unit fixture) fails the id-list handshake by
+    construction."""
     mpath = os.path.join(path, marker)
     with open(mpath) as f:
         meta = json.load(f)
-    if list(meta.get("tomb_ids", [])) != list(TOMB_IDS):
+    if "purge" in meta:  # the consolidated purge-LEDGER shape
+        purge = meta["purge"]
+        ok = purge.get("kind") == "id_list" and purge.get(
+            "digest"
+        ) == purge_ids_digest(TOMB_IDS)
+        recorded = purge.get("ids", purge.get("predicate"))
+    else:  # the e2e lineage marker shape (raw id list)
+        ok = list(meta.get("tomb_ids", [])) == list(TOMB_IDS)
+        recorded = meta.get("tomb_ids")
+    if not ok:
         raise ValueError(
-            f"e2e lineage tree {path} was compacted with tomb_ids="
-            f"{meta.get('tomb_ids')} but this session's TOMB_IDS is "
+            f"compacted tree {path} was compacted with tomb_ids="
+            f"{recorded} but this session's TOMB_IDS is "
             f"{list(TOMB_IDS)} — the end state no longer matches the "
             f"code; rebuild the lineage"
         )

@@ -1557,12 +1557,13 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats from the surviving postings — exact integer math, no
     document re-read, exactly the op_lex_index_delete_compact
     algebra pointed at the streamed store instead of the offline
-    upsert tree. The compaction records the applied purge list in a
-    tomb-meta marker and the serve path replays the
-    ``check_tomb_meta`` staleness handshake the e2e lineage trees
-    carry, so a store compacted under a DIFFERENT purge list than the
-    session constant fails loudly instead of serving under the wrong
-    oracle. ``purge_ledger_consistent`` rides along (round-13 verdict
+    upsert tree. The compaction's purge LEDGER (the shared compactor's
+    deletion-evidence artifact) doubles as the tomb-meta marker — the
+    serve path replays the ``check_tomb_meta`` staleness handshake the
+    e2e lineage trees carry against the ledger's digest (round-13
+    verdict task 3: one artifact, no duplicate id-list marker), so a
+    store compacted under a DIFFERENT purge list than the session
+    constant fails loudly instead of serving under the wrong oracle. ``purge_ledger_consistent`` rides along (round-13 verdict
     task 2 — the streamed rows wrote the ledger but never read it
     back): the persisted purge LEDGER is read back at serve through
     the shared ``purge_ledger_referee`` and held to the session
@@ -1582,7 +1583,7 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and next morning's queries read one segment per bucket with
     exactly the scores a from-scratch rebuild would give."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
-        TOMB_IDS,
+        PURGE_LEDGER,
         _count_parquet_files,
         check_tomb_meta,
         purge_ledger_referee,
@@ -1607,8 +1608,6 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp,
         tombstones=tombstone_ids_df(spark, "doc_id"),
     )
-    with open(os.path.join(comp, "stream_compact_done.json"), "w") as f:
-        json.dump({"tomb_ids": list(TOMB_IDS)}, f)
     files_before = _count_parquet_files(os.path.join(work, "postings"))
     files_after = _count_parquet_files(os.path.join(comp, "postings"))
     if not 0 < files_after < files_before:
@@ -1616,9 +1615,12 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"op_stream_lex_compact_serve: compaction did not merge "
             f"segments ({files_before} -> {files_after} parquet files)"
         )
-    # purge-list handshake: the serve path validates the marker the
-    # compaction just recorded — the e2e trees' staleness discipline
-    check_tomb_meta(comp, "stream_compact_done.json")
+    # purge-list handshake: the serve path validates the purge LEDGER
+    # the shared compactor just recorded — the e2e trees' staleness
+    # discipline pointed at the ONE deletion-evidence artifact
+    # (round-13 verdict task 3: the duplicate stream_compact_done.json
+    # id-list marker is gone; handshake and evidence are one file)
+    check_tomb_meta(comp, PURGE_LEDGER)
     # purge-evidence referee (round-13 verdict task 2): the ledger the
     # shared compactor persisted is READ BACK at serve and held to the
     # purge measured on the persisted trees — the offline lifecycle
@@ -1790,6 +1792,7 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     scores — freshness, deletes, and compaction proven mutually
     score-neutral."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        PURGE_LEDGER,
         TOMB_IDS,
         _count_parquet_files,
         check_tomb_meta,
@@ -1810,21 +1813,23 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     # the shared compact_ann_postings algebra (the same code
     # ensure_compact_tree and the e2e lineage run), pointed at the
     # streamed store; the store itself is never mutated, the
-    # ensure_compact_tree discipline. The applied purge list is
-    # recorded in a tomb-meta marker and the serve path replays the
-    # check_tomb_meta handshake (the e2e trees' staleness discipline).
+    # ensure_compact_tree discipline. The applied purge list rides the
+    # compactor's purge LEDGER and the serve path replays the
+    # check_tomb_meta handshake against it (the e2e trees' staleness
+    # discipline; one evidence artifact — r13 task 3).
     compacted_dir = os.path.join(os.path.dirname(store), "compacted")
     shutil.rmtree(compacted_dir, ignore_errors=True)
     compact_ann_postings(
         spark, store, compacted_dir, tombstones=tombstone_ids_df(spark, "vec_id")
     )
-    # underscore-prefixed so Spark's parquet directory listing skips
-    # the marker (it lives INSIDE the postings layout)
-    with open(os.path.join(compacted_dir, "_stream_compact_done.json"), "w") as f:
-        json.dump({"tomb_ids": list(TOMB_IDS)}, f)
     files_before = _count_parquet_files(store)
     files_after = _count_parquet_files(compacted_dir)
-    check_tomb_meta(compacted_dir, "_stream_compact_done.json")
+    # purge-list handshake against the purge LEDGER itself (round-13
+    # verdict task 3: the duplicate _stream_compact_done.json marker is
+    # gone — handshake and deletion evidence are ONE underscore-
+    # prefixed artifact, which Spark's parquet listing skips even
+    # though it lives inside the postings layout)
+    check_tomb_meta(compacted_dir, PURGE_LEDGER)
 
     coarse, books, main_postings = read_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

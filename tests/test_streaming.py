@@ -154,19 +154,25 @@ def test_stream_decontaminate_matches_offline_screen(spark, sf_dir):
 
 def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
     """The STREAMED compacted trees carry the e2e lineages' purge-list
-    handshake (round-12 verdict task 2): the compaction records the
-    applied TOMB_IDS in a tomb-meta marker, the serve path validates
-    it, the purged ids are really gone from the compacted postings,
-    and a marker recording a DIFFERENT list than the session constant
-    fails check_tomb_meta loudly instead of serving under the wrong
+    handshake (round-12 verdict task 2), CONSOLIDATED onto the purge
+    LEDGER (round-13 verdict task 3): the shared compactor's deletion
+    evidence is the ONE artifact — the duplicate
+    stream_compact_done.json id-list markers are gone — the serve path
+    validates the ledger's digest through check_tomb_meta, the purged
+    ids are really gone from the compacted postings, and a ledger
+    recording a DIFFERENT purge list than the session constant fails
+    check_tomb_meta loudly instead of serving under the wrong
     oracle."""
     import json as _json
 
     import pytest
 
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        PURGE_LEDGER,
         TOMB_IDS,
         check_tomb_meta,
+        purge_ids_digest,
+        read_purge_ledger,
     )
     from game_data_etl_pipeline_spark.streaming.queries import _session_workdir
 
@@ -174,9 +180,10 @@ def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
     comp = os.path.join(
         _session_workdir(spark, "lexcompact", sf_dir), "compacted"
     )
-    marker = os.path.join(comp, "stream_compact_done.json")
-    with open(marker) as f:
-        assert _json.load(f)["tomb_ids"] == list(TOMB_IDS)
+    # consolidation: the ledger IS the handshake marker; the old
+    # duplicate id-list marker must not come back
+    assert not os.path.exists(os.path.join(comp, "stream_compact_done.json"))
+    check_tomb_meta(comp, PURGE_LEDGER)
     surv = {
         r.doc_id
         for r in spark.read.parquet(os.path.join(comp, "postings"))
@@ -185,30 +192,41 @@ def test_streamed_compact_tomb_meta_handshake(spark, sf_dir):
         .collect()
     }
     assert surv and not surv & set(TOMB_IDS)
-    # the streamed compaction leaves the same purge evidence the
-    # offline trees carry (the shared compactor writes it)
-    from game_data_etl_pipeline_spark.llmdata.ann_index import (
-        purge_ids_digest,
-        read_purge_ledger,
-    )
-
     lled = read_purge_ledger(comp)
     assert lled["purge"]["digest"] == purge_ids_digest(TOMB_IDS)
     assert lled["n_purged"] == lled["n_before"] - lled["n_after"] > 0
 
-    # a stale marker (a tree compacted under an older purge list) must
+    # a stale ledger (a tree compacted under an older purge list) must
     # fail the serve-path handshake loudly
-    with open(marker, "w") as f:
-        _json.dump({"tomb_ids": [1, 2, 3]}, f)
+    stale = dict(
+        lled,
+        purge={
+            "kind": "id_list",
+            "ids": [1, 2, 3],
+            "digest": purge_ids_digest([1, 2, 3]),
+        },
+    )
+    with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
+        _json.dump(stale, f)
     with pytest.raises(ValueError, match="tomb_ids"):
-        check_tomb_meta(comp, "stream_compact_done.json")
+        check_tomb_meta(comp, PURGE_LEDGER)
+    # so is a predicate-kind ledger (the residue unit fixture): the
+    # streamed gates compact under the id-list purge-request shape
+    with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
+        _json.dump(dict(lled, purge={"kind": "predicate", "predicate": "x"}), f)
+    with pytest.raises(ValueError, match="tomb_ids"):
+        check_tomb_meta(comp, PURGE_LEDGER)
+    with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
+        _json.dump(lled, f)  # restore for later tests in the session
 
     SPECS["op_stream_ann_serve_compacted"].fn(spark, sf_dir).count()
     ann_comp = os.path.join(
         _session_workdir(spark, "annservecomp", sf_dir), "compacted"
     )
-    with open(os.path.join(ann_comp, "_stream_compact_done.json")) as f:
-        assert _json.load(f)["tomb_ids"] == list(TOMB_IDS)
+    assert not os.path.exists(
+        os.path.join(ann_comp, "_stream_compact_done.json")
+    )
+    check_tomb_meta(ann_comp, PURGE_LEDGER)
     ann_surv = {
         r.vec_id
         for r in spark.read.parquet(ann_comp)
