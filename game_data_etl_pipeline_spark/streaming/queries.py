@@ -1593,6 +1593,10 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_from_index,
         compact_lex_postings,
     )
+    from game_data_etl_pipeline_spark.llmdata.artifacts import (
+        publish_staging,
+        staging_tree,
+    )
 
     work = stream_lex_store(
         spark, sf_dir, "lexcompact", "op_stream_lex_compact_serve"
@@ -1601,13 +1605,20 @@ def op_stream_lex_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(comp, ignore_errors=True)
     # the shared delete+compact algebra (the same code the offline
     # op_lex_index_delete_compact runs), pointed at the streamed
-    # store, purging the broadcast TOMB_IDS list
-    compact_lex_postings(
-        spark,
-        os.path.join(work, "postings"),
-        comp,
-        tombstones=tombstone_ids_df(spark, "doc_id"),
-    )
+    # store, purging the broadcast TOMB_IDS list — built in a STAGED
+    # sibling and atomically published (round-13 verdict task 7, the
+    # offline trees' staging_tree discipline): the compactor writes
+    # the purge ledger as its LAST staging step, so a crash anywhere
+    # in the rewrite leaves NO compacted tree at all — a compacted-
+    # but-unevidenced store cannot exist even transiently
+    with staging_tree(comp) as staging:
+        compact_lex_postings(
+            spark,
+            os.path.join(work, "postings"),
+            staging,
+            tombstones=tombstone_ids_df(spark, "doc_id"),
+        )
+        publish_staging(staging, comp, marker=PURGE_LEDGER)
     files_before = _count_parquet_files(os.path.join(work, "postings"))
     files_after = _count_parquet_files(os.path.join(comp, "postings"))
     if not 0 < files_after < files_before:
@@ -1802,6 +1813,10 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         serve_with_adc_referee,
         tombstone_ids_df,
     )
+    from game_data_etl_pipeline_spark.llmdata.artifacts import (
+        publish_staging,
+        staging_tree,
+    )
 
     store = stream_ann_store(
         spark, sf_dir, "annservecomp", "op_stream_ann_serve_compacted"
@@ -1819,9 +1834,14 @@ def op_stream_ann_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     # discipline; one evidence artifact — r13 task 3).
     compacted_dir = os.path.join(os.path.dirname(store), "compacted")
     shutil.rmtree(compacted_dir, ignore_errors=True)
-    compact_ann_postings(
-        spark, store, compacted_dir, tombstones=tombstone_ids_df(spark, "vec_id")
-    )
+    # staged + atomic publish (round-13 verdict task 7): the compactor
+    # writes the purge ledger LAST, so the rename either exposes a
+    # fully-evidenced compacted tree or nothing at all
+    with staging_tree(compacted_dir) as staging:
+        compact_ann_postings(
+            spark, store, staging, tombstones=tombstone_ids_df(spark, "vec_id")
+        )
+        publish_staging(staging, compacted_dir, marker=PURGE_LEDGER)
     files_before = _count_parquet_files(store)
     files_after = _count_parquet_files(compacted_dir)
     # purge-list handshake against the purge LEDGER itself (round-13

@@ -294,3 +294,48 @@ def test_streamed_purge_ledger_referee_tamper(spark, sf_dir):
     # restore the clean evidence for any later test in the session
     with open(os.path.join(comp, PURGE_LEDGER), "w") as f:
         _json.dump(clean, f)
+
+
+def test_streamed_compact_publish_is_atomic(spark, sf_dir, monkeypatch):
+    """Round-13 verdict task 7: the streamed compactions build in a
+    STAGED sibling and publish by rename, so a crash between the
+    segment rewrite and the ledger write leaves NO compacted tree (and
+    no staging leftovers) — the offline trees' staging_tree
+    discipline; a compacted-but-unevidenced store cannot exist even
+    transiently on the streamed path either."""
+    import glob
+
+    import pytest
+
+    from game_data_etl_pipeline_spark.llmdata import ann_index
+    from game_data_etl_pipeline_spark.streaming.queries import _session_workdir
+
+    def boom(*a, **k):
+        raise OSError("injected crash before the purge-ledger write")
+
+    monkeypatch.setattr(ann_index, "write_purge_ledger", boom)
+
+    # lexical: compact_lex_postings resolves write_purge_ledger from
+    # ann_index at call time, so the injection hits after the segment
+    # rewrite and before the evidence lands
+    with pytest.raises(OSError, match="injected crash"):
+        SPECS["op_stream_lex_compact_serve"].fn(spark, sf_dir).count()
+    lex_work = _session_workdir(spark, "lexcompact", sf_dir)
+    assert not os.path.exists(os.path.join(lex_work, "compacted"))
+    assert not glob.glob(os.path.join(lex_work, "staging_*"))
+
+    # ann: same injection point inside compact_ann_postings
+    with pytest.raises(OSError, match="injected crash"):
+        SPECS["op_stream_ann_serve_compacted"].fn(spark, sf_dir).count()
+    ann_work = _session_workdir(spark, "annservecomp", sf_dir)
+    assert not os.path.exists(os.path.join(ann_work, "compacted"))
+    assert not glob.glob(os.path.join(ann_work, "staging_*"))
+
+    # with the injection lifted, the very next run self-heals: staged
+    # build, atomic publish, evidence present, serve green
+    monkeypatch.undo()
+    out = SPECS["op_stream_lex_compact_serve"].fn(spark, sf_dir)
+    assert out.count() > 0
+    assert os.path.isfile(
+        os.path.join(lex_work, "compacted", ann_index.PURGE_LEDGER)
+    )
