@@ -354,8 +354,15 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
+                # SMALL diagnostic keys FIRST, bulky per-query dicts
+                # LAST: the round driver truncates the recorded
+                # BENCH_r{N}.json tail at ~2 KB, which ate the
+                # calibration + normalization blocks every round since
+                # r8 and forced PREV reseeds from the judge's verdict
+                # instead of the driver artifact. With this ordering
+                # the first 2 KB always carries reps/sf/calibration/
+                # suite/total_min/normalized_vs_prev; only per-query
+                # detail can be cut.
                 "reps": reps,
                 "sf": sf,
                 "calibration": calibration,
@@ -367,6 +374,8 @@ def main() -> None:
                 "suite": "r4-frozen-23q-median",
                 "total_min": total_min,
                 "normalized_vs_prev": normalized,
+                "queries": timings,
+                "spread": spread,
                 # v2 (round 6): frozen 23q + the heavyweight behavior/
                 # window additions; same reps/medians, timed in a
                 # SECOND sequential pass so the extras' block-manager/
