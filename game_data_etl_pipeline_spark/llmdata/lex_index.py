@@ -609,11 +609,8 @@ def op_lex_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     df/stats in the same per-bucket pass that rewrites the segments,
     and the morning's scores are the scores a fresh index would give."""
     from game_data_etl_pipeline_spark.llmdata.ann_index import (
-        TOMB_IDS,
         _count_parquet_files,
-        purge_ids_digest,
-        read_purge_ledger,
-        tombstone_ids_df,
+        purge_ledger_referee,
     )
 
     demo = ensure_lex_upsert_tree(spark, sf_dir)
@@ -627,27 +624,14 @@ def op_lex_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # the purge-evidence referee: ledger counts reproduce the posting
     # counts measured on the persisted trees, and the recorded digest
-    # is the session purge list's
-    led = read_purge_ledger(e2e)
-    led_ok = (
-        led["purge"].get("kind") == "id_list"
-        and led["purge"].get("digest") == purge_ids_digest(TOMB_IDS)
-        and led["n_purged"] == led["n_before"] - led["n_after"]
-    )
-    before_post = spark.read.parquet(os.path.join(demo, "postings"))
-    after_post = spark.read.parquet(os.path.join(e2e, "postings"))
-    b_stats = before_post.join(
-        F.broadcast(tombstone_ids_df(spark, "doc_id")), "doc_id", "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_purge_hits")).crossJoin(
-        before_post.agg(F.count(F.lit(1)).alias("n_before"))
-    )
-    a_stats = after_post.agg(F.count(F.lit(1)).alias("n_after"))
-    audit = b_stats.crossJoin(F.broadcast(a_stats)).select(
-        (
-            F.lit(bool(led_ok))
-            & (F.col("n_before") == F.lit(int(led["n_before"])))
-            & (F.col("n_after") == F.lit(int(led["n_after"])))
-            & (F.col("n_purge_hits") == F.lit(int(led["n_purged"])))
-        ).alias("purge_ledger_consistent")
+    # is the session purge list's — the shared purge_ledger_referee
+    # body (r14: this gate's inline copy consolidated into the one
+    # checker the streamed compact-serve gates also run)
+    audit = purge_ledger_referee(
+        spark,
+        e2e,
+        spark.read.parquet(os.path.join(demo, "postings")),
+        spark.read.parquet(os.path.join(e2e, "postings")),
+        "doc_id",
     )
     return bm25_from_index(spark, e2e).crossJoin(F.broadcast(audit))
