@@ -109,6 +109,10 @@ V2_EXTRA = (
     # composed all-verbs lineage (register -> refresh -> retire)
     "op_bloom_registry_retire",        # r13: drop one family + survivor union re-fold
     "op_bloom_registry_lifecycle_e2e",  # r13: registry lineage end-state screen
+    # r15 additions: the late-interaction retrieval shape and the
+    # size-tiered LSM segment-merge policy
+    "op_sim_late_interaction",         # r15: ColBERT-style MaxSim, two-stage
+    "op_sim_index_merge_policy",       # r15: size-tiered K-smallest segment merge
 )
 
 # The previous round's recorded frozen-suite total and host probes.
@@ -117,19 +121,20 @@ V2_EXTRA = (
 # judge (the round-6 adjudication: a uniform ~1.7x "slowdown" that was
 # entirely hardware). Update each round after the driver records
 # BENCH_r{N}.json.
-# r13 note: the driver-recorded BENCH_r13.json tail was again truncated
-# before its calibration block, so (the r8+ convention) these values
-# come from the r13 judge's probe-matched run on the final r13 tree
-# (VERDICT.md round 13, task 4): raw frozen total_min 18.941 s with
-# probes py 0.6415 / jvm 0.2746. Seeded into the fixed r8 frame under
-# EACH probe separately (jvm 18.941/1.2081 = 15.678; py 18.941/1.1003
-# = 17.214) and total_ratio reported per chain. The r13 judge's chains
-# AGREED (split 2.0%, probe_disagreement False at the 0.05 threshold
-# introduced in r12) — the per-chain convention is kept unchanged.
+# r14 note: reseeded from the COMMITTED idle-host artifact
+# bench_final_r14.json (the r13-ADVICE convention: the committed
+# artifact is the auditable number; the driver-recorded BENCH_r14.json
+# tail was still truncated before its calibration block because the
+# r14 key-reorder aimed at the wrong end of the line — fixed below).
+# bench_final_r14.json: raw frozen total_min 19.997 s with probes
+# py 0.6972 / jvm 0.3076. Seeded into the fixed r8 frame under EACH
+# probe separately (jvm 19.997/1.3531 = 14.781; py 19.997/1.1959 =
+# 16.721) and total_ratio reported per chain. The r14 chains AGREED
+# (split 3.0%, probe_disagreement False) — convention kept unchanged.
 PREV = {
-    "round": 13,
-    "frozen_total_min_jvm_frame": 15.678,
-    "frozen_total_min_py_frame": 17.214,
+    "round": 14,
+    "frozen_total_min_jvm_frame": 14.781,
+    "frozen_total_min_py_frame": 16.721,
     "py_spin_sec": 0.583,
     "jvm_spin_sec": 0.2273,
 }
@@ -272,6 +277,16 @@ def main() -> None:
         )
 
         ensure_bloom_lifecycle_demo(spark, sf_dir)
+    # r15: the merge-policy entry reads the persisted 4-segment base
+    # tree and the merged tree — built outside the timed region so the
+    # benched number measures the policy pass + referees, not the
+    # one-time base layout (idempotent; later reps serve either way)
+    if "op_sim_index_merge_policy" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.ann_index import (
+            ensure_merge_policy_tree,
+        )
+
+        ensure_merge_policy_tree(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}
@@ -312,6 +327,9 @@ def main() -> None:
     v2_total_min = round(
         total_min + sum(min(samples[name]) for name in v2_specs), 4
     )
+    # self-maintaining label: the count tracks V2_EXTRA so adding an
+    # entry cannot leave a stale hand-written "NNq" behind
+    v2_suite = f"r15-v2-{23 + len(v2_specs)}q-median"
 
     # probe-normalized cross-round comparison: the jvm probe is the
     # primary normalizer (the suite is JVM-codegen-bound like the
@@ -354,15 +372,35 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": round(total, 4),
                 "unit": "sec",
-                # SMALL diagnostic keys FIRST, bulky per-query dicts
-                # LAST: the round driver truncates the recorded
-                # BENCH_r{N}.json tail at ~2 KB, which ate the
-                # calibration + normalization blocks every round since
-                # r8 and forced PREV reseeds from the judge's verdict
-                # instead of the driver artifact. With this ordering
-                # the first 2 KB always carries reps/sf/calibration/
-                # suite/total_min/normalized_vs_prev; only per-query
-                # detail can be cut.
+                # Bulky per-query dicts FIRST, small diagnostic keys
+                # LAST: the round driver records only the LAST ~2 KB
+                # of this line (both BENCH_r13.json and BENCH_r14.json
+                # tails end with the closing braces of the v2 per-query
+                # dict), which ate the calibration + normalization
+                # blocks every round since r8 and forced PREV reseeds
+                # from the judge's verdict / the committed idle-host
+                # artifact instead of the driver artifact. (The r14
+                # attempt put the small keys FIRST — the wrong end.)
+                # With this ordering the final ~600 bytes always carry
+                # reps/sf/calibration/suite/total_min/v2_totals/
+                # normalized_vs_prev; only per-query detail can be cut.
+                "queries": timings,
+                "spread": spread,
+                # v2 (round 6): frozen 23q + the heavyweight behavior/
+                # window additions; same reps/medians, timed in a
+                # SECOND sequential pass so the extras' block-manager/
+                # GC pressure cannot leak into the frozen numbers.
+                # "queries" above stays the frozen set so 23q deltas
+                # remain attributable. v2's own totals are duplicated
+                # in the small v2_totals key below so they survive the
+                # tail truncation too.
+                "v2": {
+                    "suite": v2_suite,
+                    "total": v2_total,
+                    "total_min": v2_total_min,
+                    "queries": v2_timings,
+                    "spread": {name: spr[name] for name in v2_timings},
+                },
                 "reps": reps,
                 "sf": sf,
                 "calibration": calibration,
@@ -373,22 +411,12 @@ def main() -> None:
                 # real wins — deltas from r4 onward are attributable.
                 "suite": "r4-frozen-23q-median",
                 "total_min": total_min,
-                "normalized_vs_prev": normalized,
-                "queries": timings,
-                "spread": spread,
-                # v2 (round 6): frozen 23q + the heavyweight behavior/
-                # window additions; same reps/medians, timed in a
-                # SECOND sequential pass so the extras' block-manager/
-                # GC pressure cannot leak into the frozen numbers.
-                # "queries" above stays the frozen set so 23q deltas
-                # remain attributable.
-                "v2": {
-                    "suite": "r13-v2-74q-median",
+                "v2_totals": {
+                    "suite": v2_suite,
                     "total": v2_total,
                     "total_min": v2_total_min,
-                    "queries": v2_timings,
-                    "spread": {name: spr[name] for name in v2_timings},
                 },
+                "normalized_vs_prev": normalized,
             }
         )
     )

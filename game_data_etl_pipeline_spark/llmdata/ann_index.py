@@ -1242,3 +1242,384 @@ def op_sim_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segments_merged", F.lit(0 < files_after < files_before))
     )
     return served.crossJoin(F.broadcast(audit))
+
+
+# --- size-tiered segment-merge POLICY (round-15) ---------------------
+
+# The merge policy's knob: merge the K smallest segments per pass —
+# the size-tiered idiom (Cassandra/RocksDB STCS, Lucene's
+# TieredMergePolicy) a 100 TB index actually runs, where full-tree
+# compaction (op_sim_index_compact) is the special case K = all.
+MERGE_POLICY_K = 2
+
+# completion marker + manifest names for the policy demo trees
+MERGE_MANIFEST = "_merge_manifest.json"
+
+
+def pick_size_tiered(seg_rows: dict[int, int], k: int = MERGE_POLICY_K) -> list[int]:
+    """The POLICY, isolated and pure: given {segment id -> row count},
+    pick the K segments to merge — smallest first, segment id as the
+    deterministic tiebreak. Everything else in this family is
+    mechanism (rewrite + copy + evidence); this function is the part
+    a production store would swap out (size-tiered today, leveled or
+    time-windowed tomorrow) — unit-tested directly in
+    tests/test_llmdata.py::test_pick_size_tiered."""
+    return [s for s, _n in sorted(seg_rows.items(), key=lambda kv: (kv[1], kv[0]))[:k]]
+
+
+def _merge_seg_expr() -> F.Column:
+    """Deterministic 4-segment assignment for the policy demo tree:
+    vec_id ranges sized ~50/25/15/10% (bounds are integer arithmetic
+    on max(vec_id), joined in broadcast as ``b0/b1/b2``), so the
+    size-tiered policy has a real size gradient to act on and DuckDB
+    replays the same CASE bit-for-bit."""
+    return (
+        F.when(F.col("vec_id") < F.col("b0"), F.lit(0))
+        .when(F.col("vec_id") < F.col("b1"), F.lit(1))
+        .when(F.col("vec_id") < F.col("b2"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+    )
+
+
+def _merge_bounds(emb: DataFrame) -> DataFrame:
+    """The three integer segment bounds off max(vec_id) — one 1-row
+    frame, broadcast into the per-row CASE (the ensure_upsert_tree
+    split discipline)."""
+    return emb.agg(
+        F.expr("max(vec_id) div 2").cast("long").alias("b0"),
+        F.expr("max(vec_id) * 3 div 4").cast("long").alias("b1"),
+        F.expr("max(vec_id) * 9 div 10").cast("long").alias("b2"),
+    ).localCheckpoint(eager=True)
+
+
+# the same bounds/CASE as SQL, shared by the oracle so the two sides
+# cannot drift (the BM25_CTES f-string-composition convention)
+MERGE_SEG_CTES = """
+        WITH b AS (
+            SELECT MAX(vec_id) // 2 AS b0,
+                   MAX(vec_id) * 3 // 4 AS b1,
+                   MAX(vec_id) * 9 // 10 AS b2
+            FROM embeddings
+        ),
+        seg AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id < b0 THEN 0
+                        WHEN vec_id < b1 THEN 1
+                        WHEN vec_id < b2 THEN 2
+                        ELSE 3 END AS seg
+            FROM embeddings, b
+        )"""
+
+
+def ensure_merge_base_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the merge-policy demo INPUT tree: the main
+    artifact's postings re-laid-out as FOUR explicit segments
+    (partitionBy(seg, cent_id); seg = the deterministic ~50/25/15/10%
+    vec_id ranges) — the multi-generation segment pile a streaming
+    ingest leaves behind, with segment identity row-visible so the
+    policy, the referees, and the DuckDB oracle all read the same
+    fact. One file per (seg, cell): the repartition matches the
+    partitionBy, so file counts are the segment counts."""
+    base = os.path.join(
+        _index_root(),
+        f"mergebase_v{INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    if os.path.isfile(os.path.join(base, "merge_base_done.json")):
+        return base
+    main_path = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    bounds = _merge_bounds(emb)
+    postings = spark.read.parquet(os.path.join(main_path, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    with staging_tree(base) as staging:
+        (
+            postings.join(F.broadcast(bounds))
+            .withColumn("seg", _merge_seg_expr())
+            .drop("b0", "b1", "b2")
+            .repartition("seg", "cent_id")
+            .write.mode("overwrite")
+            .partitionBy("seg", "cent_id")
+            .parquet(os.path.join(staging, "postings"))
+        )
+        with open(os.path.join(staging, "merge_base_done.json"), "w") as f:
+            json.dump({"version": INDEX_VERSION, "n_segments": 4}, f)
+        publish_staging(staging, base, marker="merge_base_done.json")
+    prune_stale_keys(base, sf_dir)
+    return base
+
+
+def _seg_dir_digests(postings_dir: str, segs) -> dict[str, str]:
+    """{relative path -> sha256} for every parquet file under the
+    given seg=N subtrees — the byte-identity evidence for UNTOUCHED
+    segments (bounded: demo trees hold one file per (seg, cell); a
+    100 TB store compares manifest etags, same contract)."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    for seg in segs:
+        seg_root = os.path.join(postings_dir, f"seg={seg}")
+        for root, _dirs, files in os.walk(seg_root):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fname)
+                h = hashlib.sha256()
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                out[os.path.relpath(p, postings_dir)] = h.hexdigest()
+    return out
+
+
+def ensure_merge_policy_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Apply the size-tiered policy ONCE to the 4-segment base tree
+    (idempotent): pick the MERGE_POLICY_K smallest segments by
+    persisted row count, rewrite exactly those into ONE new segment
+    (seg id = max + 1, one file per cell), and carry every untouched
+    segment over BYTE-FOR-BYTE (os-level file copy — at 100 TB a
+    metadata move / hardlink, never a data rewrite: the whole point
+    of a policy is that merge cost tracks the SMALL segments, not the
+    tree). The merge MANIFEST (segment row counts, picked set, row
+    arithmetic, untouched-file digests) is written in the same
+    staging transaction — the purge-ledger evidence discipline for a
+    merge that deletes nothing but must prove it moved (and only
+    moved) what the policy chose."""
+    base = ensure_merge_base_tree(spark, sf_dir)
+    dest = os.path.join(
+        _index_root(),
+        f"mergepolicy_v{INDEX_VERSION}",
+        fingerprint_key(sf_dir, "embeddings.parquet"),
+    )
+    if os.path.isfile(os.path.join(dest, "merge_done.json")) and os.path.isfile(
+        os.path.join(dest, "postings", MERGE_MANIFEST)
+    ):
+        return dest
+    src_postings = os.path.join(base, "postings")
+    src = spark.read.parquet(src_postings).select(
+        "vec_id", "codes", "cent_id", F.col("seg").cast("int").alias("seg")
+    )
+    seg_rows = {
+        int(r["seg"]): int(r["n"])
+        for r in src.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded collect: one row per segment (4 here), never data
+    picked = pick_size_tiered(seg_rows, MERGE_POLICY_K)
+    untouched = sorted(s for s in seg_rows if s not in picked)
+    new_seg = max(seg_rows) + 1
+    import shutil as _sh
+
+    with staging_tree(dest) as staging:
+        stage_post = os.path.join(staging, "postings")
+        (
+            src.filter(F.col("seg").isin(*[int(s) for s in picked]))
+            .withColumn("seg", F.lit(int(new_seg)).cast("int"))
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("seg", "cent_id")
+            .parquet(stage_post)
+        )
+        # untouched segments: byte-for-byte carry-over, never re-read
+        # through Spark (a rewrite would re-encode row groups and
+        # break the byte-identity contract)
+        for seg in untouched:
+            _sh.copytree(
+                os.path.join(src_postings, f"seg={seg}"),
+                os.path.join(stage_post, f"seg={seg}"),
+            )
+        n_after = spark.read.parquet(stage_post).count()
+        with open(os.path.join(stage_post, MERGE_MANIFEST), "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "policy": "size_tiered",
+                    "k": MERGE_POLICY_K,
+                    "seg_rows": {str(s): n for s, n in sorted(seg_rows.items())},
+                    "picked": [int(s) for s in picked],
+                    "new_seg": int(new_seg),
+                    "n_before": int(sum(seg_rows.values())),
+                    "n_merged_rows": int(sum(seg_rows[s] for s in picked)),
+                    "n_after": int(n_after),
+                    "untouched_digests": _seg_dir_digests(src_postings, untouched),
+                },
+                f,
+            )
+        with open(os.path.join(staging, "merge_done.json"), "w") as f:
+            json.dump({"version": INDEX_VERSION}, f)
+        publish_staging(staging, dest, marker="merge_done.json")
+    prune_stale_keys(dest, sf_dir)
+    return dest
+
+
+@register(
+    "op_sim_index_merge_policy",
+    tags=("llm", "similarity", "index"),
+    # counts replay from the embeddings table through the shared seg
+    # CTE (the base tree covers every corpus vector exactly once, the
+    # op_sim_index_upsert coverage precedent); the demo's size
+    # gradient makes segments {3, 2} the K=2 smallest, so the oracle's
+    # seg IN (2, 3) filter IS the policy check at value level — a
+    # policy that picked any other pair hash-mismatches n_merged_rows.
+    oracle=MERGE_SEG_CTES
+    + """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(COUNT(*) FILTER (WHERE seg IN (2, 3)) AS BIGINT) AS n_merged_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_after,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_segments_before,
+               CAST(COUNT(DISTINCT seg) - 1 AS BIGINT) AS n_segments_after,
+               TRUE AS picked_smallest_k,
+               TRUE AS rows_conserved,
+               TRUE AS merged_rows_identical,
+               TRUE AS untouched_segments_byte_identical,
+               TRUE AS manifest_consistent,
+               TRUE AS files_reduced
+        FROM seg
+    """,
+)
+def op_sim_index_merge_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-TIERED SEGMENT-MERGE POLICY — the LSM maintenance idiom a
+    100 TB index actually runs (r14 verdict task 5): the lifecycle's
+    compaction verbs (op_sim_index_compact, the e2e lineages) always
+    rewrite the FULL tree; a production store (RocksDB/Cassandra STCS,
+    Lucene TieredMergePolicy, Milvus segment merge) instead picks the
+    K smallest segments each pass, merges ONLY those, and never
+    touches the rest — merge cost tracks the small segments while the
+    big, cold ones age in place. Mechanism reuses the family's
+    established parts: explicit segment identity in the layout
+    (partitionBy(seg, cent_id)), a staged atomic publish, and a
+    manifest written in the same transaction as the merge (the
+    purge-ledger evidence shape, for a verb that must prove it moved
+    — and only moved — what the policy chose).
+
+    Input: the 4-segment base tree (deterministic ~50/25/15/10%
+    vec_id ranges of the main artifact's postings — row-visible seg,
+    so policy, referees, and the DuckDB oracle all read one fact).
+    ``pick_size_tiered`` (pure, unit-tested) picks K=2 by (rows ASC,
+    seg ASC) -> {3, 2}; the merge rewrites those into segment 4, one
+    file per cell, and carries segments 0/1 over byte-for-byte.
+
+    Value-hashed vs DuckDB: n_before / n_merged_rows / n_after /
+    n_segments_before / n_segments_after, all measured on the
+    PERSISTED trees and replayed by the oracle through the shared
+    MERGE_SEG_CTES — n_merged_rows pins WHICH segments the policy
+    picked, not just how many rows moved. Audit booleans (TRUE
+    literals in the oracle, computed here for real):
+
+    - ``picked_smallest_k``: re-derives the pick from the persisted
+      per-segment counts and compares to the manifest's record;
+    - ``rows_conserved``: a merge deletes nothing — per-vec_id
+      equi-join between the trees, every row accounted for;
+    - ``merged_rows_identical``: every row of the new segment is
+      bit-identical (codes, cent_id) to its source row — bytes moved,
+      never re-encoded (the survivors_identical discipline);
+    - ``untouched_segments_byte_identical``: sha256 of every parquet
+      file in segments 0/1 equals the manifest's recorded source
+      digests AND the sets of relative paths match — the carry-over
+      copied files, it did not rewrite them;
+    - ``manifest_consistent``: the manifest's arithmetic holds
+      (n_before = sum of seg_rows, n_merged = sum of picked,
+      n_after = n_before) and matches the measured counts;
+    - ``files_reduced``: the merged tree holds strictly fewer parquet
+      files than the base (K cell-files collapse into one per cell).
+
+    At 100 TB each pass is the same bounded plan: partition pruning
+    scopes the read to the K picked segments, survivors stream
+    through one per-cell rewrite, untouched segments are metadata
+    moves, and the atomic rename swaps readers to the merged tree."""
+    base = ensure_merge_base_tree(spark, sf_dir)
+    merged = ensure_merge_policy_tree(spark, sf_dir)
+    man = json.load(open(os.path.join(merged, "postings", MERGE_MANIFEST)))
+
+    before = spark.read.parquet(os.path.join(base, "postings")).select(
+        "vec_id", "codes", "cent_id", F.col("seg").cast("int").alias("seg")
+    )
+    after = spark.read.parquet(os.path.join(merged, "postings")).select(
+        F.col("vec_id").alias("a_vec_id"),
+        F.col("codes").alias("a_codes"),
+        F.col("cent_id").alias("a_cent_id"),
+        F.col("seg").cast("int").alias("a_seg"),
+    )
+    seg_rows = {
+        int(r["seg"]): int(r["n"])
+        for r in before.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: one row per segment
+    picked = pick_size_tiered(seg_rows, MERGE_POLICY_K)
+    untouched = sorted(s for s in seg_rows if s not in picked)
+    new_seg = max(seg_rows) + 1
+
+    # driver-side referees (filesystem facts -> literals)
+    dig_now = _seg_dir_digests(os.path.join(base, "postings"), untouched)
+    dig_merged_tree = _seg_dir_digests(os.path.join(merged, "postings"), untouched)
+    untouched_ok = (
+        dig_now == man["untouched_digests"] == dig_merged_tree and len(dig_now) > 0
+    )
+    files_before = _count_parquet_files(os.path.join(base, "postings"))
+    files_after = _count_parquet_files(os.path.join(merged, "postings"))
+    manifest_ok = (
+        man["policy"] == "size_tiered"
+        and man["k"] == MERGE_POLICY_K
+        and man["picked"] == [int(s) for s in picked]
+        and man["new_seg"] == new_seg
+        and {int(k): v for k, v in man["seg_rows"].items()} == seg_rows
+        and man["n_before"] == sum(seg_rows.values())
+        and man["n_merged_rows"] == sum(seg_rows[s] for s in picked)
+        and man["n_after"] == man["n_before"]
+    )
+
+    # measured-count referees on the persisted trees
+    bstats = before.agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(
+            F.when(F.col("seg").isin(*[int(s) for s in picked]), 1).otherwise(0)
+        ).alias("n_merged_rows"),
+        F.countDistinct("seg").alias("n_segments_before"),
+    )
+    astats = after.agg(
+        F.count(F.lit(1)).alias("n_after_actual"),
+        F.countDistinct("a_seg").alias("n_segments_after"),
+        F.sum(F.when(F.col("a_seg") == new_seg, 1).otherwise(0)).alias("n_new_seg"),
+    )
+    # per-row accounting: every base row survives with identical
+    # payload; picked rows land in the new segment, untouched rows
+    # keep their segment
+    ident = before.join(after, F.col("vec_id") == F.col("a_vec_id")).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(
+                (F.col("a_codes") == F.col("codes"))
+                & (F.col("a_cent_id") == F.col("cent_id"))
+                & (
+                    F.col("a_seg")
+                    == F.when(
+                        F.col("seg").isin(*[int(s) for s in picked]),
+                        F.lit(new_seg),
+                    ).otherwise(F.col("seg"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_accounted"),
+    )
+    return (
+        bstats.join(F.broadcast(astats))
+        .join(F.broadcast(ident))
+        .select(
+            "n_before",
+            "n_merged_rows",
+            F.col("n_after_actual").alias("n_after"),
+            "n_segments_before",
+            "n_segments_after",
+            F.lit(picked == man["picked"]).alias("picked_smallest_k"),
+            (
+                (F.col("n_joined") == F.col("n_before"))
+                & (F.col("n_after_actual") == F.col("n_before"))
+            ).alias("rows_conserved"),
+            (
+                (F.col("n_accounted") == F.col("n_joined"))
+                & (F.col("n_new_seg") == F.col("n_merged_rows"))
+            ).alias("merged_rows_identical"),
+            F.lit(bool(untouched_ok)).alias("untouched_segments_byte_identical"),
+            F.lit(bool(manifest_ok)).alias("manifest_consistent"),
+            F.lit(0 < files_after < files_before).alias("files_reduced"),
+        )
+    )

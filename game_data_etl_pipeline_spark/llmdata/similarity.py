@@ -1908,3 +1908,280 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sel_rank", "doc_id", "rel", (F.round(F.col("m"), 6) + 0.0).alias("mmr")
     )
+
+
+# --- late-interaction (multi-vector) retrieval -----------------------
+
+# The three fixed late-interaction query strings (space-tokenized like
+# every documents-table op). Each query mixes in-vocabulary terms
+# (real posting lists for the candidate stage) with an OUT-of-
+# vocabulary term, and the rerank scores CONTEXTUALIZED tokens (see
+# token_vec_expr), so the top-5 ranking exercises real per-document
+# score variation, not just the doc_id tiebreak.
+LATE_QUERIES = (
+    (0, "vector stream colbert"),
+    (1, "hash join maxsim"),
+    (2, "filter sort retrieval"),
+)
+# token-embedding geometry: 8 md5-derived dims per token, shortlist cap
+LATE_DIMS = 8
+LATE_SHORTLIST = 50
+
+LATE_QUERIES_SQL = ", ".join(f"({i}, '{t}')" for i, t in LATE_QUERIES)
+
+
+def token_vec_expr(key: Column) -> Column:
+    """Deterministic per-TOKEN sub-vector: dim i is the first 32 md5
+    bits of ``key#i`` mapped to [-0.5, 0.5) — the md5 hash-family
+    trick op_dedup_minhash_banded/op_text_simhash already rely on,
+    lifted from scalar hashes to a token embedding both engines can
+    derive bit-for-bit (DuckDB: the same md5/substring/CAST chain
+    inside list_transform(range(8))). ``key`` is the CONTEXTUALIZED
+    token string ``prev|term`` (left neighbor folded in — the
+    deterministic stand-in for BERT-style contextualization: the same
+    word in a different local context gets a different sub-vector,
+    which is precisely what makes late interaction richer than
+    bag-of-words cosine). Integer modulo then one exact subtraction
+    and one division — identical IEEE sequence on identical inputs,
+    so downstream cosines agree to the ulp."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LATE_DIMS - 1)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key, F.lit("#"), i.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            - 499.5
+        )
+        / 999.0,
+    )
+
+
+def _ctx_keys_expr(text: Column) -> Column:
+    """Contextualized token keys for one space-tokenized string:
+    position p maps to ``prev|term`` with ``^`` as the start-of-text
+    neighbor. Pure higher-order JVM expression (transform with index +
+    element_at), bit-replayable in DuckDB via UNNEST(range(len(w)))."""
+    toks = F.split(text, " ")
+    return F.transform(
+        toks,
+        lambda t, i: F.concat(
+            F.when(i == 0, F.lit("^")).otherwise(F.element_at(toks, i)),
+            F.lit("|"),
+            t,
+        ),
+    )
+
+
+# oracle fragment shared by the Spark docstring and the SQL below: the
+# contextualized-key derivation, kept textually close to _ctx_keys_expr
+_CTX_SQL = (
+    "CASE WHEN p = 0 THEN '^' ELSE w[p] END || '|' || w[p + 1]"
+)
+
+
+@register(
+    "op_sim_late_interaction",
+    tags=("llm", "similarity", "retrieval"),
+    oracle=f"""
+        WITH qs AS (
+            SELECT CAST(qid AS BIGINT) AS query_id, qtext
+            FROM (VALUES {LATE_QUERIES_SQL}) v(qid, qtext)
+        ),
+        qt AS (
+            SELECT DISTINCT query_id, UNNEST(string_split(qtext, ' ')) AS qterm
+            FROM qs
+        ),
+        du AS (
+            SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS dterm
+            FROM documents
+        ),
+        qk AS (
+            SELECT DISTINCT query_id, {_CTX_SQL} AS qkey
+            FROM (SELECT query_id, string_split(qtext, ' ') AS w FROM qs),
+                 UNNEST(range(len(w))) AS u(p)
+        ),
+        dk AS (
+            SELECT DISTINCT doc_id, {_CTX_SQL} AS dkey
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                 UNNEST(range(len(w))) AS u(p)
+        ),
+        vocab AS (
+            SELECT key,
+                   list_transform(
+                       range({LATE_DIMS}),
+                       i -> (CAST(('0x' || substring(md5(key || '#' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 1000 - 499.5) / 999.0
+                   ) AS tv
+            FROM (SELECT dkey AS key FROM dk UNION SELECT qkey FROM qk)
+        ),
+        cand AS (
+            SELECT query_id, doc_id, COUNT(*) AS overlap
+            FROM qt JOIN du ON qterm = dterm
+            GROUP BY query_id, doc_id
+        ),
+        short AS (
+            SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY overlap DESC, doc_id
+                       ) AS rn
+                FROM cand
+            ) WHERE rn <= {LATE_SHORTLIST}
+        ),
+        pairsim AS (
+            SELECT s.query_id, s.doc_id, q.qkey,
+                   ROUND(MAX(list_cosine_similarity(vq.tv, vd.tv)), 4) AS maxsim
+            FROM short s
+            JOIN qk q ON q.query_id = s.query_id
+            JOIN dk d ON d.doc_id = s.doc_id
+            JOIN vocab vq ON vq.key = q.qkey
+            JOIN vocab vd ON vd.key = d.dkey
+            GROUP BY s.query_id, s.doc_id, q.qkey
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   ROUND(SUM(maxsim), 4) AS li_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_qtokens
+            FROM pairsim GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, li_score, n_qtokens, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY li_score DESC, doc_id
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def op_sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (multi-vector / ColBERT-style) retrieval: each
+    document and query is a BAG of per-token sub-vectors, and
+    score(q, d) = sum over query tokens of the max cosine against any
+    document token (MaxSim; Khattab & Zaharia, SIGIR 2020) — the
+    mainstream LLM-retrieval shape between single-vector cosine
+    (op_sim_cosine_topk) and cross-encoder rerank, closing the
+    retrieval family (r14 verdict task 4). Token embeddings are
+    deterministic md5 hash-family sub-vectors over CONTEXTUALIZED
+    token keys (``prev|term``, token_vec_expr) so (a) the DuckDB
+    oracle replays every stage bit-for-bit and (b) scores genuinely
+    vary per document — an exact-context token match scores
+    MaxSim = 1.0, everything else by hash geometry (the bag-of-words
+    unigram form collapsed to ties on this fixture's ~40-word
+    vocabulary: every doc containing the argmax unigram tied).
+
+    Two-stage plan, the shape a 100 TB ColBERT deployment runs:
+
+    - CANDIDATE GEN is the inverted-list equi-join: distinct
+      (doc_id, term) UNIGRAM postings meet the 9 broadcast query terms
+      ON THE TERM, overlap-counted, and a per-query window keeps the
+      top-50 (overlap DESC, doc_id) shortlist. Per-query work is
+      bounded by posting-list length — never a corpus scan per query,
+      never a cross product (test_late_interaction_no_cartesian).
+    - MAXSIM RERANK runs only on the 150-row shortlist, over the
+      contextualized-token postings: the bounded (shortlist x
+      query-token x query-vector) side is broadcast against the corpus
+      token postings (equi-join on doc_id), token vectors attach from
+      the broadcast vocabulary table (distinct context keys — bigram-
+      vocabulary-bounded, not corpus-bounded), and one partial-
+      aggregated groupBy chain takes max-per-query-token then
+      sum-per-doc. Document bodies never shuffle; only (doc_id, key)
+      postings do.
+
+    Float discipline (the op_text_bm25 convention): per-token MaxSim
+    is rounded to 4dp BEFORE the sum, the sum re-rounded to 4dp, and
+    the final rank windows over the ROUNDED score with a doc_id
+    tiebreak, so order-of-addition ulps cannot reorder ranks across
+    engines.
+
+    Reference scope note: /root/reference/etl/pipeline.py has no
+    retrieval at all; this op is part of the brief's LLM-data closure,
+    designed Spark-first."""
+    docs = load_table(spark, sf_dir, "documents")
+    # JVM-side literal query table (the tombstone_ids_df discipline:
+    # createDataFrame would land as Scan ExistingRDD in serve plans)
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("query_id"),
+                        F.lit(t).alias("qtext"),
+                    )
+                    for i, t in LATE_QUERIES
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.qtext")
+    qt = qs.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("qterm")
+    ).distinct()
+    du = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("dterm")
+    ).distinct()
+    qk = qs.select(
+        "query_id", F.explode(_ctx_keys_expr(F.col("qtext"))).alias("qkey")
+    ).distinct()
+    dk = docs.select(
+        "doc_id", F.explode(_ctx_keys_expr(F.col("text"))).alias("dkey")
+    ).distinct()
+    vocab = (
+        dk.select(F.col("dkey").alias("key"))
+        .union(qk.select("qkey"))
+        .distinct()
+    )
+    vec = vocab.select("key", token_vec_expr(F.col("key")).alias("tv")).select(
+        "key", "tv", norm_expr(F.col("tv")).alias("tn")
+    )
+    # stage 1: inverted-list candidate gen + top-50 shortlist per query
+    cand = (
+        du.join(F.broadcast(qt), F.col("dterm") == F.col("qterm"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id")
+    )
+    short = (
+        cand.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= LATE_SHORTLIST)
+        .select("query_id", "doc_id")
+    )
+    # stage 2: exact MaxSim over the shortlist only. The (shortlist x
+    # query-token x query-vector) side is bounded (<= 50*3 rows per
+    # query) — broadcast it so corpus postings never shuffle for it.
+    qv = qk.join(F.broadcast(vec), F.col("qkey") == F.col("key")).select(
+        "query_id", "qkey", F.col("tv").alias("qv"), F.col("tn").alias("qn")
+    )
+    qside = short.join(qv, "query_id")
+    pair = (
+        dk.join(F.broadcast(qside), "doc_id")
+        .join(F.broadcast(vec), F.col("dkey") == F.col("key"))
+        .select(
+            "query_id",
+            "doc_id",
+            "qkey",
+            (dot_expr(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    maxsim = pair.groupBy("query_id", "doc_id", "qkey").agg(
+        F.round(F.max("cos"), 4).alias("maxsim")
+    )
+    scored = maxsim.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("maxsim"), 4).alias("li_score"),
+        F.count(F.lit(1)).alias("n_qtokens"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("li_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "li_score", "n_qtokens", "rank")
+    )

@@ -1831,3 +1831,72 @@ def test_bloom_registry_lifecycle_e2e_semantics(spark, sf_dir, tmp_path, monkeyp
         if ".trash.deadend" in d
     ]
     assert len(displaced) == 1, "partial tree must be displaced, not deleted"
+
+
+def test_pick_size_tiered():
+    """The merge POLICY in isolation: K smallest by row count,
+    segment id as the deterministic tiebreak."""
+    from game_data_etl_pipeline_spark.llmdata.ann_index import pick_size_tiered
+
+    assert pick_size_tiered({0: 100, 1: 50, 2: 30, 3: 20}, 2) == [3, 2]
+    # tie on size -> lower segment id first
+    assert pick_size_tiered({0: 10, 1: 10, 2: 99}, 2) == [0, 1]
+    assert pick_size_tiered({5: 7}, 2) == [5]
+
+
+def test_merge_policy_untouched_immutable_and_serve_identical(spark, sf_dir):
+    """The size-tiered pass must (a) leave every untouched segment's
+    parquet files byte-identical between the base and merged trees,
+    (b) reduce the file count, and (c) be invisible to serving: ADC
+    serving from the merged tree is bit-identical to serving from the
+    4-segment base (a merge moves bytes, deletes nothing, re-encodes
+    nothing)."""
+    import os as _os
+
+    from game_data_etl_pipeline_spark.catalog import load_table
+    from game_data_etl_pipeline_spark.llmdata.ann_index import (
+        _count_parquet_files,
+        _seg_dir_digests,
+        ensure_merge_base_tree,
+        ensure_merge_policy_tree,
+        read_ann_index,
+    )
+    from game_data_etl_pipeline_spark.llmdata.similarity import ivfpq_serve_stages
+    from pyspark.sql import functions as F
+
+    # run the registered op once: builds both trees, all audits true
+    row = SPECS["op_sim_index_merge_policy"].fn(spark, sf_dir).collect()[0]
+    assert row.picked_smallest_k and row.rows_conserved
+    assert row.merged_rows_identical and row.manifest_consistent
+    assert row.untouched_segments_byte_identical and row.files_reduced
+    assert row.n_after == row.n_before
+    assert row.n_segments_after == row.n_segments_before - 1
+
+    base = ensure_merge_base_tree(spark, sf_dir)
+    merged = ensure_merge_policy_tree(spark, sf_dir)
+    # (a) untouched segments byte-identical, (b) fewer files
+    assert _seg_dir_digests(
+        _os.path.join(base, "postings"), (0, 1)
+    ) == _seg_dir_digests(_os.path.join(merged, "postings"), (0, 1))
+    assert 0 < _count_parquet_files(
+        _os.path.join(merged, "postings")
+    ) < _count_parquet_files(_os.path.join(base, "postings"))
+
+    # (c) serving equality, bit-for-bit
+    coarse, books, _ = read_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _serve(tree: str) -> set:
+        posts = spark.read.parquet(_os.path.join(tree, "postings")).select(
+            "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+        )
+        return {
+            tuple(r)
+            for r in ivfpq_serve_stages(
+                emb, posts.filter(F.col("vec_id") >= 4), coarse, books
+            ).collect()
+        }
+
+    served_base, served_merged = _serve(base), _serve(merged)
+    assert len(served_base) > 0
+    assert served_base == served_merged

@@ -1260,3 +1260,17 @@ def test_bloom_registry_lifecycle_plan_contract(spark):
     before = dd._BLOOM_BUILD_COUNT
     SPECS["op_bloom_registry_lifecycle_e2e"].fn(spark, SF)
     assert dd._BLOOM_BUILD_COUNT == before, "re-screening rebuilt the full filter"
+
+
+def test_late_interaction_no_cartesian(spark):
+    """op_sim_late_interaction: candidate gen is the inverted-list
+    equi-join on the term and the MaxSim rerank meets the corpus
+    postings on doc_id with the bounded shortlist side broadcast — a
+    nested-loop or cartesian anywhere means a stage regressed to
+    all-pairs token scoring (the plan that dies at 100 TB)."""
+    f = I.facts(SPECS["op_sim_late_interaction"].fn(spark, SF))
+    assert f.joins, "no joins in plan"
+    assert all(
+        "NestedLoop" not in j and "Cartesian" not in j for j in f.joins
+    ), f.joins
+    assert "BroadcastHashJoin" in f.joins, f.joins
