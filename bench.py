@@ -113,6 +113,8 @@ V2_EXTRA = (
     # size-tiered LSM segment-merge policy
     "op_sim_late_interaction",         # r15: ColBERT-style MaxSim, two-stage
     "op_sim_index_merge_policy",       # r15: size-tiered K-smallest segment merge
+    "op_sim_ivfpq_serve_merged",       # r15: ADC serve gate over the merged tree
+    "op_sim_late_interaction_served",  # r15: MaxSim from the persisted token index
 )
 
 # The previous round's recorded frozen-suite total and host probes.
@@ -287,6 +289,14 @@ def main() -> None:
         )
 
         ensure_merge_policy_tree(spark, sf_dir)
+    # r15: the served late-interaction entry reads the persisted token
+    # index — built outside the timed region (the build_ann_index
+    # precedent: serving amortizes the build; op_sim_late_interaction
+    # still times the tokenize-inline form so both costs stay visible)
+    if "op_sim_late_interaction_served" in V2_EXTRA:
+        from game_data_etl_pipeline_spark.llmdata.retrieval import build_late_index
+
+        build_late_index(spark, sf_dir)
 
     all_specs = registry.all_specs()
     v2_specs = {name: all_specs[name] for name in V2_EXTRA if name in all_specs}

@@ -1623,3 +1623,70 @@ def op_sim_index_merge_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0 < files_after < files_before).alias("files_reduced"),
         )
     )
+
+
+@register(
+    "op_sim_ivfpq_serve_merged",
+    tags=("llm", "similarity", "index"),
+    # op_sim_ivfpq_serve's oracle UNCHANGED over the FULL corpus: a
+    # merge deletes nothing, so serving from the merged tree must
+    # reproduce the main serve path value-for-value (contrast
+    # op_sim_ivfpq_serve_compacted, whose oracle re-derives over the
+    # survivor world) — plus the ADC bit-equality referee literal.
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 4
+        )
+        SELECT query_id,
+               CAST(COUNT(*) FILTER (WHERE list_distance(ce, qe) <= 25.0) AS BIGINT)
+                   AS n_exact_within_bound,
+               TRUE AS pruned_scan,
+               TRUE AS recall_floor_met,
+               TRUE AS adc_bitmatch_vs_base
+        FROM q, c
+        GROUP BY query_id
+    """,
+)
+def op_sim_ivfpq_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING FROM THE POLICY-MERGED TREE — the value-level gate that
+    makes the size-tiered pass (op_sim_index_merge_policy) invisible
+    by construction, the op_sim_ivfpq_serve_compacted discipline with
+    the OPPOSITE corpus contract: compaction serves the SURVIVOR
+    world (its oracle re-derives over the non-tombstoned corpus); a
+    merge deletes nothing, so this op serves under the main
+    op_sim_ivfpq_serve oracle VERBATIM — same per-query values, full
+    corpus — and any row the merge lost or re-encoded flips the value
+    hash, not just an audit boolean.
+
+    ``adc_bitmatch_vs_base`` (the shared serve_with_adc_referee body)
+    additionally recomputes every probed-cell ADC score twice — once
+    from the merged tree's codes, once from the 4-segment base tree's
+    — and asserts the score sets are BIT-IDENTICAL pair-for-pair:
+    the frozen trained structure replays exactly across the segment
+    re-layout, the same morning-after guarantee the compacted gate
+    gives for purges, here for maintenance merges.
+
+    At 100 TB this is why a store can run its merge policy
+    continuously under live traffic: readers atomically swap to the
+    merged tree and observe not one changed score."""
+    base = ensure_merge_base_tree(spark, sf_dir)
+    merged = ensure_merge_policy_tree(spark, sf_dir)
+    main_path = build_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(main_path, "coarse"))
+    books = spark.read.parquet(os.path.join(main_path, "codebooks"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged_p = spark.read.parquet(os.path.join(merged, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    base_p = spark.read.parquet(os.path.join(base, "postings")).select(
+        "vec_id", "codes", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    served, audit = serve_with_adc_referee(
+        emb, emb, merged_p, base_p, coarse, books, out_col="adc_bitmatch_vs_base"
+    )
+    return served.crossJoin(F.broadcast(audit))

@@ -62,6 +62,7 @@ from game_data_etl_pipeline_spark.llmdata.ann_index import read_ann_index
 from game_data_etl_pipeline_spark.llmdata.similarity import (
     IVFPQ_PROBES,
     IVFPQ_SHORTLIST,
+    LATE_INTERACTION_ORACLE,
     _cosine_to_query0,
     dot_expr,
     euclidean_expr,
@@ -1792,3 +1793,211 @@ def retrieval_pipeline_batch_ann(
             ).alias("sem_recall_floor_met"),
         )
     )
+
+
+# --- late-interaction SERVED from the persisted token index ----------
+
+# token-postings artifact format version (the LEX_INDEX_VERSION
+# discipline: bump on any layout change so stale trees are re-keyed)
+LATE_INDEX_VERSION = 1
+
+# how many term-hash buckets the unigram postings are sharded into:
+# serving filters to the query terms' buckets, so the candidate scan
+# prunes to n_query_term_buckets/LATE_BUCKETS of the posting files
+LATE_BUCKETS = 32
+
+# test hook: a second serve in one process must reuse the persisted
+# artifact, never rebuild (the lex_index._LEX_BUILD_COUNT discipline)
+_LATE_BUILD_COUNT = 0
+
+# query-term -> bucket ids, memoized per process (the lex_index
+# _BUCKET_CACHE discipline: xxhash64 lives JVM-side, so resolving the
+# registered query set's buckets costs one bounded 9-row job, once)
+_LATE_BUCKET_CACHE: dict[tuple[str, ...], list[int]] = {}
+
+
+def _late_root() -> str:
+    import pathlib
+
+    return os.environ.get(
+        "SPARK_GRAFT_LATE_INDEX_DIR",
+        str(
+            pathlib.Path(__file__).resolve().parents[2]
+            / "spark-warehouse"
+            / "late_index"
+        ),
+    )
+
+
+def late_index_dir(sf_dir: str) -> str:
+    from game_data_etl_pipeline_spark.llmdata.artifacts import fingerprint_key
+
+    key = fingerprint_key(sf_dir, "documents.parquet")
+    return os.path.join(_late_root(), f"v{LATE_INDEX_VERSION}", key)
+
+
+def _late_bucket(term_col):
+    return F.pmod(F.xxhash64(term_col), F.lit(LATE_BUCKETS)).cast("int")
+
+
+def build_late_index(spark: SparkSession, sf_dir: str) -> str:
+    """Tokenize the corpus ONCE and persist the late-interaction token
+    index (idempotent per corpus fingerprint; staged + atomically
+    renamed, the build_ann_index discipline). Three artifacts:
+
+    - ``unigrams/`` (doc_id, dterm), PARTITIONED BY term-hash bucket —
+      the candidate stage's inverted file: a query's scan prunes to
+      its terms' buckets at storage level (the lex_index layout);
+    - ``ctx_postings/`` (doc_id, dkey) — the contextualized-token
+      postings the MaxSim rerank joins BY DOC over the shortlist,
+      repartitioned on doc_id so one doc's tokens co-locate;
+    - ``vocab/`` (key, tv, tn) — every distinct context key's
+      md5-derived sub-vector and norm, precomputed once at build time
+      (bigram-vocabulary-bounded; serving never re-derives a doc-side
+      vector).
+
+    Cost shape: one corpus scan feeds all three writes; everything
+    downstream of the scan is (doc_id, token)-narrow — document
+    bodies are read once per corpus snapshot and never again."""
+    global _LATE_BUILD_COUNT
+    from game_data_etl_pipeline_spark.catalog import load_table as _load
+    from game_data_etl_pipeline_spark.llmdata.artifacts import (
+        prune_stale_keys,
+        publish_staging,
+        staging_tree,
+    )
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        _ctx_keys_expr,
+        norm_expr as _norm,
+        token_vec_expr,
+    )
+
+    final = late_index_dir(sf_dir)
+    if os.path.isfile(os.path.join(final, "meta.json")):
+        return final
+    _LATE_BUILD_COUNT += 1
+    import json as _json
+
+    docs = _load(spark, sf_dir, "documents")
+    with staging_tree(final) as staging:
+        du = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("dterm")
+        ).distinct()
+        (
+            du.withColumn("b", _late_bucket(F.col("dterm")))
+            .repartition("b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(os.path.join(staging, "unigrams"))
+        )
+        dk = docs.select(
+            "doc_id", F.explode(_ctx_keys_expr(F.col("text"))).alias("dkey")
+        ).distinct()
+        dk.repartition("doc_id").write.mode("overwrite").parquet(
+            os.path.join(staging, "ctx_postings")
+        )
+        vocab = dk.select(F.col("dkey").alias("key")).distinct()
+        (
+            vocab.select("key", token_vec_expr(F.col("key")).alias("tv"))
+            .select("key", "tv", _norm(F.col("tv")).alias("tn"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "vocab"))
+        )
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            _json.dump(
+                {"version": LATE_INDEX_VERSION, "buckets": LATE_BUCKETS}, f
+            )
+        publish_staging(staging, final, marker="meta.json")
+    prune_stale_keys(final, sf_dir)
+    return final
+
+
+def _late_query_buckets(spark: SparkSession) -> list[int]:
+    """Bucket ids of the registered query set's unigram terms — one
+    bounded 9-row JVM job, memoized per process, feeding the literal
+    partition-pruning filter of the served candidate scan."""
+    from game_data_etl_pipeline_spark.llmdata.similarity import LATE_QUERIES
+
+    terms = tuple(sorted({t for _i, q in LATE_QUERIES for t in q.split(" ")}))
+    if terms not in _LATE_BUCKET_CACHE:
+        rows = (
+            spark.range(1)
+            .select(
+                F.explode(F.array(*[F.lit(t) for t in terms])).alias("term")
+            )
+            .select(_late_bucket(F.col("term")).alias("b"))
+            .distinct()
+            .collect()
+        )  # bounded: one row per distinct query term
+        _LATE_BUCKET_CACHE[terms] = sorted(int(r["b"]) for r in rows)
+    return _LATE_BUCKET_CACHE[terms]
+
+
+@register(
+    "op_sim_late_interaction_served",
+    tags=("llm", "similarity", "retrieval", "index"),
+    # op_sim_late_interaction's oracle VERBATIM (one shared string):
+    # serving from the persisted token index must reproduce the
+    # from-scratch values exactly — a stale vocab row, a lost posting,
+    # or a drifted bucket layout flips the value hash itself, the
+    # op_sim_ivfpq_serve_merged contract applied to the lexical side.
+    oracle=LATE_INTERACTION_ORACLE,
+)
+def op_sim_late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION SERVING — op_sim_late_interaction's build/
+    serve split (the op_text_bm25_serve precedent): the from-scratch
+    op tokenizes the corpus inside every query; a serving tier
+    instead reads the persisted token index (``build_late_index``:
+    term-bucketed unigram postings, doc-located contextualized
+    postings, precomputed vocabulary vectors) and runs ONLY the
+    serving stages — candidate gen pruned to the query terms'
+    partition buckets, MaxSim rerank over the shortlist with every
+    doc-side vector looked up, never re-derived. Query-side tokens
+    and vectors are computed inline from the LATE_QUERIES literals
+    (9 rows — what an external query batch would bring along).
+
+    The documents table appears NOWHERE in the serve plan (pinned by
+    tests/test_plans.py::test_late_interaction_served_plan_contract:
+    the plan reads the late_index warehouse path and never the
+    documents parquet; a second serve in-process must not rebuild).
+    Values are hash-compared against the SAME oracle as the
+    from-scratch op — the persisted index must be invisible to
+    results, visible only to cost.
+
+    At 100 TB this split is the difference between re-reading the
+    corpus per query batch and a bounded bucket-pruned posting scan:
+    build cost amortizes across every query the snapshot serves."""
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        late_maxsim_rank,
+        late_query_frames,
+        late_shortlist,
+    )
+
+    path = build_late_index(spark, sf_dir)
+    qt, qk = late_query_frames(spark)
+    buckets = _late_query_buckets(spark)
+    du = (
+        spark.read.parquet(os.path.join(path, "unigrams"))
+        .filter(F.col("b").isin(*buckets))
+        .select("doc_id", "dterm")
+    )
+    dk = spark.read.parquet(os.path.join(path, "ctx_postings")).select(
+        "doc_id", "dkey"
+    )
+    # doc-side vectors come from the artifact; the 9 query keys may be
+    # absent from the corpus vocabulary, so their vectors are computed
+    # inline and unioned in (bounded literal side)
+    from game_data_etl_pipeline_spark.llmdata.similarity import (
+        norm_expr as _norm,
+        token_vec_expr,
+    )
+
+    qvec = (
+        qk.select(F.col("qkey").alias("key"))
+        .distinct()
+        .select("key", token_vec_expr(F.col("key")).alias("tv"))
+        .select("key", "tv", _norm(F.col("tv")).alias("tn"))
+    )
+    vec = spark.read.parquet(os.path.join(path, "vocab")).unionByName(qvec).dropDuplicates(["key"])
+    short = late_shortlist(du, qt)
+    return late_maxsim_rank(dk, short, qk, vec)

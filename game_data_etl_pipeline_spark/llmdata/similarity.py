@@ -1984,10 +1984,102 @@ _CTX_SQL = (
 )
 
 
-@register(
-    "op_sim_late_interaction",
-    tags=("llm", "similarity", "retrieval"),
-    oracle=f"""
+def late_query_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(qt, qk) for the registered LATE_QUERIES: unigram terms for the
+    candidate stage, contextualized keys for the rerank — built as
+    JVM-side literal explodes (the tombstone_ids_df discipline:
+    createDataFrame would land as Scan ExistingRDD in serve plans)."""
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("query_id"),
+                        F.lit(t).alias("qtext"),
+                    )
+                    for i, t in LATE_QUERIES
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.qtext")
+    qt = qs.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("qterm")
+    ).distinct()
+    qk = qs.select(
+        "query_id", F.explode(_ctx_keys_expr(F.col("qtext"))).alias("qkey")
+    ).distinct()
+    return qt, qk
+
+
+def late_shortlist(du: DataFrame, qt: DataFrame) -> DataFrame:
+    """Stage 1 — inverted-list candidate gen: unigram postings
+    (doc_id, dterm) meet the broadcast query terms ON THE TERM,
+    overlap-counted, top-LATE_SHORTLIST per query by (overlap DESC,
+    doc_id)."""
+    cand = (
+        du.join(F.broadcast(qt), F.col("dterm") == F.col("qterm"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= LATE_SHORTLIST)
+        .select("query_id", "doc_id")
+    )
+
+
+def late_maxsim_rank(
+    dk: DataFrame, short: DataFrame, qk: DataFrame, vec: DataFrame
+) -> DataFrame:
+    """Stage 2 — exact MaxSim over the shortlist only: the bounded
+    (shortlist x query-token x query-vector) side broadcasts against
+    the contextualized-token postings (equi-join on doc_id), doc token
+    vectors attach from the broadcast vocabulary, then
+    max-per-query-token -> sum-per-doc -> top-5 rank, with the
+    op_text_bm25 rounding discipline (4dp before the sum, 4dp after,
+    rank over the rounded score)."""
+    qv = qk.join(F.broadcast(vec), F.col("qkey") == F.col("key")).select(
+        "query_id", "qkey", F.col("tv").alias("qv"), F.col("tn").alias("qn")
+    )
+    qside = short.join(qv, "query_id")
+    pair = (
+        dk.join(F.broadcast(qside), "doc_id")
+        .join(F.broadcast(vec), F.col("dkey") == F.col("key"))
+        .select(
+            "query_id",
+            "doc_id",
+            "qkey",
+            (dot_expr(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    maxsim = pair.groupBy("query_id", "doc_id", "qkey").agg(
+        F.round(F.max("cos"), 4).alias("maxsim")
+    )
+    scored = maxsim.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("maxsim"), 4).alias("li_score"),
+        F.count(F.lit(1)).alias("n_qtokens"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("li_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "li_score", "n_qtokens", "rank")
+    )
+
+
+# The full late-interaction oracle, shared VERBATIM with the served
+# variant (retrieval.py op_sim_late_interaction_served): serving from
+# the persisted token-postings index must reproduce the from-scratch
+# values exactly, so the two registrations hold ONE SQL string — the
+# BM25_CTES convention, applied across modules.
+LATE_INTERACTION_ORACLE = f"""
         WITH qs AS (
             SELECT CAST(qid AS BIGINT) AS query_id, qtext
             FROM (VALUES {LATE_QUERIES_SQL}) v(qid, qtext)
@@ -2056,7 +2148,13 @@ _CTX_SQL = (
             ) AS rank
             FROM scored
         ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "op_sim_late_interaction",
+    tags=("llm", "similarity", "retrieval"),
+    oracle=LATE_INTERACTION_ORACLE,
 )
 def op_sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction (multi-vector / ColBERT-style) retrieval: each
@@ -2102,29 +2200,9 @@ def op_sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval at all; this op is part of the brief's LLM-data closure,
     designed Spark-first."""
     docs = load_table(spark, sf_dir, "documents")
-    # JVM-side literal query table (the tombstone_ids_df discipline:
-    # createDataFrame would land as Scan ExistingRDD in serve plans)
-    qs = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("long").alias("query_id"),
-                        F.lit(t).alias("qtext"),
-                    )
-                    for i, t in LATE_QUERIES
-                ]
-            )
-        ).alias("q")
-    ).select("q.query_id", "q.qtext")
-    qt = qs.select(
-        "query_id", F.explode(F.split("qtext", " ")).alias("qterm")
-    ).distinct()
+    qt, qk = late_query_frames(spark)
     du = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("dterm")
-    ).distinct()
-    qk = qs.select(
-        "query_id", F.explode(_ctx_keys_expr(F.col("qtext"))).alias("qkey")
     ).distinct()
     dk = docs.select(
         "doc_id", F.explode(_ctx_keys_expr(F.col("text"))).alias("dkey")
@@ -2137,51 +2215,5 @@ def op_sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = vocab.select("key", token_vec_expr(F.col("key")).alias("tv")).select(
         "key", "tv", norm_expr(F.col("tv")).alias("tn")
     )
-    # stage 1: inverted-list candidate gen + top-50 shortlist per query
-    cand = (
-        du.join(F.broadcast(qt), F.col("dterm") == F.col("qterm"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("overlap").desc(), F.col("doc_id")
-    )
-    short = (
-        cand.withColumn("rn", F.row_number().over(w_short))
-        .filter(F.col("rn") <= LATE_SHORTLIST)
-        .select("query_id", "doc_id")
-    )
-    # stage 2: exact MaxSim over the shortlist only. The (shortlist x
-    # query-token x query-vector) side is bounded (<= 50*3 rows per
-    # query) — broadcast it so corpus postings never shuffle for it.
-    qv = qk.join(F.broadcast(vec), F.col("qkey") == F.col("key")).select(
-        "query_id", "qkey", F.col("tv").alias("qv"), F.col("tn").alias("qn")
-    )
-    qside = short.join(qv, "query_id")
-    pair = (
-        dk.join(F.broadcast(qside), "doc_id")
-        .join(F.broadcast(vec), F.col("dkey") == F.col("key"))
-        .select(
-            "query_id",
-            "doc_id",
-            "qkey",
-            (dot_expr(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn"))).alias(
-                "cos"
-            ),
-        )
-    )
-    maxsim = pair.groupBy("query_id", "doc_id", "qkey").agg(
-        F.round(F.max("cos"), 4).alias("maxsim")
-    )
-    scored = maxsim.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("maxsim"), 4).alias("li_score"),
-        F.count(F.lit(1)).alias("n_qtokens"),
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("li_score").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "doc_id", "li_score", "n_qtokens", "rank")
-    )
+    short = late_shortlist(du, qt)
+    return late_maxsim_rank(dk, short, qk, vec)

@@ -1274,3 +1274,23 @@ def test_late_interaction_no_cartesian(spark):
         "NestedLoop" not in j and "Cartesian" not in j for j in f.joins
     ), f.joins
     assert "BroadcastHashJoin" in f.joins, f.joins
+
+
+def test_late_interaction_served_plan_contract(spark):
+    """op_sim_late_interaction_served must be PURE serving: the plan
+    reads the persisted late_index artifacts (bucket-pruned unigrams,
+    ctx postings, vocab vectors) and NEVER the documents parquet — a
+    documents scan means the serve path re-tokenized the corpus. No
+    ExistingRDD (query literals are JVM-side explodes), and a second
+    serve in-process must not rebuild the index."""
+    from game_data_etl_pipeline_spark.llmdata import retrieval as rt
+
+    plan = I.explain_str(
+        SPECS["op_sim_late_interaction_served"].fn(spark, SF), "simple"
+    )
+    assert "late_index" in plan, "serve plan does not read the persisted index"
+    assert "documents.parquet" not in plan, "serve plan re-tokenizes the corpus"
+    assert "ExistingRDD" not in plan, "local-relation frame leaked into the plan"
+    before = rt._LATE_BUILD_COUNT
+    SPECS["op_sim_late_interaction_served"].fn(spark, SF)
+    assert rt._LATE_BUILD_COUNT == before, "second serve rebuilt the index"
