@@ -790,13 +790,21 @@ def compact_ann_postings(
     op_stream_ann_serve_compacted (streamed store), and the e2e
     lifecycle lineage, so offline, streamed, and composed compaction
     cannot drift."""
+    from pyspark.sql import Observation
+
     src = spark.read.parquet(src_postings).select("vec_id", "codes", "cent_id")
+    # n_before measured by an observe() metric ON THE SAME SCAN that
+    # feeds the rewrite (r15, guide §1.2: the old shape re-scanned the
+    # whole source tree a second time just to count it) — the ledger
+    # still attests to exactly the rows the compaction read
+    obs_before = Observation("compact_ann_n_before")
+    src_counted = src.observe(obs_before, F.count(F.lit(1)).alias("n"))
     if tombstones is None:
-        survivors = src.filter(
+        survivors = src_counted.filter(
             F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
         )
     else:
-        survivors = src.join(
+        survivors = src_counted.join(
             F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
         )
     (
@@ -811,7 +819,7 @@ def compact_ann_postings(
     # actually written, not to a plan
     write_purge_ledger(
         dest_postings,
-        n_before=src.count(),
+        n_before=obs_before.get["n"],
         n_after=spark.read.parquet(dest_postings).count(),
         purge_ids=(
             None

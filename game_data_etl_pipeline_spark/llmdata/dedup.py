@@ -1426,16 +1426,22 @@ def _bloom_positions(g_col, *, bits: int = BLOOM_BITS):
 
 def _shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, g) 5-gram word shingles — the op_corpus_decontaminate
-    projection, shared by both the exact and the Bloom screens."""
-    t = F.split(F.col("text"), " ")
-    return docs.filter(F.size(t) >= 5).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 5),
-                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 5)),
-            )
-        ).alias("g"),
+    projection, shared by both the exact and the Bloom screens. The
+    split is projected ONCE below the filter/Generate: referencing the
+    raw split(text) from the size() filter, the sequence bound and the
+    slice re-tokenizes the text per reference (guide §2.3)."""
+    return (
+        docs.withColumn("t", F.split(F.col("text"), " "))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 5),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 5)),
+                )
+            ).alias("g"),
+        )
     )
 
 
@@ -1513,6 +1519,14 @@ def bloom_candidates(sh: DataFrame, words: DataFrame) -> DataFrame:
     the served-artifact screen — callers still dedupe first so the
     probe join carries minimal rows, but correctness no longer
     depends on it."""
+    # NOTE (r15): a per-row forall probe against the words table
+    # collapsed into one broadcast MAP column was tried and REVERTED —
+    # value-identical but ~8x slower end-to-end: Catalyst's
+    # ArrayBasedMapData element_at is a LINEAR scan, so each lookup
+    # walked all ~65k entries (k × |shingles| × 65k comparisons). The
+    # broadcast HASH join below is the O(1)-lookup form of the same
+    # probe; the k× position explode is narrow and the seed-mask
+    # groupBy shuffles only HIT rows (bounded by the benchmark side).
     probes = sh.select(
         "doc_id", "g", F.explode(_bloom_positions(F.col("g"))).alias("sp")
     ).select(

@@ -95,8 +95,10 @@ def build_lex_index(spark: SparkSession, sf_dir: str) -> str:
         return final
     _LEX_BUILD_COUNT += 1
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+    # split projected once below the Generate: size(split)+explode(split)
+    # in one select re-splits the text per exploded row (guide §2.3)
+    t = docs.withColumn("terms", _terms()).select(
+        "doc_id", F.size("terms").alias("dl"), F.explode("terms").alias("term")
     )
     postings = (
         t.groupBy("term", "doc_id", "dl")
@@ -256,8 +258,9 @@ def ensure_lex_upsert_tree(spark: SparkSession, sf_dir: str) -> str:
         with_split = docs.join(F.broadcast(split))
 
         def _index_parts(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-            t = d.select(
-                "doc_id", F.size(_terms()).alias("dl"), F.explode(_terms()).alias("term")
+            # split projected once below the Generate (see build_lex_index)
+            t = d.withColumn("terms", _terms()).select(
+                "doc_id", F.size("terms").alias("dl"), F.explode("terms").alias("term")
             )
             postings = (
                 t.groupBy("term", "doc_id", "dl")
@@ -440,15 +443,24 @@ def compact_lex_postings(
     atomic publish), op_stream_lex_compact_serve (streamed store),
     and op_lex_lifecycle_e2e (the composed lineage), so no two
     compaction paths can drift (round-11 review finding)."""
+    from pyspark.sql import Observation
+
     from game_data_etl_pipeline_spark.llmdata.ann_index import TOMB_MOD, TOMB_RESIDUE
 
     src = spark.read.parquet(src_postings)
+    # n_before / n_after measured by observe() metrics riding the
+    # passes that already scan each tree (r15, guide §1.2: the old
+    # shape paid two EXTRA full-tree count jobs): n_before on the
+    # source scan that feeds the rewrite, n_after on the PERSISTED
+    # survivors' read-back that derives df — still disk-measured
+    obs_before = Observation("compact_lex_n_before")
+    src_counted = src.observe(obs_before, F.count(F.lit(1)).alias("n"))
     if tombstones is None:
-        survivors = src.filter(
+        survivors = src_counted.filter(
             F.pmod(F.col("doc_id"), F.lit(TOMB_MOD)) != TOMB_RESIDUE
         )
     else:
-        survivors = src.join(
+        survivors = src_counted.join(
             F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
         )
     (
@@ -458,8 +470,10 @@ def compact_lex_postings(
         .parquet(os.path.join(dest, "postings"))
     )
     surv_disk = spark.read.parquet(os.path.join(dest, "postings"))
+    obs_after = Observation("compact_lex_n_after")
     dfq = (
-        surv_disk.groupBy("term")
+        surv_disk.observe(obs_after, F.count(F.lit(1)).alias("n"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("term_bucket", _bucket(F.col("term")))
     )
@@ -485,8 +499,8 @@ def compact_lex_postings(
 
     write_purge_ledger(
         dest,
-        n_before=src.count(),
-        n_after=surv_disk.count(),
+        n_before=obs_before.get["n"],
+        n_after=obs_after.get["n"],
         purge_ids=(
             None
             if tombstones is None

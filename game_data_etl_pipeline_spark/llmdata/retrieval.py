@@ -152,7 +152,10 @@ def _mmr_over_fused(fused: DataFrame, emb: DataFrame) -> tuple[DataFrame, DataFr
         .select("doc_id", (F.col("rrf") * 60).alias("rel"), "embedding")
         .localCheckpoint()
     )
-    pairs = pairwise_cosine(with_emb).localCheckpoint()
+    # pairs feed exactly one consumer now (the single-job greedy
+    # fold), off the checkpointed with_emb — r15 drops the third
+    # materialization
+    pairs = pairwise_cosine(with_emb)
     picks = mmr_select(with_emb.drop("embedding"), pairs, steps=K_OUT, lam=0.5)
     return fused10, picks
 
@@ -1466,7 +1469,10 @@ def batch_fuse_mmr(
         .select("query_id", "doc_id", "embedding")
         .localCheckpoint()
     )
-    pairs = pairwise_cosine_grouped(with_emb).localCheckpoint()
+    # pairs feed exactly one consumer now (the single-job grouped
+    # greedy fold), off the checkpointed with_emb — r15 drops the
+    # third materialization
+    pairs = pairwise_cosine_grouped(with_emb)
     picks = mmr_select_grouped(
         cands.select("query_id", "doc_id", "rel"), pairs, steps=K_OUT, lam=0.5
     )
@@ -1487,9 +1493,9 @@ def q_retrieval_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores all queries' BM25 (the per-term work is shared across
     queries that share terms), one embeddings scan scores all dense
     sides (3 broadcast query rows against the scan), fusion groups by
-    (query_id, doc_id), and the greedy MMR tail runs ONCE with every
-    per-step argmax a window partitioned by query_id — the
-    mmr_select_grouped form — so its ~2-jobs-per-step cost amortizes
+    (query_id, doc_id), and the greedy MMR tail runs ONCE as a single
+    per-query-array fold job — the mmr_select_grouped form — so its
+    constant cost amortizes
     across the batch instead of multiplying by it. bench.py carries
     the entry; measured sf0.1 (probe-matched bench run, same
     session): 4.33 s median for the 3-query batch vs 2.84 s for the

@@ -995,41 +995,6 @@ def _sqdist_expr(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub_id, subvec): every vector split into PQ_M
-    contiguous PQ_DSUB-dim subvectors — one narrow explode, no
-    shuffle."""
-    pieces = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("sub_id"),
-            F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB).alias("subvec"),
-        ),
-    )
-    return emb.select("vec_id", F.explode(pieces).alias("x")).select(
-        "vec_id", "x.sub_id", "x.subvec"
-    )
-
-
-def _pq_assign_code(cents: DataFrame) -> tuple[DataFrame, Column]:
-    """Broadcast codebook + the per-row argmin-code expression shared
-    by training and encoding (ties break to the smallest code via the
-    struct min on (sqdist, code) — deterministic like ivf_assign)."""
-    carr = cents.groupBy("sub_id").agg(
-        F.collect_list(F.struct("code", "ce")).alias("cands")
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("cands"),
-            lambda c: F.struct(
-                _sqdist_expr(F.col("subvec"), c["ce"]).alias("d"),
-                c["code"].alias("code"),
-            ),
-        )
-    )
-    return carr, best["code"]
-
-
 def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebooks: an independent k-means per
     subspace (Jégou, Douze & Schmid, "Product Quantization for
@@ -1104,25 +1069,102 @@ def pq_train(emb: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, codes): every vector compressed to PQ_M nearest-sub-
-    centroid codes, sub_id-ordered. 64 float64 dims (512 B) become 16
-    4-bit codes (8 B packed; emitted unpacked) — the ~32-64x memory
-    cut that lets a 100 TB embedding corpus's search index live in
-    RAM. One bounded groupBy(vec_id) reassembles the code array;
-    assignment itself is the broadcast argmin fold."""
-    carr, code = _pq_assign_code(cents)
+def pq_books_row(cents: DataFrame) -> DataFrame:
+    """ONE-row broadcast codebook for the per-row encode:
+    ``books[sub_id + 1]`` = that subspace's (code, ce) candidate list.
+    O(PQ_M × PQ_KSUB) entries regardless of corpus size."""
     return (
-        _pq_subvectors(emb)
-        .join(F.broadcast(carr), "sub_id")
-        .select("vec_id", "sub_id", code.alias("code"))
-        .groupBy("vec_id")
+        cents.groupBy("sub_id")
+        .agg(F.collect_list(F.struct("code", "ce")).alias("cands"))
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
-                lambda p: p["code"],
-            ).alias("codes")
+                F.array_sort(F.collect_list(F.struct("sub_id", "cands"))),
+                lambda s: s["cands"],
+            ).alias("books")
         )
+    )
+
+
+def pq_codes_expr() -> Column:
+    """Per-row PQ codes against the broadcast ``books`` column: slice
+    each subvector once, argmin that subspace's candidates (ties to
+    the smallest code via the struct-min on (sqdist, code)), emit
+    sub_id-ordered. A pure expression: no explode, no sub_id join, no
+    groupBy(vec_id) reassembly shuffle (r15 optimization, guide §2.4:
+    the old shape shuffled n×PQ_M code rows back together on every
+    encode — the reassembly was pure bookkeeping, not computation)."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB),
+    )
+    return F.zip_with(
+        subs,
+        F.col("books"),
+        lambda sv, cands: F.array_min(
+            F.transform(
+                cands,
+                lambda c: F.struct(
+                    _sqdist_expr(sv, c["ce"]).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
+
+
+def _adc_lut_array() -> Column:
+    """The per-query ADC lookup table over the broadcast ``book``
+    column (sub_id, code, ce structs), as a DENSE ARRAY where slot
+    sub_id*PQ_KSUB + code (+1, 1-based) holds that sub-centroid's
+    squared distance to the query's subvector. array element_at is
+    O(1); the MAP form this replaces linear-scanned all PQ_M×PQ_KSUB
+    entries per lookup, 16 times per scored candidate (r15). Sort key
+    (k) is unique, so array_sort never compares the v payloads."""
+    return F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("book"),
+                lambda c: F.struct(
+                    (c["sub_id"] * PQ_KSUB + c["code"]).alias("k"),
+                    _sqdist_expr(
+                        F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB),
+                        c["ce"],
+                    ).alias("v"),
+                ),
+            )
+        ),
+        lambda e: e["v"],
+    )
+
+
+def _adc_expr() -> Column:
+    """Sum over subspaces of dense-array LUT lookups — the asymmetric
+    distance fold, identical term order and arithmetic to the old
+    map-keyed fold (s = 0..PQ_M-1)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"), s * PQ_KSUB + F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+
+
+def pq_encode(
+    emb: DataFrame, cents: DataFrame, *, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, [*keep,] codes): every vector compressed to PQ_M
+    nearest-sub-centroid codes, sub_id-ordered. 64 float64 dims
+    (512 B) become 16 4-bit codes (8 B packed; emitted unpacked) — the
+    ~32-64x memory cut that lets a 100 TB embedding corpus's search
+    index live in RAM. Narrow per-row form: one O(1) broadcast of the
+    codebook row, zero shuffles (codes identical to the old
+    explode/join/groupBy shape — same slices, same argmin, same
+    tie-break; pinned by tests). ``keep`` carries extra input columns
+    through so callers need no re-join on vec_id."""
+    return emb.join(F.broadcast(pq_books_row(cents)), F.lit(True)).select(
+        "vec_id", *keep, pq_codes_expr().alias("codes")
     )
 
 
@@ -1195,27 +1237,14 @@ def op_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cents = cents.agg(
         F.collect_list(F.struct("sub_id", "code", "ce")).alias("book")
     )
-    # per-query LUT: map[(sub_id << 8) | code] -> squared sub-distance
-    lut = F.map_from_entries(
-        F.transform(
-            F.col("book"),
-            lambda c: F.struct(
-                (c["sub_id"] * 256 + c["code"]).alias("k"),
-                _sqdist_expr(
-                    F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB), c["ce"]
-                ).alias("v"),
-            ),
-        )
-    )
+    # per-query LUT as a DENSE ARRAY indexed by sub_id*PQ_KSUB + code —
+    # element_at on an array is O(1); the previous MAP form's
+    # element_at is a linear scan of all 256 entries, paid 16 times
+    # per scored candidate (r15, guide §1.2 per-task work)
     q_lut = queries.join(F.broadcast(all_cents)).select(
-        "query_id", "qe", lut.alias("lut")
+        "query_id", "qe", _adc_lut_array().alias("lut")
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
-    )
+    adc = _adc_expr()
     scored = cands.join(F.broadcast(q_lut)).select(
         "query_id", "vec_id", "qe", adc.alias("adc_sqdist")
     )
@@ -1309,33 +1338,18 @@ def ivfpq_adc_scored(
         probes,
     )
     pq_row = pq.agg(F.collect_list(F.struct("sub_id", "code", "ce")).alias("book"))
-    lut = F.map_from_entries(
-        F.transform(
-            F.col("book"),
-            lambda c: F.struct(
-                (c["sub_id"] * 256 + c["code"]).alias("k"),
-                _sqdist_expr(
-                    F.slice(F.col("qe"), c["sub_id"] * PQ_DSUB + 1, PQ_DSUB), c["ce"]
-                ).alias("v"),
-            ),
-        )
-    )
     probes_df = (
         queries.join(F.broadcast(coarse_row))
         .join(F.broadcast(pq_row))
         .select(
             "query_id",
             "qe",
-            lut.alias("lut"),
+            # dense-array LUT: O(1) element_at (see op_sim_pq_adc note)
+            _adc_lut_array().alias("lut"),
             F.explode(F.transform(probe_cells, lambda p: p["cent_id"])).alias("pcell"),
         )
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(F.col("lut"), s * 256 + F.element_at(F.col("codes"), s + 1)),
-    )
+    adc = _adc_expr()
     return cands.join(
         F.broadcast(probes_df), F.col("cent_id") == F.col("pcell")
     ).select("query_id", "vec_id", "qe", adc.alias("adc_sqdist"))
@@ -1630,6 +1644,85 @@ def op_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_greedy_expr(steps: int, lam: float) -> Column:
+    """The MMR greedy loop as ONE Catalyst expression over two array
+    columns ``cs`` (struct<doc_id, rel> candidates) and ``ps``
+    (struct<d1, d2, sim> pairwise sims): fold over step numbers,
+    appending per step the argmax of lam*rel - (1-lam)*max(sim to
+    selected) over the not-yet-selected candidates (step 1 compares on
+    rel itself — faithful to the old orderBy(rel) first pick even for
+    lam values where m = lam*rel could collide). Ties break to the
+    smallest doc_id via the struct-max on (key, -doc_id). Returns the
+    selection array (sel_rank, doc_id, rel, m).
+
+    r15 optimization (guide §1.2): the old loop ran 2 Spark JOBS per
+    greedy step (a join/agg/sort plan + a localCheckpoint per pick) —
+    ~10 sequential driver round-trips per MMR call over frames of at
+    most 20 rows. The fold is the same arithmetic on the same bounded
+    arrays in ONE job; every float op (lam*rel, (1-lam)*maxsim, the
+    subtraction) is the identical IEEE sequence, and max over the 4dp
+    sims is exact, so picks and m values are bit-identical."""
+    one_minus = 1 - lam
+
+    def step_fn(acc, step):
+        def not_selected(d):
+            return ~F.exists(acc, lambda s: s["doc_id"] == d)
+
+        remaining = F.filter(F.col("cs"), lambda c: not_selected(c["doc_id"]))
+
+        def m_of(c):
+            maxsim = F.array_max(
+                F.transform(
+                    F.filter(
+                        F.col("ps"),
+                        lambda p: (p["d1"] == c["doc_id"])
+                        & F.exists(acc, lambda s: s["doc_id"] == p["d2"]),
+                    ),
+                    lambda p: p["sim"],
+                )
+            )
+            return F.when(
+                F.size(acc) == 0, F.lit(lam) * c["rel"]
+            ).otherwise(
+                F.lit(lam) * c["rel"]
+                - F.lit(one_minus) * F.coalesce(maxsim, F.lit(0.0))
+            )
+
+        best = F.array_max(
+            F.transform(
+                remaining,
+                lambda c: F.struct(
+                    # step 1 ranks on rel (the old orderBy(rel DESC)),
+                    # later steps on m — both tie-break on MIN doc_id
+                    F.when(F.size(acc) == 0, c["rel"])
+                    .otherwise(m_of(c))
+                    .alias("key"),
+                    (-c["doc_id"]).alias("negid"),
+                    c["doc_id"].alias("doc_id"),
+                    c["rel"].alias("rel"),
+                    m_of(c).alias("m"),
+                ),
+            )
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    step.cast("int").alias("sel_rank"),
+                    best["doc_id"].alias("doc_id"),
+                    best["rel"].alias("rel"),
+                    best["m"].alias("m"),
+                )
+            ),
+        )
+        return F.when(F.size(remaining) > 0, appended).otherwise(acc)
+
+    init = F.array().cast(
+        "array<struct<sel_rank:int,doc_id:bigint,rel:double,m:double>>"
+    )
+    return F.aggregate(F.sequence(F.lit(1), F.lit(steps)), init, step_fn)
+
+
 def mmr_select(
     cands: DataFrame, pairs: DataFrame, *, steps: int = 5, lam: float = 0.5
 ) -> DataFrame:
@@ -1638,57 +1731,29 @@ def mmr_select(
     top-10): given bounded ``cands`` (doc_id, rel) and the bounded
     pairwise-similarity matrix ``pairs`` (d1, d2, sim — 4dp-rounded),
     greedily pick ``steps`` rows maximizing lam*rel - (1-lam)*max(sim
-    to selected), ties on doc_id. Both inputs MUST already be
-    constant-size (materialized) — each step is constant work ending
-    in a 1-row heap; no step touches a corpus. A candidate with no
-    ``pairs`` row against the selected set scores maxsim = 0 (the MMR
-    semantics for unrelated docs: left join + coalesce, round-9
-    advice — an inner join here silently dropped such candidates on
-    sparse/thresholded matrices; unreachable from the registered ops,
-    which pass complete matrices, but wrong for external callers).
-    Returns (sel_rank, doc_id, rel, m) with m unrounded (callers
-    round for output)."""
-    first = (
-        cands.orderBy(F.desc("rel"), "doc_id")
-        .limit(1)
-        .select(
-            F.lit(1).cast("int").alias("sel_rank"),
-            "doc_id",
-            "rel",
-            (lam * F.col("rel")).alias("m"),
-        )
+    to selected), ties on doc_id. A candidate with no ``pairs`` row
+    against the selected set scores maxsim = 0 (the MMR semantics for
+    unrelated docs, round-9 advice). Returns (sel_rank, doc_id, rel,
+    m) with m unrounded (callers round for output).
+
+    r15: the loop runs as ONE job — both bounded inputs collapse to
+    single array rows and ``_mmr_greedy_expr`` folds the greedy steps
+    in-expression (the old shape paid 2 jobs + a localCheckpoint per
+    step; see _mmr_greedy_expr's docstring for the equivalence
+    argument)."""
+    ca = cands.agg(
+        F.collect_list(F.struct("doc_id", "rel")).alias("cs")
     )
-    picks = [first.localCheckpoint()]
-    selected = picks[0].select("doc_id")
-    for step in range(2, steps + 1):
-        ms = (
-            pairs.join(
-                F.broadcast(selected.withColumnRenamed("doc_id", "d2")), "d2"
-            )
-            .groupBy("d1")
-            .agg(F.max("sim").alias("maxsim"))
+    pa = pairs.agg(
+        F.collect_list(F.struct("d1", "d2", "sim")).alias("ps")
+    )
+    return (
+        ca.join(F.broadcast(pa), F.lit(True))
+        .select(
+            F.explode(_mmr_greedy_expr(steps, lam)).alias("sel")
         )
-        pick = (
-            cands.join(selected, "doc_id", "left_anti")
-            .join(ms, F.col("doc_id") == F.col("d1"), "left")
-            .select(
-                "doc_id",
-                "rel",
-                (
-                    lam * F.col("rel")
-                    - (1 - lam) * F.coalesce(F.col("maxsim"), F.lit(0.0))
-                ).alias("m"),
-            )
-            .orderBy(F.desc("m"), "doc_id")
-            .limit(1)
-            .select(F.lit(step).cast("int").alias("sel_rank"), "doc_id", "rel", "m")
-        )
-        picks.append(pick.localCheckpoint())
-        selected = selected.union(picks[-1].select("doc_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
-    return out
+        .select("sel.sel_rank", "sel.doc_id", "sel.rel", "sel.m")
+    )
 
 
 def mmr_select_grouped(
@@ -1696,73 +1761,38 @@ def mmr_select_grouped(
 ) -> DataFrame:
     """``mmr_select`` generalized to a QUERY BATCH: ``cands`` carries
     (query_id, doc_id, rel) and ``pairs`` (query_id, d1, d2, sim), both
-    bounded and materialized by the caller; each greedy step picks the
-    per-query argmax via one row_number window PARTITIONED BY query_id
-    (never a global window — partitions count |queries|, each holding
-    the <=K per-query survivors). The constant ~2-jobs-per-step greedy
-    tail is thereby SHARED across the whole batch — the amortization
+    bounded and materialized by the caller; each query's <=K survivors
+    collapse to per-query arrays (one groupBy each — never a global
+    window) and the whole greedy tail folds in ONE job through
+    ``_mmr_greedy_expr``, SHARED across the batch — the amortization
     q_retrieval_pipeline_batch exists to demonstrate — instead of
     re-paid per query as |queries| single-query MMR chains would.
     Candidates missing from ``pairs`` score maxsim = 0, matching
-    mmr_select's left-join semantics (round-9 advice).
+    mmr_select's semantics (round-9 advice).
     Returns (query_id, sel_rank, doc_id, rel, m), m unrounded."""
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
-    first = (
-        cands.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("int").alias("sel_rank"),
-            "doc_id",
-            "rel",
-            (lam * F.col("rel")).alias("m"),
-        )
+    ca = cands.groupBy("query_id").agg(
+        F.collect_list(F.struct("doc_id", "rel")).alias("cs")
     )
-    picks = [first.localCheckpoint()]
-    selected = picks[0].select("query_id", "doc_id")
-    wm = Window.partitionBy("query_id").orderBy(F.desc("m"), "doc_id")
-    for step in range(2, steps + 1):
-        ms = (
-            pairs.join(
-                F.broadcast(selected.withColumnRenamed("doc_id", "d2")),
-                ["query_id", "d2"],
-            )
-            .groupBy("query_id", "d1")
-            .agg(F.max("sim").alias("maxsim"))
-            .select(F.col("query_id").alias("mq"), "d1", "maxsim")
+    pa = pairs.groupBy("query_id").agg(
+        F.collect_list(F.struct("d1", "d2", "sim")).alias("ps")
+    )
+    # r15: one job for the whole batch — per-query candidate/pair
+    # arrays fold through the same _mmr_greedy_expr as the single-query
+    # form (the old shape paid 2 jobs + a localCheckpoint per greedy
+    # step even though the batch tail was shared). LEFT join: a query
+    # with no pairs rows still selects, with every maxsim = 0.
+    return (
+        ca.join(F.broadcast(pa), "query_id", "left")
+        .withColumn(
+            "ps",
+            F.coalesce(
+                F.col("ps"),
+                F.array().cast("array<struct<d1:bigint,d2:bigint,sim:double>>"),
+            ),
         )
-        pick = (
-            cands.join(selected, ["query_id", "doc_id"], "left_anti")
-            .join(
-                F.broadcast(ms),
-                (F.col("query_id") == F.col("mq")) & (F.col("doc_id") == F.col("d1")),
-                "left",
-            )
-            .select(
-                "query_id",
-                "doc_id",
-                "rel",
-                (
-                    lam * F.col("rel")
-                    - (1 - lam) * F.coalesce(F.col("maxsim"), F.lit(0.0))
-                ).alias("m"),
-            )
-            .withColumn("rn", F.row_number().over(wm))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(step).cast("int").alias("sel_rank"),
-                "doc_id",
-                "rel",
-                "m",
-            )
-        )
-        picks.append(pick.localCheckpoint())
-        selected = selected.union(picks[-1].select("query_id", "doc_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
-    return out
+        .select("query_id", F.explode(_mmr_greedy_expr(steps, lam)).alias("sel"))
+        .select("query_id", "sel.sel_rank", "sel.doc_id", "sel.rel", "sel.m")
+    )
 
 
 def pairwise_cosine(cands: DataFrame) -> DataFrame:
@@ -1903,7 +1933,9 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rel", "embedding")
         .localCheckpoint()
     )
-    pairs = pairwise_cosine(cands).localCheckpoint()
+    # pairs feed exactly one consumer now (the single-job greedy fold),
+    # off the checkpointed cands — no second materialization needed
+    pairs = pairwise_cosine(cands)
     out = mmr_select(cands.drop("embedding"), pairs, steps=5, lam=0.5)
     return out.select(
         "sel_rank", "doc_id", "rel", (F.round(F.col("m"), 6) + 0.0).alias("mmr")

@@ -1651,10 +1651,10 @@ def op_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, b = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
     base = widen_narrow_scan(
-        docs.select(
+        docs.withColumn("terms", _terms()).select(
             "doc_id",
-            F.size(_terms()).alias("dl"),
-            F.filter(_terms(), lambda t: t.isin(*query_terms)).alias("hits"),
+            F.size("terms").alias("dl"),
+            F.filter("terms", lambda t: t.isin(*query_terms)).alias("hits"),
         ),
         spark,
     ).localCheckpoint()

@@ -1149,14 +1149,21 @@ def stream_ann_store(
     stage = _stage_microbatches(emb, work)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        vecs = batch_df.select("vec_id", "embedding", "batch_id")
-        cells = ivf_assign(
-            vecs.select("vec_id", "embedding"), cents=coarse, form="argmax"
-        ).select("vec_id", "cent_id")
-        post = (
-            pq_encode(vecs.select("vec_id", "embedding"), books)
-            .join(cells, "vec_id")
-            .join(vecs.select("vec_id", "batch_id"), "vec_id")
+        # one narrow pass: argmax cell assignment and per-row PQ codes
+        # are both pure expressions against O(1) broadcast rows, so the
+        # batch is encoded without a single vec_id join (r15: the old
+        # shape re-joined the batch against itself twice per commit —
+        # two shuffles of pure bookkeeping, guide §2.4)
+        assigned = ivf_assign(
+            batch_df.select("vec_id", "embedding", "batch_id"),
+            cents=coarse,
+            form="argmax",
+            extra_cols=("batch_id",),
+        )
+        post = pq_encode(
+            assigned.select("vec_id", "embedding", "batch_id", "cent_id"),
+            books,
+            keep=("batch_id", "cent_id"),
         )
         post.repartition("cent_id").write.mode("append").partitionBy(
             "cent_id"
@@ -1320,11 +1327,12 @@ def op_stream_lex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_microbatches(docs, work)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        t = batch_df.select(
+        # split projected once below the Generate (see stream_lex_store)
+        t = batch_df.withColumn("terms", _terms()).select(
             "doc_id",
             "batch_id",
-            F.size(_terms()).alias("dl"),
-            F.explode(_terms()).alias("term"),
+            F.size("terms").alias("dl"),
+            F.explode("terms").alias("term"),
         )
         post = (
             t.groupBy("term", "doc_id", "dl", "batch_id")
@@ -1427,16 +1435,21 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
     stats_deltas = os.path.join(work, "stats_deltas")
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        t = batch_df.select(
+        # project the split ONCE before the explode: a size(split)+
+        # explode(split) pair in one select leaves the size() in the
+        # Project ABOVE the Generate, re-splitting the text once per
+        # exploded row (guide §2.3 — measured 0.46s vs 0.13s per batch
+        # at sf0.1; at scale it is a dl× redundant tokenize)
+        t = batch_df.withColumn("terms", _terms()).select(
             "doc_id",
-            F.size(_terms()).alias("dl"),
-            F.explode(_terms()).alias("term"),
+            F.size("terms").alias("dl"),
+            F.explode("terms").alias("term"),
         )
         post = (
             t.groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("term_bucket", _bucket(F.col("term")))
-            .localCheckpoint()  # one tokenize feeds both appends
+            .localCheckpoint()  # one tokenize feeds all three appends
         )
         post.repartition("term_bucket").write.mode("append").partitionBy(
             "term_bucket"
@@ -1446,9 +1459,15 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
         post.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
             "append"
         ).parquet(df_deltas)
-        batch_df.agg(
+        # stats delta from the NARROW checkpointed postings (dl is a
+        # per-doc fact carried on every posting; split("") is never
+        # empty so every doc has >=1 posting row) instead of a second
+        # scan + re-tokenize of the batch text (guide §2.3: the text
+        # column is the heavy payload — at 100 TB this was a second
+        # full text pass per commit)
+        post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(_terms())).alias("tot_dl"),
+            F.sum("dl").alias("tot_dl"),
         ).write.mode("append").parquet(stats_deltas)
 
     stream = (
