@@ -121,7 +121,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, *, force: bool = False) ->
         return final
     _BUILD_COUNT += 1
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    coarse = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    coarse = ivf_trained_centroids(spark, sf_dir)
     pq = pq_train(emb)
     cells = ivf_assign(emb, cents=coarse, form="argmax").select("vec_id", "cent_id")
     postings = pq_encode(emb, pq).join(cells, "vec_id")

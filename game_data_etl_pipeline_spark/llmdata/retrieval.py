@@ -67,10 +67,9 @@ from game_data_etl_pipeline_spark.llmdata.similarity import (
     dot_expr,
     euclidean_expr,
     ivfpq_adc_scored,
-    mmr_select,
-    mmr_select_grouped,
+    mmr_select_embedded,
+    mmr_select_grouped_embedded,
     norm_expr,
-    pairwise_cosine,
 )
 from game_data_etl_pipeline_spark.registry import register
 
@@ -144,19 +143,15 @@ def _mmr_over_fused(fused: DataFrame, emb: DataFrame) -> tuple[DataFrame, DataFr
     fused10 = (
         fused.orderBy(F.desc("rrf"), "doc_id").limit(K_FUSED).localCheckpoint()
     )
-    with_emb = (
-        emb.join(
-            F.broadcast(fused10.select("doc_id", "rrf")),
-            emb["vec_id"] == F.col("doc_id"),
-        )
-        .select("doc_id", (F.col("rrf") * 60).alias("rel"), "embedding")
-        .localCheckpoint()
-    )
-    # pairs feed exactly one consumer now (the single-job greedy
-    # fold), off the checkpointed with_emb — r15 drops the third
-    # materialization
-    pairs = pairwise_cosine(with_emb)
-    picks = mmr_select(with_emb.drop("embedding"), pairs, steps=K_OUT, lam=0.5)
+    # r16: the pairwise matrix folds in-expression off the ONE collect
+    # (mmr_select_embedded), so with_emb has a single consumer — its
+    # checkpoint and the broadcast pair self-join are gone and the MMR
+    # tail is one job over one embeddings fetch (guide §1.2)
+    with_emb = emb.join(
+        F.broadcast(fused10.select("doc_id", "rrf")),
+        emb["vec_id"] == F.col("doc_id"),
+    ).select("doc_id", (F.col("rrf") * 60).alias("rel"), "embedding")
+    picks = mmr_select_embedded(with_emb, steps=K_OUT, lam=0.5)
     return fused10, picks
 
 
@@ -982,8 +977,10 @@ def q_retrieval_pipeline_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(fused10.select("doc_id")), "doc_id", "left_semi"
     ).agg(F.count(F.lit(1)).alias("n_sel_in_fused"))
     # cross-path audit: rebuild the INLINE-lexical fused selection and
-    # require identical MMR picks (same sel_rank -> same doc)
-    inline_lex = lex_ranked(spark, sf_dir).localCheckpoint()
+    # require identical MMR picks (same sel_rank -> same doc).
+    # inline_lex has exactly ONE consumer (the fuse), so no checkpoint
+    # (r16, guide §5: checkpoint only what two consumers read)
+    inline_lex = lex_ranked(spark, sf_dir)
     inline_fused = fuse_rrf(inline_lex, sem)
     _, inline_mmr = _mmr_over_fused(inline_fused, emb.select("vec_id", "embedding"))
     agree = (
@@ -1242,33 +1239,6 @@ def fuse_rrf_grouped(lex: DataFrame, sem: DataFrame) -> DataFrame:
     )
 
 
-def pairwise_cosine_grouped(cands: DataFrame) -> DataFrame:
-    """Per-query pairwise cosine matrix over a bounded (query_id,
-    doc_id, embedding) frame — |queries| * K_FUSED^2 rows total."""
-    a = cands.select(
-        "query_id",
-        F.col("doc_id").alias("d1"),
-        F.col("embedding").alias("e1"),
-        norm_expr(F.col("embedding")).alias("n1"),
-    )
-    b = cands.select(
-        F.col("query_id").alias("q2"),
-        F.col("doc_id").alias("d2"),
-        F.col("embedding").alias("e2"),
-        norm_expr(F.col("embedding")).alias("n2"),
-    )
-    return a.join(
-        F.broadcast(b), (F.col("query_id") == F.col("q2")) & (F.col("d1") != F.col("d2"))
-    ).select(
-        "query_id",
-        "d1",
-        "d2",
-        F.round(
-            dot_expr(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
-        ).alias("sim"),
-    )
-
-
 def _batch_lex_ctes(query_terms: dict[int, tuple[str, ...]]) -> str:
     """The per-query batch-BM25 CTE prefix (qt VALUES fan-out through
     the per-query lexical top-K), machine-generated from the (query_id
@@ -1463,19 +1433,19 @@ def batch_fuse_mmr(
         .withColumn("rel", F.col("rrf") * 60)
         .localCheckpoint()
     )
+    # r16: the per-query pairwise matrices fold in-expression off the
+    # ONE grouped collect (mmr_select_grouped_embedded), so with_emb
+    # has a single consumer — its checkpoint and the broadcast pair
+    # self-join are gone and the whole batch MMR tail is one job
+    # (guide §1.2). Every candidate doc_id has an embedding row (the
+    # lexical side is embk-semi-joined, the dense side IS vec_ids), so
+    # the joined candidate set equals cands exactly.
     with_emb = (
         emb.select(F.col("vec_id").alias("doc_id"), "embedding")
-        .join(F.broadcast(cands.select("query_id", "doc_id")), "doc_id")
-        .select("query_id", "doc_id", "embedding")
-        .localCheckpoint()
+        .join(F.broadcast(cands.select("query_id", "doc_id", "rel")), "doc_id")
+        .select("query_id", "doc_id", "rel", "embedding")
     )
-    # pairs feed exactly one consumer now (the single-job grouped
-    # greedy fold), off the checkpointed with_emb — r15 drops the
-    # third materialization
-    pairs = pairwise_cosine_grouped(with_emb)
-    picks = mmr_select_grouped(
-        cands.select("query_id", "doc_id", "rel"), pairs, steps=K_OUT, lam=0.5
-    )
+    picks = mmr_select_grouped_embedded(with_emb, steps=K_OUT, lam=0.5)
     return fused, cands, picks
 
 

@@ -197,18 +197,41 @@ def ivf_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED-k IVF centroids trained by Lloyd iterations — the
     production replacement for ``ivf_assign``'s default ``vec_id %
     50`` set (whose k grows with n, making assignment O(n²/50)).
-    Runs op_kmeans_lloyd's iteration loop (deterministic seed
-    centroids, bounded ITERATIONS, localCheckpoint per round) and
-    returns the final k=8 means in ``ivf_assign``'s ``cents``
-    contract (cent_id / ce / cnorm): assignment cost is then n×k for
-    CONSTANT k and the broadcast is O(k·dims) no matter how large
-    the corpus grows. The default set stays only because DuckDB can
-    reproduce it bit-for-bit for the value oracles."""
-    # imported here: cluster.py imports dot/norm exprs from this module
-    from game_data_etl_pipeline_spark.llmdata.cluster import _update, kmeans_iterations
+    Runs op_kmeans_lloyd's iteration algebra (deterministic seed
+    centroids, bounded ITERATIONS) and returns the final k=8 means in
+    ``ivf_assign``'s ``cents`` contract (cent_id / ce / cnorm):
+    assignment cost is then n×k for CONSTANT k and the broadcast is
+    O(k·dims) no matter how large the corpus grows. The default set
+    stays only because DuckDB can reproduce it bit-for-bit for the
+    value oracles.
 
-    _, assigned = kmeans_iterations(spark, sf_dir)[-1]
-    return _update(assigned).select(
+    r16 (guide §1.2/§5: checkpoint only what two consumers read):
+    this path needs ONLY the next round's centroids, so each
+    iteration materializes the k×d centroid rows — not the
+    corpus-size assignment op_kmeans_lloyd's loop checkpoints for its
+    per-iteration convergence stats. Same _assign/_update algebra,
+    same seed, same iteration count (c_{i+1} = update(assign(c_i)),
+    ITERATIONS times — exactly the chain kmeans_iterations +
+    the final _update produced); what changed is that the eager
+    localCheckpoint per round now stores K rows instead of the whole
+    assigned corpus (at 100 TB: k×d doubles per round instead of a
+    second copy of every embedding in the block manager)."""
+    # imported here: cluster.py imports dot/norm exprs from this module
+    from game_data_etl_pipeline_spark.llmdata.cluster import (
+        ITERATIONS,
+        K,
+        _assign,
+        _update,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("ce"),
+    )
+    for _ in range(ITERATIONS):
+        centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
+    return centroids.select(
         F.col("cluster").cast("long").alias("cent_id"),
         "ce",
         norm_expr(F.col("ce")).alias("cnorm"),
@@ -938,7 +961,7 @@ def op_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from game_data_etl_pipeline_spark.llmdata.cluster import K
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    cents = ivf_trained_centroids(spark, sf_dir)
     assigned = ivf_assign(emb, cents=cents, form="argmax")
 
     sim = dot_expr(F.col("embedding"), F.col("ce")) / (F.col("vnorm") * F.col("cnorm"))
@@ -1228,7 +1251,10 @@ def op_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and why this op audits the composed pipeline, not bare ADC.
     tests/test_llmdata.py::test_pq_* pin code validity, determinism,
     and the recall."""
-    cents = pq_codebooks(spark, sf_dir).localCheckpoint(eager=True)
+    # no checkpoint on the codebooks: pq_train returns a DRIVER-LOCAL
+    # createDataFrame (the sample already collected) — checkpointing a
+    # local relation is a pure extra job (r16, guide §1.2)
+    cents = pq_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cands = pq_encode(emb.filter(F.col("vec_id") >= 4), cents)
     queries = emb.filter(F.col("vec_id") < 4).select(
@@ -1501,7 +1527,7 @@ def op_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead amortizes on a cluster) — plus the audit's independent
     exact scan, which exists to verify, not to serve queries."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    coarse = ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    coarse = ivf_trained_centroids(spark, sf_dir)
     pq = pq_codebooks(spark, sf_dir)
     # (1) coarse cell per candidate + (vec_id-keyed) PQ codes
     cand_cells = ivf_assign(
@@ -1740,7 +1766,14 @@ def mmr_select(
     single array rows and ``_mmr_greedy_expr`` folds the greedy steps
     in-expression (the old shape paid 2 jobs + a localCheckpoint per
     step; see _mmr_greedy_expr's docstring for the equivalence
-    argument)."""
+    argument).
+
+    WARNING (r15-ADVICE): inputs MUST be constant-size. The
+    collect_list folds the ENTIRE candidate/pair frames into one row
+    of one task — an unbounded caller fails as a single-task OOM, not
+    gracefully. Every registry caller bounds cands at <=20 rows
+    (pairs <=400) by upstream top-k BEFORE calling. (Registry paths
+    use mmr_select_embedded, which carries the same contract.)"""
     ca = cands.agg(
         F.collect_list(F.struct("doc_id", "rel")).alias("cs")
     )
@@ -1789,6 +1822,100 @@ def mmr_select_grouped(
                 F.col("ps"),
                 F.array().cast("array<struct<d1:bigint,d2:bigint,sim:double>>"),
             ),
+        )
+        .select("query_id", F.explode(_mmr_greedy_expr(steps, lam)).alias("sel"))
+        .select("query_id", "sel.sel_rank", "sel.doc_id", "sel.rel", "sel.m")
+    )
+
+
+def _pairs_from_cands_expr() -> Column:
+    """The pairwise-similarity array (d1, d2, sim structs) computed
+    IN-EXPRESSION from the collected candidate array ``ce`` of
+    (doc_id, rel, embedding) structs — pairwise_cosine's identical
+    arithmetic (dot/(n1*n2), ROUND 4dp — same IEEE sequence on the
+    same doubles) with zero joins: the r15 single-job MMR fold still
+    paid a checkpointed candidate materialization plus a broadcast
+    self-join to BUILD the matrix; over a <=20-row bounded frame the
+    matrix is cheaper as a nested transform inside the same collected
+    row (r16, guide §1.2). The norm recompute per ordered pair is
+    O(K²·d) on bounded K — flops, not jobs."""
+    return F.flatten(
+        F.transform(
+            F.col("ce"),
+            lambda a: F.transform(
+                F.filter(F.col("ce"), lambda b: b["doc_id"] != a["doc_id"]),
+                lambda b: F.struct(
+                    a["doc_id"].alias("d1"),
+                    b["doc_id"].alias("d2"),
+                    F.round(
+                        dot_expr(a["embedding"], b["embedding"])
+                        / (
+                            norm_expr(a["embedding"])
+                            * norm_expr(b["embedding"])
+                        ),
+                        4,
+                    ).alias("sim"),
+                ),
+            ),
+        )
+    )
+
+
+def mmr_select_embedded(
+    with_emb: DataFrame, *, steps: int = 5, lam: float = 0.5
+) -> DataFrame:
+    """``mmr_select`` with the pairwise matrix computed in-expression:
+    ONE collect of the bounded (doc_id, rel, embedding) frame feeds
+    both the candidate array and the pair array, so the whole MMR
+    tail — including the diversity matrix — is a single job with no
+    checkpoint and no self-join (r16; the r15 shape was one fold job
+    but still materialized ``with_emb`` for the pairwise join).
+    Same bounded-input contract as mmr_select: inputs MUST be
+    constant-size (<=20 candidates) — the collect is a single row.
+    Values bit-identical: the sims are pairwise_cosine's expression,
+    the fold is the same _mmr_greedy_expr."""
+    row = with_emb.agg(
+        F.collect_list(F.struct("doc_id", "rel", "embedding")).alias("ce")
+    )
+    return (
+        row.select(
+            F.transform(
+                F.col("ce"),
+                lambda c: F.struct(
+                    c["doc_id"].alias("doc_id"), c["rel"].alias("rel")
+                ),
+            ).alias("cs"),
+            _pairs_from_cands_expr().alias("ps"),
+        )
+        .select(F.explode(_mmr_greedy_expr(steps, lam)).alias("sel"))
+        .select("sel.sel_rank", "sel.doc_id", "sel.rel", "sel.m")
+    )
+
+
+def mmr_select_grouped_embedded(
+    with_emb: DataFrame, *, steps: int = 5, lam: float = 0.5
+) -> DataFrame:
+    """``mmr_select_grouped`` with the per-query pairwise matrices
+    computed in-expression (see mmr_select_embedded): input carries
+    (query_id, doc_id, rel, embedding), one groupBy collects each
+    query's bounded candidate array, and the whole batch's greedy
+    tail — diversity matrices included — folds in ONE job. A query
+    with a single candidate gets an empty pair array (maxsim = 0,
+    the mmr_select_grouped left-join semantics). Bounded-input
+    contract unchanged: <=K_FUSED candidates per query."""
+    rows = with_emb.groupBy("query_id").agg(
+        F.collect_list(F.struct("doc_id", "rel", "embedding")).alias("ce")
+    )
+    return (
+        rows.select(
+            "query_id",
+            F.transform(
+                F.col("ce"),
+                lambda c: F.struct(
+                    c["doc_id"].alias("doc_id"), c["rel"].alias("rel")
+                ),
+            ).alias("cs"),
+            _pairs_from_cands_expr().alias("ps"),
         )
         .select("query_id", F.explode(_mmr_greedy_expr(steps, lam)).alias("sel"))
         .select("query_id", "sel.sel_rank", "sel.doc_id", "sel.rel", "sel.m")
@@ -1931,12 +2058,12 @@ def op_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("rel"), "doc_id")
         .limit(20)
         .select("doc_id", "rel", "embedding")
-        .localCheckpoint()
     )
-    # pairs feed exactly one consumer now (the single-job greedy fold),
-    # off the checkpointed cands — no second materialization needed
-    pairs = pairwise_cosine(cands)
-    out = mmr_select(cands.drop("embedding"), pairs, steps=5, lam=0.5)
+    # r16: the pairwise matrix folds in-expression off the ONE collect
+    # (mmr_select_embedded), so cands has a single consumer — the
+    # checkpoint and the broadcast pair self-join are both gone and
+    # the whole op is one job (guide §1.2)
+    out = mmr_select_embedded(cands, steps=5, lam=0.5)
     return out.select(
         "sel_rank", "doc_id", "rel", (F.round(F.col("m"), 6) + 0.0).alias("mmr")
     )
@@ -2233,19 +2360,41 @@ def op_sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     designed Spark-first."""
     docs = load_table(spark, sf_dir, "documents")
     qt, qk = late_query_frames(spark)
-    du = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("dterm")
-    ).distinct()
-    dk = docs.select(
-        "doc_id", F.explode(_ctx_keys_expr(F.col("text"))).alias("dkey")
-    ).distinct()
+    # ONE tokenize pass (r16, guide §1.2/§2.3): each position yields
+    # its unigram term AND its contextualized key in the same struct,
+    # so the corpus text is scanned and split exactly once. The r15
+    # shape re-derived the explode chains per consumer — du once, dk
+    # once for the pair join and once more under vocab, and the whole
+    # vocab -> md5-vector chain TWICE (vec is joined twice in
+    # late_maxsim_rank): 5 corpus tokenize passes for one query. Now:
+    # one pass checkpointed narrow (doc_id, dterm, dkey), dk
+    # checkpointed for its two consumers, and the bounded vocabulary
+    # vector table materialized once for its two broadcast joins.
+    pos = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.split(F.col("text"), " "),
+                    _ctx_keys_expr(F.col("text")),
+                    lambda t, k: F.struct(t.alias("dterm"), k.alias("dkey")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.dterm", "p.dkey")
+        .localCheckpoint()
+    )
+    du = pos.select("doc_id", "dterm").distinct()
+    dk = pos.select("doc_id", "dkey").distinct().localCheckpoint()
     vocab = (
         dk.select(F.col("dkey").alias("key"))
         .union(qk.select("qkey"))
         .distinct()
     )
-    vec = vocab.select("key", token_vec_expr(F.col("key")).alias("tv")).select(
-        "key", "tv", norm_expr(F.col("tv")).alias("tn")
+    vec = (
+        vocab.select("key", token_vec_expr(F.col("key")).alias("tv"))
+        .select("key", "tv", norm_expr(F.col("tv")).alias("tn"))
+        .localCheckpoint()
     )
     short = late_shortlist(du, qt)
     return late_maxsim_rank(dk, short, qk, vec)

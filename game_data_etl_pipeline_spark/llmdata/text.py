@@ -1728,20 +1728,20 @@ def op_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curation pipeline uses to find multi-word expressions worth
     treating as units.
 
-    Scale shape: TWO corpus scans, one per count stream — per-doc
-    bigram arrays via a zip_with over two shifted slices (no
-    self-join of the token stream, which is the naive quadratic-ish
-    formulation) and the unigram stream from the same split. Both
-    aggregations are map-side-combinable word-counts whose key
-    spaces are vocabulary-bounded (Zipf: ~10^5-10^6 unigrams,
-    ~10^7-10^8 surviving bigrams at 100 TB — executor-trivial after
-    partial aggregation); both are materialized once (Catalyst does
-    not share scan subtrees across consumers — same finding as
-    op_text_bm25) so the scalar totals W and Bt are RE-AGGREGATED
-    from the bounded count tables (SUM(c), SUM(c_bigram)) instead of
-    paying a third and fourth scan of the text column. The unigram
-    table and the two totals broadcast into the bigram stream;
-    document bodies never shuffle. Emitting ALL supported pairs
+    Scale shape: ONE corpus scan for both count streams (r16; the r7
+    form paid two scans and two checkpointed count tables) — each doc
+    emits unigram marker rows and adjacent-bigram rows (zip_with over
+    two shifted slices — no self-join of the token stream, which is
+    the naive quadratic-ish formulation) into one map-side-combinable
+    word-count whose key space is vocabulary-bounded (Zipf:
+    ~10^5-10^6 unigrams, ~10^7-10^8 surviving bigrams at 100 TB —
+    executor-trivial after partial aggregation); the count table is
+    materialized once (Catalyst does not share scan subtrees across
+    consumers — same finding as op_text_bm25) and the scalar totals W
+    and Bt are RE-AGGREGATED from it (SUM(c), SUM(c_bigram)) instead
+    of paying extra scans of the text column. The unigram table and
+    the two totals broadcast into the bigram stream; document bodies
+    never shuffle. Emitting ALL supported pairs
     (vocabulary-bounded) instead of a top-k keeps the output
     deterministic — no cross-engine tie at a LIMIT boundary.
 
@@ -1757,18 +1757,42 @@ def op_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = _terms()
     toks = widen_narrow_scan(docs.select(w.alias("w")), spark)
-    uni = toks.select(F.explode("w").alias("term"))
-    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
-    pairs = toks.select(
+    # ONE corpus scan for BOTH count streams (r16, guide §1.2/§2.3):
+    # each doc emits its unigrams as (term, NULL) markers and its
+    # adjacent bigrams as (w1, w2) in the same explode, so one
+    # scan + one vocabulary-bounded groupBy replaces the r7 shape's
+    # two scans + two checkpointed count tables. c1/c12 then branch
+    # off the one checkpointed count table by the NULL marker —
+    # identical counts by key (the marker can never collide with a
+    # real bigram: w2 IS NULL only on unigram rows).
+    both = toks.select(
         F.explode(
-            F.zip_with(
-                F.slice(F.col("w"), 1, F.size("w") - 1),
-                F.slice(F.col("w"), 2, F.size("w") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            F.concat(
+                F.transform(
+                    F.col("w"),
+                    lambda t: F.struct(
+                        t.alias("w1"), F.lit(None).cast("string").alias("w2")
+                    ),
+                ),
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    c12_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram")).localCheckpoint()
+    counts = (
+        both.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    c1 = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("term"), "c"
+    )
+    c12_all = counts.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c_bigram")
+    )
     c12 = c12_all.filter(F.col("c_bigram") >= 5)
     stats = c1.agg(F.sum("c").alias("w_tot")).crossJoin(
         c12_all.agg(F.sum("c_bigram").alias("bg_tot"))

@@ -53,17 +53,18 @@ def _session_workdir(spark: SparkSession, tag: str, sf_dir: str) -> str:
     )
 
 
-def _assert_residues_nonempty(df: DataFrame, col: str, mod: int, op: str) -> None:
+def _assert_residues_present(
+    present: set[int], col: str, mod: int, op: str
+) -> None:
     """The streaming-ingest ops replay the fixture as ``mod``
     micro-batches split by ``col % mod`` and their oracles hard-code
     ``n_batches = mod`` — on a degenerate fixture where a residue
     class is empty the staged file count silently drops and the op
     could never match its oracle. Fail loudly instead (round-9
-    advice): one bounded distinct over the residue column."""
-    present = {
-        r[0]
-        for r in df.select(F.pmod(F.col(col), F.lit(mod)).alias("r")).distinct().collect()
-    }
+    advice). r16: the residue coverage is now measured by an
+    ``observe()`` riding the ONE staging write (guide §1.2 — the old
+    form paid a separate distinct+collect job over the full source
+    per streamed op), so this helper only checks the observed set."""
     missing = sorted(set(range(mod)) - present)
     if missing:
         raise ValueError(
@@ -77,7 +78,14 @@ def _fmt(col, alias: str):
     return F.date_format(col, _TS_FMT).alias(alias)
 
 
-def _stage_microbatches(df: DataFrame, work: str, *, n: int = 3) -> str:
+def _stage_microbatches(
+    df: DataFrame,
+    work: str,
+    *,
+    n: int = 3,
+    residue_col: str | None = None,
+    op: str | None = None,
+) -> str:
     """Stage ``df`` (carrying an int ``batch_id`` column in [0, n)) as
     ``n`` mtime-ordered single-file parquet micro-batch dirs under
     ``<work>/incoming``, for deterministic replay with
@@ -88,17 +96,58 @@ def _stage_microbatches(df: DataFrame, work: str, *, n: int = 3) -> str:
     (idempotent rerun within a session; _session_workdir keys by app
     id across sessions), each residue class lands as exactly one file,
     and the mtime ladder fixes the ingestion order the availableNow
-    trigger replays. Callers keep their own batch_id derivation and
-    residue-coverage assert (their oracles hard-code n_batches)."""
+    trigger replays.
+
+    r16 (guide §1.2/§6): ONE partitioned write instead of ``n``
+    filtered scans of the source — the old form scanned the full
+    source once per batch (3 jobs) plus a separate residue-coverage
+    distinct+collect job; the new form scans once, shuffles the rows
+    to their batch partition (hash on the duplicated ``_pb`` column so
+    ``batch_id`` itself stays in the data files the replay schema
+    reads), sorts within partitions so the staged bytes stay
+    deterministic like the old scan-ordered coalesce(1) files, and
+    carries the per-residue counts on an ``observe()`` riding the same
+    write. Pass ``residue_col``/``op`` to fail loudly on a degenerate
+    fixture (the old _assert_residues_nonempty contract)."""
+    from pyspark.sql import Observation
+
     stage = os.path.join(work, "incoming")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(stage)
+    tmp = os.path.join(work, "stage_tmp")
+    obs = Observation()
+    counted = df.observe(
+        obs,
+        *[
+            F.sum(F.when(F.col("batch_id") == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(n)
+        ],
+    )
+    (
+        counted.withColumn("_pb", F.col("batch_id"))
+        .repartition(n, "_pb")
+        .sortWithinPartitions(*df.columns)
+        .write.partitionBy("_pb")
+        .parquet(tmp)
+    )
+    counts = obs.get
+    if residue_col is not None and op is not None:
+        present = {b for b in range(n) if (counts[f"b{b}"] or 0) > 0}
+        _assert_residues_present(present, residue_col, n, op)
     now = 1_700_000_000
     for b in range(n):
         d = os.path.join(stage, f"batch{b}")
-        df.filter(F.col("batch_id") == b).coalesce(1).write.parquet(d)
+        src = os.path.join(tmp, f"_pb={b}")
+        if os.path.isdir(src):
+            os.rename(src, d)
+        else:
+            # empty residue class (only reachable when the caller did
+            # not request the loud assert): keep the old contract of
+            # one (empty) file per batch dir
+            df.filter(F.col("batch_id") == b).coalesce(1).write.parquet(d)
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (now + b, now + b))
+    shutil.rmtree(tmp, ignore_errors=True)
     return stage
 
 
@@ -1145,8 +1194,7 @@ def stream_ann_store(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") % 3).cast("int").alias("batch_id")
     )
-    _assert_residues_nonempty(emb, "vec_id", 3, op)
-    stage = _stage_microbatches(emb, work)
+    stage = _stage_microbatches(emb, work, residue_col="vec_id", op=op)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         # one narrow pass: argmax cell assignment and per-row PQ codes
@@ -1323,8 +1371,9 @@ def op_stream_lex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("batch_id")
     )
-    _assert_residues_nonempty(docs, "doc_id", 3, "op_stream_lex_ingest")
-    stage = _stage_microbatches(docs, work)
+    stage = _stage_microbatches(
+        docs, work, residue_col="doc_id", op="op_stream_lex_ingest"
+    )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         # split projected once below the Generate (see stream_lex_store)
@@ -1408,14 +1457,14 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
     """The shared streamed-LEXICAL-store device — stream_ann_store's
     twin: stage the corpus as 3 mtime-ordered micro-batches, replay
     with maxFilesPerTrigger=1, and have each foreachBatch transaction
-    tokenize ONLY its batch and append three O(batch) artifacts —
-    partition-aligned postings into the term_bucket layout, the
-    batch's per-term df contribution, and a 1-row (n_docs, tot_dl)
-    stats delta. After the stream drains, one vocabulary-bounded fold
-    merges the persisted deltas into serveable df/stats (exact integer
-    sums over disjoint doc sets — the op_lex_index_upsert merge
-    algebra; no posting touched, no document re-read). Returns the
-    work dir holding postings/ (per-commit segments), df/, stats/.
+    tokenize ONLY its batch and append ONE O(batch) artifact — its
+    partition-aligned postings into the term_bucket layout. After the
+    stream drains, one narrow post-stream fold re-derives serveable
+    df/stats from the persisted postings (exact integer algebra over
+    disjoint doc sets — the same re-derivation the shared compactor
+    runs at merge time; no document re-read, the text column never
+    leaves the ingest pass). Returns the work dir holding postings/
+    (per-commit segments), df/, stats/.
     Shared by op_stream_lex_serve (serves the fresh store) and
     op_stream_lex_compact_serve (tombstones + merges it), so the
     served path and the compacted path ingest through the same
@@ -1427,12 +1476,9 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("batch_id")
     )
-    _assert_residues_nonempty(docs, "doc_id", 3, op)
-    stage = _stage_microbatches(docs, work)
+    stage = _stage_microbatches(docs, work, residue_col="doc_id", op=op)
 
     post_store = os.path.join(work, "postings")
-    df_deltas = os.path.join(work, "df_deltas")
-    stats_deltas = os.path.join(work, "stats_deltas")
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         # project the split ONCE before the explode: a size(split)+
@@ -1449,26 +1495,17 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
             t.groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("term_bucket", _bucket(F.col("term")))
-            .localCheckpoint()  # one tokenize feeds all three appends
         )
+        # ONE append per commit (r16, guide §1.2/§6): the r15 shape
+        # checkpointed the batch postings and ran two MORE write
+        # actions per commit (a per-term df delta and a 1-row stats
+        # delta) — 4 driver actions per micro-batch of pure
+        # bookkeeping. df/stats are DERIVED facts; they re-derive in
+        # one narrow post-stream fold below, exactly the algebra the
+        # shared compactor already runs at merge time.
         post.repartition("term_bucket").write.mode("append").partitionBy(
             "term_bucket"
         ).parquet(post_store)
-        # the batch's df contribution: per-term count of ITS docs —
-        # additive across batches because the doc sets are disjoint
-        post.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
-            "append"
-        ).parquet(df_deltas)
-        # stats delta from the NARROW checkpointed postings (dl is a
-        # per-doc fact carried on every posting; split("") is never
-        # empty so every doc has >=1 posting row) instead of a second
-        # scan + re-tokenize of the batch text (guide §2.3: the text
-        # column is the heavy payload — at 100 TB this was a second
-        # full text pass per commit)
-        post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("tot_dl"),
-        ).write.mode("append").parquet(stats_deltas)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, batch_id int")
@@ -1478,12 +1515,25 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
     q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
     q.awaitTermination()
 
-    # post-stream fold of the PERSISTED deltas into serveable df/stats
-    # (vocabulary-bounded; reads deltas back from disk, never postings)
+    # post-stream fold: df/stats re-derived from the PERSISTED NARROW
+    # postings (term/doc_id/dl/tf — the text column is never re-read).
+    # Exact integer algebra, value-identical to the r15 per-commit
+    # delta sums: each (term, doc_id) pair appears exactly once across
+    # the disjoint batches, so groupBy(term).count over the whole tree
+    # equals the sum of per-batch per-term doc counts; dl is a per-doc
+    # fact on every posting row and split(" ") of any string is
+    # non-empty, so every NON-NULL-text doc has >= 1 posting row and
+    # the (n_docs, tot_dl) derivation matches the per-batch form
+    # (documents.text is non-null in every fixture; a NULL text would
+    # drop from n_docs under BOTH the r15 per-commit delta and this
+    # fold — the r15-ADVICE note — so the two shapes cannot drift).
+    # At 100 TB the fold is one pass over the narrow postings paid per
+    # stream DRAIN, not per commit — the same pass the nightly
+    # compactor already makes when it re-derives df/stats.
+    posts = spark.read.parquet(post_store)
     (
-        spark.read.parquet(df_deltas)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
+        posts.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("term_bucket", _bucket(F.col("term")))
         .repartition("term_bucket")
         .write.mode("overwrite")
@@ -1491,8 +1541,9 @@ def stream_lex_store(spark: SparkSession, sf_dir: str, tag: str, op: str) -> str
         .parquet(os.path.join(work, "df"))
     )
     (
-        spark.read.parquet(stats_deltas)
-        .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_dl").alias("tot_dl"))
+        posts.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(work, "stats"))
@@ -1966,22 +2017,37 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _session_workdir(spark, "decontam", sf_dir)
     ledger_store = os.path.join(work, "ledger")
-    counter_store = os.path.join(work, "counters")
     train_docs = docs.filter(~is_bench).withColumn(
         "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
     )
-    _assert_residues_nonempty(train_docs, "batch_id", 3, "op_stream_decontaminate")
-    stage = _stage_microbatches(train_docs, work)
+    stage = _stage_microbatches(
+        train_docs, work, residue_col="batch_id", op="op_stream_decontaminate"
+    )
+
+    # per-batch (n_probed, n_cand) pairs, measured by observe() riding
+    # the ledger write (r16, guide §1.2: the r15 shape paid 4 driver
+    # actions per commit — two localCheckpoints materializing the
+    # shingle and candidate sets plus two writes; with the counters as
+    # CollectMetrics nodes on the ONE chain, each set has exactly one
+    # consumer and the whole commit is one job). CollectMetrics blocks
+    # pushdown, so n_probed counts exactly the distinct batch shingles
+    # and n_cand exactly the Bloom-positive survivors — the same rows
+    # the old standalone count jobs measured.
+    from pyspark.sql import Observation
+
+    batch_counters: list[tuple[int, int]] = []
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
-        # one O(batch) shingle pass, deduped, feeds probes + counters;
-        # the probe itself is the shared hit-rows-only chain
+        obs_probed = Observation()
+        obs_cand = Observation()
         sh = (
             _shingles(batch_df.select("doc_id", "text"))
             .distinct()
-            .localCheckpoint()
+            .observe(obs_probed, F.count(F.lit(1)).alias("n"))
         )
-        candidates = bloom_candidates(sh, words).localCheckpoint()  # bounded
+        candidates = bloom_candidates(sh, words).observe(
+            obs_cand, F.count(F.lit(1)).alias("n")
+        )
         (
             candidates.join(F.broadcast(bench_pairs), "g")
             .groupBy("doc_id")
@@ -1992,12 +2058,7 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(ledger_store)
         )
-        (
-            sh.agg(F.count(F.lit(1)).alias("n_probed"))
-            .crossJoin(candidates.agg(F.count(F.lit(1)).alias("n_cand")))
-            .write.mode("append")
-            .parquet(counter_store)
-        )
+        batch_counters.append((obs_probed.get["n"], obs_cand.get["n"]))
 
     stream = (
         spark.readStream.schema("doc_id long, text string, batch_id int")
@@ -2008,8 +2069,10 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     ledger = spark.read.parquet(ledger_store)
-    audit = spark.read.parquet(counter_store).agg(
-        (F.sum("n_cand") < F.sum("n_probed")).alias("bloom_pruned")
+    n_probed = sum(p for p, _c in batch_counters)
+    n_cand = sum(c for _p, c in batch_counters)
+    audit = spark.range(1).select(
+        F.lit(bool(n_cand < n_probed)).alias("bloom_pruned")
     )
     return ledger.crossJoin(F.broadcast(audit))
 
@@ -2073,21 +2136,31 @@ def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(is_bench).withColumn(
         "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
     )
-    _assert_residues_nonempty(bench, "batch_id", 3, "op_stream_bloom_upsert")
-    stage = _stage_microbatches(bench, work)
+    stage = _stage_microbatches(
+        bench, work, residue_col="batch_id", op="op_stream_bloom_upsert"
+    )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        # one O(batch) shingle pass feeds both appends
-        sh = (
+        # one O(batch) shingle pass lands the batch's pair set in its
+        # OWN segment dir; the words-table delta then folds from the
+        # PERSISTED batch segment read back from disk (r16, guide
+        # §1.2: the r15 shape eagerly checkpointed the shingle set so
+        # two appends could share it — 3 driver actions and a
+        # block-manager materialization per commit; deriving the delta
+        # from the just-persisted segment is one action fewer, skips
+        # the checkpoint, and makes the delta provably a function of
+        # the durable artifact, the evidence discipline the compactors
+        # use)
+        seg = os.path.join(pair_store, f"seg{epoch_id}")
+        (
             _shingles(batch_df.select("doc_id", "text"))
             .select(F.col("doc_id").alias("b_id"), "g")
             .distinct()
-            .localCheckpoint()
+            .write.parquet(seg)
         )
-        sh.write.mode("append").parquet(pair_store)
-        bloom_words(sh.select("g").distinct()).write.mode("append").parquet(
-            word_deltas
-        )
+        bloom_words(
+            spark.read.parquet(seg).select("g").distinct()
+        ).write.mode("append").parquet(word_deltas)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, batch_id int")
@@ -2105,7 +2178,7 @@ def op_stream_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("bits").alias("bits"))
         .localCheckpoint()
     )
-    bench_pairs = spark.read.parquet(pair_store)
+    bench_pairs = spark.read.parquet(os.path.join(pair_store, "seg*"))
 
     # the screen, from the stream-accumulated filter
     train = _shingles(docs.filter(~is_bench)).distinct()
