@@ -123,20 +123,20 @@ V2_EXTRA = (
 # judge (the round-6 adjudication: a uniform ~1.7x "slowdown" that was
 # entirely hardware). Update each round after the driver records
 # BENCH_r{N}.json.
-# r14 note: reseeded from the COMMITTED idle-host artifact
-# bench_final_r14.json (the r13-ADVICE convention: the committed
-# artifact is the auditable number; the driver-recorded BENCH_r14.json
-# tail was still truncated before its calibration block because the
-# r14 key-reorder aimed at the wrong end of the line — fixed below).
-# bench_final_r14.json: raw frozen total_min 19.997 s with probes
-# py 0.6972 / jvm 0.3076. Seeded into the fixed r8 frame under EACH
-# probe separately (jvm 19.997/1.3531 = 14.781; py 19.997/1.1959 =
-# 16.721) and total_ratio reported per chain. The r14 chains AGREED
-# (split 3.0%, probe_disagreement False) — convention kept unchanged.
+# r15 note: reseeded from the DRIVER artifact BENCH_r15.json — the
+# first driver-parsed artifact since r8 (the r15 tail-ordering fix
+# worked), so the reseed convention finally reads the driver's own
+# numbers: raw frozen total_min 18.192 s with probes py 0.6749 /
+# jvm 0.4709. Seeded into the fixed r8 frame under EACH probe
+# separately (jvm 18.192/2.0717 = 8.7811; py 18.192/1.1576 = 15.7148)
+# and total_ratio reported per chain. The r15 chains DISAGREED
+# (probe_disagreement True — the r15 host's jvm probe ran 1.53x the
+# r14 frame while py sat flat), so r16 ratios must be quoted as the
+# [jvm, py] band, not either number alone.
 PREV = {
-    "round": 14,
-    "frozen_total_min_jvm_frame": 14.781,
-    "frozen_total_min_py_frame": 16.721,
+    "round": 15,
+    "frozen_total_min_jvm_frame": 8.7811,
+    "frozen_total_min_py_frame": 15.7148,
     "py_spin_sec": 0.583,
     "jvm_spin_sec": 0.2273,
 }
